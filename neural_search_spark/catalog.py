@@ -1,0 +1,80 @@
+"""Catalog: table loading + the "index" abstraction.
+
+The reference's *index* (named doc collection + mapping) maps to a
+Parquet/Delta table plus a small mapping dict (SURVEY.md §1.1). Here the
+catalog loads the driver-generated parquet tables and exposes the
+joined document+embedding corpus used by retrieval operators.
+
+Scale note: at 100 TB the text corpus and its embeddings live in ONE
+table (embeddings are materialized ingest output — reference
+`processor/InferenceProcessor.java:140-166` writes vectors into the doc
+source). The sf* test data ships them as two tables keyed by the same
+id, so `corpus()` joins them once; downstream operators see a single
+DataFrame and Catalyst prunes whichever columns a query doesn't touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings on doc_id == vec_id → one retrieval corpus.
+
+    Columns: doc_id, text, lang, source, n_chars, embedding, label.
+    1-1 join on the id; at scale this is a co-partitioned (bucketed)
+    join or, in the real layout, no join at all (single table).
+    """
+    docs = table(spark, sf_dir, "documents")
+    embs = table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    return docs.join(embs, "doc_id")
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """Fetch one stored embedding to use as a query vector.
+
+    Mirrors the reference's inference hoisting: the query embedding is
+    computed ONCE on the driver before plan construction
+    (`query/NeuralQueryBuilder.java:887-932` registers async inference at
+    coordinator rewrite — in Spark this is an eager driver-side lookup),
+    then enters the plan as a literal so executors never recompute it.
+    """
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def query_text(spark: SparkSession, sf_dir: str, doc_id: int) -> str:
+    row = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == doc_id)
+        .select("text")
+        .first()
+    )
+    return row[0]
