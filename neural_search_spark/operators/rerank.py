@@ -1,0 +1,118 @@
+"""Post-retrieval rerankers + MMR diversification (SURVEY.md §2.8).
+
+Rerankers operate on the fused top-k ONLY — the corpus never reaches
+the (potentially expensive) scoring function; at 100 TB that is the
+difference between a viable cross-encoder pass (k rows through a
+pandas UDF) and an impossible one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sparse import tokens
+
+
+def rerank_by_field(
+    results: DataFrame,
+    corpus: DataFrame,
+    target_field: str,
+    keep_previous_score: bool = False,
+    k: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 `rerank`/`by_field`: `_score := doc[target_field]`, re-sort.
+
+    Parity: `processor/rerank/ByFieldRerankProcessor.java:74-83`.
+    """
+    joined = results.join(corpus.select(id_col, target_field), id_col)
+    cols = [F.col(id_col)]
+    if keep_previous_score:
+        cols.append(F.col("score").alias("previous_score"))
+    cols.append(F.col(target_field).cast("double").alias("score"))
+    out = joined.select(*cols)
+    out = out.orderBy(F.col("score").desc(), F.col(id_col))
+    return out.limit(k) if k else out
+
+
+def token_jaccard(query_text: str, text_col: Column) -> Column:
+    """Deterministic cross-encoder stand-in: Jaccard similarity of the
+    distinct lowercase token sets of (query, doc). Replaces the ML RPC
+    of `ml/MLCommonsClientAccessor.java:175` (inferenceSimilarity) with
+    an exact, oracle-checkable relevance function."""
+    q_tokens = sorted({t for t in query_text.lower().split() if t})
+    q_arr = F.array(*[F.lit(t) for t in q_tokens])
+    d_arr = F.array_distinct(tokens(F.lower(text_col)))
+    inter = F.size(F.array_intersect(d_arr, q_arr)).cast("double")
+    union = F.size(F.array_union(d_arr, q_arr)).cast("double")
+    return F.when(union > 0.0, inter / union).otherwise(F.lit(0.0))
+
+
+def rerank_cross_encoder(
+    results: DataFrame,
+    corpus: DataFrame,
+    query_text: str,
+    k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q1 `rerank`/`ml_opensearch`: similarity(query, doc) replaces the
+    score, results re-sorted desc.
+
+    Parity: `processor/rerank/MLOpenSearchRerankProcessor.java:57-95` +
+    `RescoringRerankProcessor.java:49-110`. Only the incoming top-k rows
+    are scored (context fetch joins just those ids).
+    """
+    joined = results.select(id_col).join(corpus.select(id_col, text_col), id_col)
+    out = joined.select(
+        F.col(id_col), token_jaccard(query_text, F.col(text_col)).alias("score")
+    ).orderBy(F.col("score").desc(), F.col(id_col))
+    return out.limit(k) if k else out
+
+
+def mmr_diversify(
+    results: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Q3 MMR: greedily pick k of the candidates maximizing
+    λ·relevance − (1−λ)·max_cosine_to_already_selected.
+
+    Parity: `processor/mmr/MMRNeuralQueryTransformer.java:40-110`.
+    Like the reference, this is a small driver-side loop over the
+    over-fetched candidate list (candidates ≈ a few × k) — collecting
+    it is correct at any corpus scale because only top candidates land
+    here.
+    """
+    import math
+
+    rows = (
+        results.join(corpus.select(id_col, vec_col), id_col)
+        .select(id_col, "score", vec_col)
+        .collect()
+    )
+    cands = [(r[0], float(r[1]), [float(x) for x in r[2]]) for r in rows]
+    cands.sort(key=lambda c: (-c[1], c[0]))
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    selected: list[tuple[int, float, list[float]]] = []
+    remaining = list(cands)
+    while remaining and len(selected) < k:
+        best, best_val = None, -float("inf")
+        for c in remaining:
+            penalty = max((cos(c[2], s[2]) for s in selected), default=0.0)
+            val = lambda_ * c[1] - (1.0 - lambda_) * penalty
+            if val > best_val or (val == best_val and best is not None and c[0] < best[0]):
+                best, best_val = c, val
+        selected.append(best)
+        remaining.remove(best)
+    return [s[0] for s in selected]
