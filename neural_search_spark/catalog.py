@@ -33,7 +33,23 @@ TABLES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default. Read nanos as long (legacy conf,
+    runtime-settable) and convert to a microsecond timestamp column, in
+    the session's UTC frame so calendar functions match the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

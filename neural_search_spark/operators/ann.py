@@ -1,0 +1,155 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Three tiers (SURVEY.md §7 step 9 / BASELINE.json north star):
+- brute-force cosine top-k — the exact baseline (retrieval.dense_topk);
+- IVF (inverted-file): corpus pre-assigned to centroid cells, query
+  probes the closest few cells — the partition-pruning path: with the
+  assigned table written partitioned/bucketed by `cluster_id`, the
+  probe filter prunes ~(1 − nprobe/ncells) of the data BEFORE any scan;
+- sign-random-projection LSH buckets: deterministic md5-derived
+  hyperplanes; near-dup / top-k candidates only meet within a bucket —
+  linear-time, join-based, no O(n²).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, dot, lit_vector
+
+
+def ivf_assign(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid → (id, cluster_id).
+
+    Deterministic centroid list is supplied by the caller (e.g. first K
+    stored vectors, or KMeans output). At scale, write the result
+    partitioned by cluster_id so probes prune partitions.
+    """
+    v = as_double(F.col(vec_col))
+    # argmax via array_max over (sim, -cid) structs: linear expression
+    # size (a when-chain would double the tree per centroid), ties break
+    # to the LOWEST centroid id, matching a (sim DESC, cid ASC) rank.
+    entries = F.array(
+        *[
+            F.struct(
+                F.coalesce(cosine(v, lit_vector(cvec)), F.lit(float("-inf"))).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(entries)
+    return embs.select(F.col(id_col), (-best["ncid"]).cast("int").alias("cluster_id"))
+
+
+def ivf_topk(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the nprobe closest cells, exact cosine inside.
+
+    The cell filter happens BEFORE the scan of vectors (partition
+    pruning when the assignment is the table layout), so cost is
+    ~nprobe/ncells of brute force.
+    """
+    import math
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    candidates = embs.join(assigned, id_col).where(F.col("cluster_id").isin(probe_ids))
+    q = lit_vector(query_vec)
+    return (
+        candidates.select(
+            F.col(id_col).alias("doc_id"),
+            cosine(as_double(F.col(vec_col)), q).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — components in
+    [-0.5, 0.5), reproducible across runs and languages."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            comps.append(int(h[:8], 16) / float(0xFFFFFFFF) - 0.5)
+        planes.append(comps)
+    return planes
+
+
+def srp_bucket(
+    embs: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector → (id, bucket).
+
+    bucket = bit string of sign(v·plane_p); cosine-similar vectors land
+    in the same bucket with probability (1 − θ/π)^n_planes.
+    """
+    v = as_double(F.col(vec_col))
+    bits = [
+        F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in _srp_planes(dim, n_planes)
+    ]
+    return embs.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_bucketed_neardup(
+    embs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup: pairs meet only inside an SRP
+    bucket, then exact cosine filters. Linear-time candidate
+    generation — the 100 TB replacement for the brute-force O(n²) pass
+    (recall < 1.0: pairs split across buckets are missed; raise
+    n_planes bands or OR multiple tables for higher recall)."""
+    buckets = srp_bucket(embs, dim, n_planes, id_col, vec_col)
+    with_vec = embs.join(buckets, id_col)
+    a = with_vec.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    b = with_vec.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(as_double(F.col("va")), as_double(F.col("vb"))))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.col("cos").alias("cosine"))
+    )

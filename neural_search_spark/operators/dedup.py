@@ -1,0 +1,242 @@
+"""Deduplication operators for the large-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Portability: every hash is md5 (identical across engines); MinHash
+"integers" are the md5 hex strings themselves under lexicographic min —
+a monotone bijection of the 128-bit value, so min() picks the same
+shingle everywhere.
+
+Scale shapes (the whole point of these implementations):
+- exact: one groupBy on a 32-char hash — shuffle is O(corpus), the
+  canonical first pass.
+- MinHash LSH: explode shingles → one groupBy(doc) computing all 16
+  signature mins in a single aggregation pass → explode bands → a
+  self-equi-join ON (band_idx, band_hash) that only pairs up colliding
+  buckets. No O(n²) anywhere; skewed buckets are handled by AQE skew
+  join. Verification (true Jaccard) touches only candidate pairs.
+- SimHash: one exploded-token aggregation computing 64 weighted bit
+  sums per doc; near-dup = equality/low-hamming on the fingerprint.
+- n-gram Jaccard: inverted-index self-join on shingle (pairs only
+  share work where they share content) — the exact counterpart used to
+  verify the LSH path at small scale.
+- embedding near-dup: brute-force O(n²) baseline here; the LSH-bucketed
+  variant in ann.py is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sparse import tokens
+from ..functions.text import word_shingles
+from ..functions.vector import as_double, cosine
+
+NUM_MINHASHES = 16
+BAND_SIZE = 2  # 8 bands of 2 → catches jaccard ≳ 0.5 with high prob.
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keeper = min id per md5(text).
+
+    Returns (id, dup_count) for the surviving representative of each
+    content group.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct rows — shared substrate for MinHash/Jaccard."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id") -> DataFrame:
+    """One aggregation pass computes all signature components:
+    h_i(doc) = min over shingles of md5(shingle ∥ '#i')."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+
+    Returns distinct (a, b) with a < b. The join is an equi-join on the
+    band key — Spark hashes both sides to the same partitions, so only
+    genuinely colliding docs meet.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{bi * band_size + j}") for j in range(band_size)])
+                ).alias("band_hash"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        F.col(id_col), F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """True Jaccard on shingle sets, computed ONLY for candidate pairs.
+
+    Returns (a, b, jaccard) for pairs ≥ threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("a"), F.col("shingle").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs."""
+    sh = shingle_sets(docs, n, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col)
+    return jaccard_verify(cands, sh, threshold, id_col=id_col)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted-index self-join.
+
+    Only docs sharing ≥1 shingle ever meet in the join; with a shingle
+    df-cap this is the scalable exact method (here uncapped — the
+    verifier for the LSH path).
+    """
+    sh = shingle_sets(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
+    inter = (
+        sa.join(sb, ["shingle"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+NIBBLES = "0123456789abcdef"
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint as a 64-char bit string.
+
+    Token hash bits come from the first 16 hex chars of md5(token);
+    each bit contributes ±tf to its position; fingerprint bit = 1 iff
+    the weighted sum is positive. One exploded-token aggregation with
+    64 conditional sums — all JVM-side.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("w"))
+    tf = tf.withColumn("h", F.md5(F.col("token")))
+    bit_sums = []
+    for j in range(64):
+        pos = j // 4 + 1  # hex char position (1-based)
+        shift = 3 - j % 4
+        nib = F.instr(F.lit(NIBBLES), F.substring(F.col("h"), pos, 1)) - 1
+        bit = F.shiftright(nib, shift).bitwiseAND(F.lit(1))
+        contrib = F.col("w") * (bit.cast("double") * 2.0 - 1.0)
+        bit_sums.append(F.sum(contrib).alias(f"s{j}"))
+    agg = tf.groupBy(id_col).agg(*bit_sums)
+    fp = F.concat(
+        *[F.when(F.col(f"s{j}") > 0.0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) baseline (exact); use ann.lsh_bucketed_neardup
+    for the approximate linear-time variant at scale.
+    """
+    a = embs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(as_double(F.col("va")), as_double(F.col("vb"))))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.col("cos").alias("cosine"))
+    )

@@ -20,8 +20,12 @@ from pyspark.sql import functions as F
 
 from . import catalog
 from .functions import chunking as C
+from .functions import prune as P
 from .functions import sparse as S
+from .functions import text as T
+from .operators import ann as ANN
 from .operators import bm25 as B
+from .operators import dedup as DD
 from .operators import fusion as FU
 from .operators import highlight as H
 from .operators import rerank as RR
@@ -277,6 +281,165 @@ def q_f6_chunk_fixed_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- dedup / ANN / text analysis / prune / events (milestone 3) -----------
+PRUNE_DOC_LIMIT = 20
+# synthetic embeddings have no true near-dups (max pairwise cosine
+# ≈0.51 at sf0.01); 0.45 keeps the pair queries non-trivially populated
+NEARDUP_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.5
+IVF_NUM_CENTROIDS = 16
+IVF_NPROBE = 4
+QUANT_CEILING = 3.0  # SparseConstants.java:38 ingest default
+SRP_DIM = 64
+SRP_PLANES = 4  # few planes -> higher bucket-collision recall at cos~0.45
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return _round4(DD.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD), "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return DD.simhash64(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return _round4(DD.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD), "jaccard")
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    return _round4(DD.embedding_neardup_pairs(embs, NEARDUP_THRESHOLD), "cosine")
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        catalog.table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < IVF_NUM_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    cents = _centroids(spark, sf_dir)
+    return _round4(ANN.ivf_topk(embs, cents, qv, k=K, nprobe=IVF_NPROBE))
+
+
+def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    return _round4(
+        ANN.lsh_bucketed_neardup(embs, SRP_DIM, NEARDUP_THRESHOLD, SRP_PLANES), "cosine"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.token_count_bpe_estimate(F.col("text")).alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def _prune_query(spark: SparkSession, sf_dir: str, prune_fn) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < PRUNE_DOC_LIMIT)
+    maps = S.tf_map(docs)
+    pruned = maps.select("doc_id", prune_fn(F.col("sparse")).alias("pruned"))
+    return pruned.select(
+        "doc_id", F.explode(F.col("pruned")).alias("token", "weight")
+    ).orderBy("doc_id", "token")
+
+
+def q_f8_prune_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prune_query(spark, sf_dir, lambda m: P.prune_top_k(m, 5))
+
+
+def q_f9_prune_alpha_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prune_query(spark, sf_dir, lambda m: P.prune_alpha_mass(m, 0.5))
+
+
+def q_f10_prune_max_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prune_query(spark, sf_dir, lambda m: P.prune_max_ratio(m, 0.5))
+
+
+def q_f11_prune_abs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prune_query(spark, sf_dir, lambda m: P.prune_abs_value(m, 3.0))
+
+
+def q_a1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte quantization (A1): clamp → ×255/ceiling → round half-up.
+
+    Parity: `sparse/quantization/ByteQuantizer.java:24-33`."""
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < PRUNE_DOC_LIMIT)
+    postings = S.tf_postings(docs)
+    q = F.round(
+        F.least(F.greatest(F.col("weight"), F.lit(0.0)), F.lit(QUANT_CEILING))
+        * 255.0
+        / QUANT_CEILING
+    ).cast("int")
+    return postings.select("doc_id", "token", q.alias("q")).orderBy("doc_id", "token")
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table — the
+    batch shape of the Structured Streaming ingest path (§2.12
+    parity-plus; same plan works under readStream + watermark)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 stats endpoint analogue: counters by event type."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("event_type")
+    )
 
 
 def q_r2_chunk_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +880,286 @@ FROM parent ORDER BY score DESC, doc_id LIMIT {K}
 """
 
 
+# --- dedup / ANN / text / prune / events oracles ---------------------------
+_SQL_TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+
+SQL_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END AS shingles
+    FROM (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents)
+  )
+  WHERE len(shingles) > 0
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM (SELECT doc_id, md5(text) AS h FROM documents)
+GROUP BY h ORDER BY doc_id
+"""
+
+_MINHASH_AGGS = ",\n         ".join(
+    f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(DD.NUM_MINHASHES)
+)
+_BAND_STRUCTS = ", ".join(
+    "{'band_idx': %d, 'band_hash': md5(h%d || '|' || h%d)}" % (bi, bi * 2, bi * 2 + 1)
+    for bi in range(DD.NUM_MINHASHES // DD.BAND_SIZE)
+)
+_SQL_JACCARD_TAIL = f"""
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, round(i::DOUBLE / (za.sz + zb.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = a
+JOIN sizes zb ON zb.doc_id = b
+WHERE i::DOUBLE / (za.sz + zb.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+ORDER BY a, b
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH sh AS ({SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, s.band_idx, s.band_hash
+  FROM (SELECT doc_id, unnest([{_BAND_STRUCTS}]) AS s FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+),
+{_SQL_JACCARD_TAIL}
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH sh AS ({SQL_SHINGLES}),
+cands AS (
+  SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+),
+{_SQL_JACCARD_TAIL}
+"""
+
+_SIMHASH_SUMS = []
+for _j in range(64):
+    _pos, _shift = _j // 4 + 1, 3 - _j % 4
+    _SIMHASH_SUMS.append(
+        f"sum(w * (2 * (((strpos('0123456789abcdef', substr(h, {_pos}, 1)) - 1) >> {_shift}) & 1) - 1)) AS s{_j}"
+    )
+_SIMHASH_FP = ", ".join(f"CASE WHEN s{j} > 0.0 THEN '1' ELSE '0' END" for j in range(64))
+ORACLES["dedup_simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS w
+  FROM (SELECT doc_id, unnest({_SQL_TOKS_LOWER}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+hs AS (SELECT doc_id, w, md5(token) AS h FROM tf),
+sums AS (
+  SELECT doc_id, {', '.join(_SIMHASH_SUMS)}
+  FROM hs GROUP BY doc_id
+)
+SELECT doc_id, concat({_SIMHASH_FP}) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+ORACLES["emb_neardup_cosine"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_sql_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(cos, 4) AS cosine
+FROM pairs WHERE cos >= {NEARDUP_THRESHOLD}
+ORDER BY a, b
+"""
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {IVF_NUM_CENTROIDS}
+),
+q AS {SQL_QVEC},
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_sql_cos('q.qe', 'c.cvec')} AS cs FROM cents c, q
+  ) ORDER BY cs DESC, cid LIMIT {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding::DOUBLE[]', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.embedding::DOUBLE[]', 'q.qe')} AS score
+  FROM embeddings e JOIN assign a USING (vec_id), q
+  WHERE a.cid IN (SELECT cid FROM probes)
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+_SRP_BITS = ", ".join(
+    f"CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql_literal(p)}) >= 0.0 THEN '1' ELSE '0' END"
+    for p in ANN._srp_planes(SRP_DIM, SRP_PLANES)
+)
+ORACLES["ann_lsh_neardup"] = f"""
+WITH buckets AS (
+  SELECT vec_id, concat({_SRP_BITS}) AS bucket FROM embeddings
+),
+wv AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_sql_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cos
+  FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a, b, round(cos, 4) AS cosine
+FROM pairs WHERE cos >= {NEARDUP_THRESHOLD}
+ORDER BY a, b
+"""
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
+_SQL_SW_RATIO = f"""
+  CASE WHEN len({_SQL_TOKS_LOWER}) > 0
+       THEN len(list_filter({_SQL_TOKS_LOWER}, t -> list_contains({_SW_LIST}, t)))::DOUBLE
+            / len({_SQL_TOKS_LOWER})::DOUBLE
+       ELSE 0.0 END
+"""
+
+ORACLES["text_lang_id"] = f"""
+SELECT doc_id,
+       CASE WHEN {_SQL_SW_RATIO} >= 0.02 THEN 'en' ELSE 'unk' END AS lang_pred,
+       round({_SQL_SW_RATIO}, 4) AS sw_ratio
+FROM documents ORDER BY doc_id
+"""
+
+_SQL_NTOK = "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))"
+_SQL_PUNCT_RATIO = """
+  CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+            / length(text)::DOUBLE
+       ELSE 0.0 END
+"""
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+       round((
+         least({_SQL_NTOK}::DOUBLE / 50.0, 1.0)
+         + least({_SQL_SW_RATIO} * 10.0, 1.0)
+         + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0))
+       ) / 3.0, 4) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+       {_SQL_NTOK}::BIGINT AS n_ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
+ORACLES["text_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS_LOWER})), ' ')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+_SQL_TF_LIMITED = f"""
+  SELECT doc_id, token, count(*)::DOUBLE AS weight
+  FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS token
+    FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+  )
+  GROUP BY doc_id, token
+"""
+
+ORACLES["f8_prune_topk"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED}),
+ranked AS (
+  SELECT doc_id, token, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) AS rn
+  FROM tf
+)
+SELECT doc_id, token, weight FROM ranked WHERE rn <= 5
+ORDER BY doc_id, token
+"""
+
+ORACLES["f9_prune_alpha_mass"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED}),
+ranked AS (
+  SELECT doc_id, token, weight,
+         coalesce(sum(weight) OVER (
+           PARTITION BY doc_id ORDER BY weight DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix,
+         sum(weight) OVER (PARTITION BY doc_id) AS total
+  FROM tf
+)
+SELECT doc_id, token, weight FROM ranked WHERE prefix <= 0.5 * total
+ORDER BY doc_id, token
+"""
+
+ORACLES["f10_prune_max_ratio"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED})
+SELECT doc_id, token, weight
+FROM (
+  SELECT doc_id, token, weight, max(weight) OVER (PARTITION BY doc_id) AS mx
+  FROM tf
+)
+WHERE weight >= 0.5 * mx
+ORDER BY doc_id, token
+"""
+
+ORACLES["f11_prune_abs_value"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED})
+SELECT doc_id, token, weight FROM tf WHERE weight >= 3.0
+ORDER BY doc_id, token
+"""
+
+ORACLES["a1_quantize"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED})
+SELECT doc_id, token,
+       CAST(round(least(greatest(weight, 0.0), {QUANT_CEILING}) * 255.0 / {QUANT_CEILING}) AS INTEGER) AS q
+FROM tf ORDER BY doc_id, token
+"""
+
+ORACLES["events_windowed_agg"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["events_stats_by_type"] = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r1_neural_dense_topk": q_r1_dense,
     "p1_dense_filtered_topk": q_p1_dense_filtered,
@@ -740,4 +1183,22 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f5_chunk_delimiter": q_f5_chunk_delimiter,
     "f6_chunk_fixed_char": q_f6_chunk_fixed_char,
     "r2_chunk_max_topk": q_r2_chunk_max,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "emb_neardup_cosine": q_emb_neardup,
+    "ann_ivf_topk": q_ann_ivf,
+    "ann_lsh_neardup": q_ann_lsh_neardup,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "f8_prune_topk": q_f8_prune_topk,
+    "f9_prune_alpha_mass": q_f9_prune_alpha_mass,
+    "f10_prune_max_ratio": q_f10_prune_max_ratio,
+    "f11_prune_abs_value": q_f11_prune_abs_value,
+    "a1_quantize": q_a1_quantize,
+    "events_windowed_agg": q_events_windowed,
+    "events_stats_by_type": q_events_stats,
 }
