@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized with a full collect so the timing covers
+scan → compute → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neural_search_spark import registry  # noqa: E402
+from neural_search_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "r1_neural_dense_topk",
+    "r3_neural_sparse_exact",
+    "r10_two_phase_sparse",
+    "bm25_match",
+    "r6_hybrid_minmax_arith",
+    "n4_rrf_fusion",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_lsh_neardup",
+    "text_quality",
+    "events_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("neural-search-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # the sf* tables are single small parquet files; force them to split
+    # so scans parallelize across local cores (at cluster scale inputs
+    # arrive as many files/row-groups and these are irrelevant)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+
+    # warm the JVM + file cache with one cheap action (not timed)
+    registry.SPARK_QUERIES["r1_neural_dense_topk"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .common import let
 from .sparse import tokens
 
 DEFAULT_TOKEN_LIMIT = 384
@@ -55,10 +56,12 @@ def chunk_fixed_token(
     """array<string> of token windows re-joined with single spaces."""
     overlap = int(token_limit * overlap_rate)
     stride = max(token_limit - overlap, 1)
-    toks = tokens(text_col)
-    return F.transform(
-        _starts(F.size(toks), token_limit, stride),
-        lambda s: F.array_join(F.slice(toks, s, token_limit), " "),
+    return let(
+        tokens(text_col),
+        lambda toks: F.transform(
+            _starts(F.size(toks), token_limit, stride),
+            lambda s: F.array_join(F.slice(toks, s, token_limit), " "),
+        ),
     )
 
 
@@ -68,17 +71,19 @@ def chunk_delimiter(text_col: Column, delimiter: str = "\n\n") -> Column:
     a trailing empty piece is dropped."""
     import re
 
-    pieces = F.split(text_col, re.escape(delimiter))
-    n = F.size(pieces)
-    with_delim = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.when(i < n, F.concat(F.element_at(pieces, i), F.lit(delimiter))).otherwise(
-                F.element_at(pieces, i)
+    with_delim = let(
+        F.split(text_col, re.escape(delimiter)),
+        lambda pieces: F.when(
+            F.size(pieces) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(pieces)),
+                lambda i: F.when(
+                    i < F.size(pieces),
+                    F.concat(F.element_at(pieces, i), F.lit(delimiter)),
+                ).otherwise(F.element_at(pieces, i)),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return F.filter(with_delim, lambda c: c != "")
 
 

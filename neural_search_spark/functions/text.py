@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .common import let
 from .sparse import tokens
 
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "on"]
@@ -70,13 +71,16 @@ def fingerprint(text_col: Column) -> Column:
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Array of n-word shingle strings (for MinHash / Jaccard dedup)."""
-    toks = tokens(F.lower(text_col))
-    cnt = F.size(toks) - (n - 1)
-    # guard: sequence(1, 0) would generate a DESCENDING range in Spark
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bind the token array: referencing it straight inside the
+    # transform lambda would re-run the tokenizer per shingle
+    return let(
+        tokens(F.lower(text_col)),
+        lambda toks: F.when(
+            # guard: sequence(1, 0) would generate a DESCENDING range
+            F.size(toks) - (n - 1) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )

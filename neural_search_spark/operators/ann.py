@@ -138,18 +138,20 @@ def lsh_bucketed_neardup(
     generation — the 100 TB replacement for the brute-force O(n²) pass
     (recall < 1.0: pairs split across buckets are missed; raise
     n_planes bands or OR multiple tables for higher recall)."""
+    from .dedup import unit_vectors
+
     buckets = srp_bucket(embs, dim, n_planes, id_col, vec_col)
-    with_vec = embs.join(buckets, id_col)
+    with_vec = unit_vectors(embs, id_col, vec_col).join(buckets, id_col)
     a = with_vec.select(
-        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+        F.col("bucket"), F.col(id_col).alias("a"), F.col("unit").alias("ua")
     )
     b = with_vec.select(
-        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+        F.col("bucket"), F.col(id_col).alias("b"), F.col("unit").alias("ub")
     )
     return (
         a.join(b, ["bucket"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(as_double(F.col("va")), as_double(F.col("vb"))))
+        .withColumn("cos", dot(F.col("ua"), F.col("ub")))
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.col("cos").alias("cosine"))
     )

@@ -30,7 +30,22 @@ from pyspark.sql import functions as F
 
 from ..functions.sparse import tokens
 from ..functions.text import word_shingles
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, dot, l2_norm
+
+
+def unit_vectors(embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, unit) with unit = v/‖v‖ in double — computed ONCE per vector
+    so pairwise cosine degrades to a single dot product per pair (3×
+    fewer aggregate folds in any O(n²)/bucketed pair scan)."""
+    from ..functions.common import let
+
+    v = as_double(F.col(vec_col))
+    return embs.select(
+        F.col(id_col),
+        let(
+            l2_norm(v), lambda nrm: F.transform(v, lambda x: x / nrm)
+        ).alias("unit"),
+    )
 
 NUM_MINHASHES = 16
 BAND_SIZE = 2  # 8 bands of 2 → catches jaccard ≳ 0.5 with high prob.
@@ -59,12 +74,22 @@ def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id") -> DataFrame:
-    """One aggregation pass computes all signature components:
-    h_i(doc) = min over shingles of md5(shingle ∥ '#i')."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    """One aggregation pass computes all signature components.
+
+    Hash family: each md5(shingle ∥ '#k') yields four independent
+    32-bit hashes (8 hex chars each), so 16 signatures cost 4 md5
+    evaluations per shingle instead of 16 — md5 dominates the pass, so
+    this is ~4× cheaper at equal signature quality.
+    h_{4k+j}(doc) = min over shingles of substr(md5(shingle∥'#k'), 8j, 8).
+    """
+    n_md5 = (num_hashes + 3) // 4
+    aggs = []
+    for k in range(n_md5):
+        h = F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))
+        for j in range(4):
+            if k * 4 + j >= num_hashes:
+                break
+            aggs.append(F.min(F.substring(h, j * 8 + 1, 8)).alias(f"h{k * 4 + j}"))
     return shingles.groupBy(id_col).agg(*aggs)
 
 
@@ -148,7 +173,12 @@ def minhash_lsh_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs."""
-    sh = shingle_sets(docs, n, id_col, text_col)
+    # The shingle frame feeds four consumers (signatures, sizes, both
+    # sides of the verify join); without persist each one would re-run
+    # the explode. Cache it for the lifetime of the result plan — the
+    # same role as the reference's clustered-postings warmup cache
+    # (`rest/RestNeuralSparseWarmupHandler.java:70`).
+    sh = shingle_sets(docs, n, id_col, text_col).persist()
     sigs = minhash_signatures(sh, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, id_col=id_col)
     return jaccard_verify(cands, sh, threshold, id_col=id_col)
@@ -232,11 +262,12 @@ def embedding_neardup_pairs(
     Brute-force O(n²) baseline (exact); use ann.lsh_bucketed_neardup
     for the approximate linear-time variant at scale.
     """
-    a = embs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    unit = unit_vectors(embs, id_col, vec_col)
+    a = unit.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"))
+    b = unit.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(as_double(F.col("va")), as_double(F.col("vb"))))
+        .withColumn("cos", dot(F.col("ua"), F.col("ub")))
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.col("cos").alias("cosine"))
     )

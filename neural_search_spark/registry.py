@@ -903,7 +903,8 @@ GROUP BY h ORDER BY doc_id
 """
 
 _MINHASH_AGGS = ",\n         ".join(
-    f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(DD.NUM_MINHASHES)
+    f"min(substr(md5(shingle || '#{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+    for i in range(DD.NUM_MINHASHES)
 )
 _BAND_STRUCTS = ", ".join(
     "{'band_idx': %d, 'band_hash': md5(h%d || '|' || h%d)}" % (bi, bi * 2, bi * 2 + 1)
@@ -976,11 +977,20 @@ SELECT doc_id, concat({_SIMHASH_FP}) AS simhash
 FROM sums ORDER BY doc_id
 """
 
+# unit-vector CTE: normalize once per vector so each pair costs ONE dot
+_SQL_UNIT = """
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+  FROM embeddings
+"""
+
 ORACLES["emb_neardup_cosine"] = f"""
-WITH pairs AS (
+WITH un AS ({_SQL_UNIT}),
+pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
-         {_sql_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         list_dot_product(a.unit, b.unit) AS cos
+  FROM un a JOIN un b ON a.vec_id < b.vec_id
 )
 SELECT a, b, round(cos, 4) AS cosine
 FROM pairs WHERE cos >= {NEARDUP_THRESHOLD}
@@ -1030,10 +1040,11 @@ ORACLES["ann_lsh_neardup"] = f"""
 WITH buckets AS (
   SELECT vec_id, concat({_SRP_BITS}) AS bucket FROM embeddings
 ),
-wv AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+un AS ({_SQL_UNIT}),
+wv AS (SELECT u.vec_id, u.unit, b.bucket FROM un u JOIN buckets b USING (vec_id)),
 pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
-         {_sql_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cos
+         list_dot_product(a.unit, b.unit) AS cos
   FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT a, b, round(cos, 4) AS cosine
