@@ -1,0 +1,230 @@
+"""SEISMIC sparse ANN as a Spark data layout (SURVEY.md §2.9, A1–A6).
+
+The reference implements SEISMIC (Bruch et al., SIGIR 2024) as a custom
+Lucene codec: per-token posting lists are truncated (A2), byte-quantized
+(A1), clustered (A3), and each cluster carries a pruned "summary"
+vector (A4); search skips whole clusters whose summary·query falls
+below a heap-derived threshold (A5), scoring only surviving members
+exactly via a forward index (A6).
+
+Spark realization — layout instead of codec:
+- build produces two tables:
+    postings_clustered(token, cluster_id, summary map<string,double>,
+                       members array<id>)   — bucket/partition by token
+    forward(doc_id, vector map<string,double>)
+- search is a plan: broadcast the query's top_n tokens → join the
+  clustered postings (partition pruning on token) → summary dot →
+  static two-pass threshold (the adaptive heap of
+  `sparse/query/SeismicBaseScorer.java:136-180` has no lazy-plan
+  equivalent; pass 1 estimates the k-th summary score, pass 2 keeps
+  clusters within heap_factor of it) → explode members → join forward
+  → exact dot → top-k.
+
+Determinism deviation from the reference: cluster centers are the
+top-weight postings rather than random picks
+(`sparse/algorithm/seismic/RandomClusteringAlgorithm.java:42-61` uses
+`Collections.shuffle`) — same structure, reproducible builds.
+
+Defaults follow `sparse/common/SparseConstants.java:31-39`:
+n_postings 0.0005×docs (min 160), cluster_ratio 0.1,
+summary_prune_ratio 0.4, quantization ceilings 3.0/16.0,
+approximate_threshold 1,000,000; search params top_n 10, k 10,
+heap_factor 1.0 (`sparse/query/SparseAnnQueryBuilder.java:85-87`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .retrieval import sparse_topk_postings
+
+CLUSTER_RATIO = 0.1
+SUMMARY_PRUNE_RATIO = 0.4
+N_POSTINGS_RATIO = 0.0005
+N_POSTINGS_MIN = 160
+QUANT_CEIL_INGEST = 3.0
+QUANT_CEIL_SEARCH = 16.0
+APPROXIMATE_THRESHOLD = 1_000_000
+DEFAULT_TOP_N = 10
+DEFAULT_HEAP_FACTOR = 1.0
+
+
+def quantize_expr(w, ceiling: float):
+    """A1 byte quantization (`sparse/quantization/ByteQuantizer.java:24-33`)."""
+    clamped = F.least(F.greatest(w, F.lit(0.0)), F.lit(ceiling))
+    return F.round(clamped * 255.0 / ceiling).cast("int")
+
+
+@dataclass
+class SeismicIndex:
+    postings_clustered: DataFrame  # token, cluster_id, summary, members
+    forward: DataFrame  # doc_id, vector (quantized map)
+    n_docs: int
+
+
+_CLUSTER_SCHEMA = (
+    "token string, cluster_id int, summary map<string,double>, members array<long>"
+)
+
+
+def _cluster_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """A3+A4 for one token's (truncated) posting list — runs as
+    applyInPandas per token; lists are ≤ n_postings rows so the Python
+    work is tiny and fully data-parallel across tokens."""
+    token = pdf["token"].iloc[0]
+    pdf = pdf.sort_values(["q", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    n = len(pdf)
+    k = max(1, math.ceil(n * CLUSTER_RATIO))
+    center_vecs = [dict(v) for v in pdf["vector"].iloc[:k]]
+
+    def dot(a: dict, b: dict) -> float:
+        if len(b) < len(a):
+            a, b = b, a
+        return sum(w * b[t] for t, w in a.items() if t in b)
+
+    assignments: list[list[int]] = [[] for _ in range(k)]
+    vecs = pdf["vector"].tolist()
+    ids = pdf["doc_id"].tolist()
+    for i in range(n):
+        v = dict(vecs[i])
+        best, best_d = 0, -1.0
+        for c in range(k):
+            d = dot(v, center_vecs[c])
+            if d > best_d:
+                best, best_d = c, d
+        assignments[best].append(i)
+
+    rows = []
+    for c, members in enumerate(assignments):
+        if not members:
+            continue
+        # summary = token-wise max over member vectors (A4)…
+        summary: dict[str, float] = {}
+        for i in members:
+            for t, w in dict(vecs[i]).items():
+                if w > summary.get(t, -1.0):
+                    summary[t] = w
+        # …pruned to the heaviest entries covering summary_prune_ratio
+        # of total mass (`PostingsProcessingUtils.java:70-108`)
+        total = sum(summary.values())
+        kept: dict[str, float] = {}
+        acc = 0.0
+        for t, w in sorted(summary.items(), key=lambda kv: (-kv[1], kv[0])):
+            if acc > SUMMARY_PRUNE_RATIO * total:
+                break
+            kept[t] = w
+            acc += w
+        rows.append((token, c, kept, [ids[i] for i in members]))
+    return pd.DataFrame(rows, columns=["token", "cluster_id", "summary", "members"])
+
+
+def build_seismic(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+) -> SeismicIndex:
+    """Build the SEISMIC layout from (doc_id, token, weight) postings.
+
+    One window pass (truncation A2 + quantization A1), one map-side
+    groupBy to form the forward index, one applyInPandas over tokens
+    (A3+A4). At scale, write both outputs bucketed: postings by token
+    (search prunes on token), forward by doc_id (member lookup is a
+    co-located join).
+    """
+    n_docs = postings.select(id_col).distinct().count()
+    n_keep = max(int(math.ceil(n_docs * N_POSTINGS_RATIO)), N_POSTINGS_MIN)
+
+    q = postings.withColumn("q", quantize_expr(F.col("weight"), QUANT_CEIL_INGEST).cast("double"))
+    # forward index: quantized sparse vector per doc (A6)
+    forward = q.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "q"))).alias("vector")
+    )
+    # A2: per-token top-n_postings by weight
+    w = Window.partitionBy("token").orderBy(F.col("q").desc(), F.col(id_col))
+    truncated = q.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n_keep)
+    with_vec = truncated.join(forward, id_col).select(id_col, "token", "q", "vector")
+    clustered = with_vec.groupBy("token").applyInPandas(_cluster_token_group, _CLUSTER_SCHEMA)
+    return SeismicIndex(postings_clustered=clustered, forward=forward, n_docs=n_docs)
+
+
+def seismic_search(
+    index: SeismicIndex,
+    query_tokens: dict[str, float],
+    k: int = 10,
+    top_n: int = DEFAULT_TOP_N,
+    heap_factor: float = DEFAULT_HEAP_FACTOR,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A5 cluster-skipping search (two-pass static threshold).
+
+    Returns (doc_id, score) top-k where score is the exact quantized
+    dot product over the forward index for surviving cluster members.
+    """
+    spark = index.postings_clustered.sparkSession
+    # quantize the query like the reference's search-side ceiling
+    qt = {
+        t: min(max(w, 0.0), QUANT_CEIL_SEARCH) * 255.0 / QUANT_CEIL_SEARCH
+        for t, w in sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    }
+    q_df = spark.createDataFrame(list(qt.items()), "token string, qw double")
+
+    # pass 1: summary upper-bound score per (token, cluster)
+    qmap = F.create_map(*[x for t, w in qt.items() for x in (F.lit(t), F.lit(float(w)))])
+    cand = index.postings_clustered.join(F.broadcast(q_df), "token")
+    sdot = F.aggregate(
+        F.filter(
+            F.map_values(F.map_zip_with(qmap, F.col("summary"), lambda _, a, b: a * b)),
+            lambda v: v.isNotNull(),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_clusters = cand.select("token", "cluster_id", "members", sdot.alias("summary_dot"))
+    kth = (
+        scored_clusters.select("summary_dot")
+        .orderBy(F.col("summary_dot").desc())
+        .limit(k)
+        .agg(F.min("summary_dot"))
+        .first()[0]
+    )
+    if kth is None:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    threshold = kth / heap_factor
+
+    # pass 2: exact scoring of surviving clusters' members
+    survivors = scored_clusters.where(F.col("summary_dot") >= threshold)
+    members = survivors.select(F.explode("members").alias(id_col)).distinct()
+    exact = (
+        members.join(index.forward, id_col)
+        .join(F.broadcast(q_df), F.map_contains_key(F.col("vector"), F.col("token")))
+        .select(
+            id_col,
+            (F.col("qw") * F.element_at(F.col("vector"), F.col("token"))).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("p").alias("score"))
+    )
+    return exact.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def sparse_ann_topk(
+    postings: DataFrame,
+    query_tokens: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    approximate_threshold: int = APPROXIMATE_THRESHOLD,
+) -> DataFrame:
+    """R7/R8: SEISMIC when the segment is big enough, exact otherwise.
+
+    Parity: `sparse/query/SparseQueryWeight.java:100-102` — segments
+    under `approximate_threshold` docs use exact FeatureField scoring.
+    """
+    n_docs = postings.select(id_col).distinct().count()
+    if n_docs < approximate_threshold:
+        return sparse_topk_postings(postings, query_tokens, k=k, id_col=id_col)
+    index = build_seismic(postings, id_col=id_col)
+    return seismic_search(index, query_tokens, k=k, id_col=id_col)

@@ -432,6 +432,68 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r7_seismic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 SEISMIC sparse ANN (rows-only check: the clustered layout +
+    two-pass threshold search is not ANSI-SQL-expressible; recall and
+    structure are gated in tests/test_seismic.py instead)."""
+    from .operators import seismic as SE
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    p = S.tf_postings(docs)
+    mx = p.agg(F.max("weight")).first()[0]
+    scaled = p.withColumn("weight", F.col("weight") / F.lit(mx) * SE.QUANT_CEIL_INGEST)
+    qt = _query_tokens_tf(spark, sf_dir)
+    qmx = max(qt.values())
+    qs = {t: w / qmx * SE.QUANT_CEIL_SEARCH for t, w in qt.items()}
+    idx = SE.build_seismic(scaled)
+    return SE.seismic_search(idx, qs, k=K, top_n=len(qs), heap_factor=2.0)
+
+
+def q_q3_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 MMR diversification (rows-only: greedy iterative selection is
+    not SQL-expressible; determinism is unit-tested)."""
+    subs = _hybrid_subqueries(spark, sf_dir)
+    fused = FU.hybrid_fuse(subs, "min_max", "arithmetic_mean", weights=HYBRID_WEIGHTS, k=30)
+    corp = catalog.corpus(spark, sf_dir)
+    picked = RR.mmr_diversify(fused, corp, k=K, lambda_=0.5)
+    return spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(picked)], "doc_id long, rank int"
+    )
+
+
+def q_f1_dense_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 text_embedding via the pandas-UDF stub model (rows-only:
+    model inference is not SQL-expressible; determinism and norm are
+    unit-tested in tests/test_ingest_models.py)."""
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < PRUNE_DOC_LIMIT)
+    from . import models as M
+
+    emb = docs.withColumn("embedding", M.dense_embed_udf()(F.col("text")))
+    return emb.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("norm_sq"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("doc_id")
+
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → (byte_len, md5,
+    width, height) via mapInPandas; fake decode is md5-derived so the
+    oracle can mirror it in SQL."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < PRUNE_DOC_LIMIT)
+    media = MM.media_table_from_text(docs)
+    return MM.decode_media_batch(media).orderBy("doc_id")
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 stats endpoint analogue: counters by event type."""
     ev = catalog.table(spark, sf_dir, "events")
@@ -1165,6 +1227,25 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+def _sql_hexbyte(pos: int) -> str:
+    """first-two-hex-chars → byte value, via strpos (portable)."""
+    return (
+        f"((strpos('0123456789abcdef', substr(content_md5, {pos}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(content_md5, {pos + 1}, 1)) - 1))"
+    )
+
+
+ORACLES["mm_media_meta"] = f"""
+WITH m AS (
+  SELECT doc_id, length(text)::BIGINT AS byte_len, md5(text) AS content_md5
+  FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+)
+SELECT doc_id, byte_len, content_md5,
+       (64 + {_sql_hexbyte(1)} % 192)::INTEGER AS width,
+       (64 + {_sql_hexbyte(3)} % 192)::INTEGER AS height
+FROM m ORDER BY doc_id
+"""
+
 ORACLES["events_stats_by_type"] = """
 SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1212,4 +1293,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_quantize": q_a1_quantize,
     "events_windowed_agg": q_events_windowed,
     "events_stats_by_type": q_events_stats,
+    "r7_seismic_sparse_ann": q_r7_seismic,
+    "q3_mmr_diversify": q_q3_mmr,
+    "f1_dense_embed_stub": q_f1_dense_embed,
+    "mm_media_meta": q_mm_media_meta,
 }

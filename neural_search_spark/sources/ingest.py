@@ -1,0 +1,171 @@
+"""Ingest planner: mapping + pipeline config → one DataFrame transform.
+
+The reference's ingest pipeline is an ordered processor chain applied
+per document (`plugin/NeuralSearch.java:309-340`; chunk
+`processor/TextChunkingProcessor.java`, embed
+`processor/InferenceProcessor.java:140-246`, semantic-field system
+processor `processor/semantic/SemanticFieldProcessor.java:81-373`).
+Here the whole chain compiles to a single `select/withColumn` plan —
+chunk (pure expressions) → embed (pandas UDF over exploded chunks) →
+prune — that Catalyst fuses into one pass over the batch; the model UDF
+sees Arrow batches, which subsumes the reference's hand-built batching
+and length-sorting (`InferenceProcessor.java:190-264`).
+
+Semantic-field config (SemanticFieldMapper.java:118-222) maps to the
+`SemanticFieldConfig` dataclass; the "mapping transformer"
+(`mappingtransformer/SemanticMappingTransformer.java`) is
+`semantic_info_schema()` — config → materialized column StructType.
+
+skip_existing reuse (P6, `processor/optimization/InferenceFilter.java`,
+`TextEmbeddingInferenceFilter.java`): a left join against the previous
+snapshot on doc id; rows whose text is unchanged copy the stored
+embedding and never reach the model UDF — at 100 TB this is the
+difference between embedding the delta and embedding the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, MapType, StringType, StructField, StructType
+
+from .. import models
+from ..functions import chunking as CH
+from ..functions import prune as PR
+
+
+@dataclass
+class SemanticFieldConfig:
+    """Per-field semantic config (mirrors SemanticFieldMapper params)."""
+
+    raw_field: str
+    mode: str = "dense"  # dense | sparse
+    chunking: str | None = None  # None | fixed_token | fixed_char | delimiter
+    chunk_param: float | int | str = 384
+    overlap_rate: float = 0.0
+    max_chunks: int = CH.DEFAULT_MAX_CHUNK_LIMIT
+    prune: str | None = None  # None | top_k | alpha_mass | max_ratio | abs_value
+    prune_param: float = 0.0
+    skip_existing: bool = False
+    content_type: str = "PASSAGE"
+
+    @property
+    def info_col(self) -> str:
+        # reference materializes `<field>_semantic_info`
+        return f"{self.raw_field}_semantic_info"
+
+
+def semantic_info_schema(cfg: SemanticFieldConfig) -> StructType:
+    """S3 mapping transformer: config → materialized column schema."""
+    emb_type = (
+        ArrayType(FloatType()) if cfg.mode == "dense" else MapType(StringType(), FloatType())
+    )
+    return StructType(
+        [
+            StructField(
+                "chunks",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("text", StringType()),
+                            StructField("embedding", emb_type),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+
+def _chunks_expr(cfg: SemanticFieldConfig, col: Column) -> Column:
+    if cfg.chunking is None:
+        return F.array(col)
+    if cfg.chunking == "fixed_token":
+        chunks = CH.chunk_fixed_token(col, int(cfg.chunk_param), cfg.overlap_rate)
+    elif cfg.chunking == "fixed_char":
+        chunks = CH.chunk_fixed_char(col, int(cfg.chunk_param), cfg.overlap_rate)
+    elif cfg.chunking == "delimiter":
+        chunks = CH.chunk_delimiter(col, str(cfg.chunk_param))
+    else:
+        raise ValueError(f"unknown chunker: {cfg.chunking}")
+    return CH.enforce_max_chunk_limit(chunks, cfg.max_chunks)
+
+
+def _prune_expr(cfg: SemanticFieldConfig, m: Column) -> Column:
+    if cfg.prune is None:
+        return m
+    if cfg.prune == "top_k":
+        return PR.prune_top_k(m, int(cfg.prune_param))
+    if cfg.prune == "alpha_mass":
+        return PR.prune_alpha_mass(m, cfg.prune_param)
+    if cfg.prune == "max_ratio":
+        return PR.prune_max_ratio(m, cfg.prune_param)
+    if cfg.prune == "abs_value":
+        return PR.prune_abs_value(m, cfg.prune_param)
+    raise ValueError(f"unknown prune: {cfg.prune}")
+
+
+def ingest_transform(
+    docs: DataFrame,
+    cfg: SemanticFieldConfig,
+    id_col: str = "doc_id",
+    previous: DataFrame | None = None,
+) -> DataFrame:
+    """Compile the chunk → embed → prune chain for one semantic field.
+
+    Returns the input plus `<field>_semantic_info.chunks` =
+    array<struct<text, embedding>>. With `previous` (and
+    cfg.skip_existing), unchanged docs reuse their stored info and only
+    changed/new docs run inference.
+    """
+    if cfg.skip_existing and previous is not None:
+        prev = previous.select(
+            F.col(id_col).alias("_prev_id"),
+            F.col(cfg.raw_field).alias("_prev_raw"),
+            F.col(cfg.info_col).alias("_prev_info"),
+        )
+        joined = docs.join(prev, docs[id_col] == prev["_prev_id"], "left")
+        unchanged = joined.where(
+            F.col("_prev_raw").isNotNull() & (F.col(cfg.raw_field) == F.col("_prev_raw"))
+        ).select(*docs.columns, F.col("_prev_info").alias(cfg.info_col))
+        changed = joined.where(
+            F.col("_prev_raw").isNull() | (F.col(cfg.raw_field) != F.col("_prev_raw"))
+        ).select(*docs.columns)
+        return unchanged.unionByName(ingest_transform(changed, _no_skip(cfg), id_col))
+
+    chunked = docs.withColumn("_chunks", _chunks_expr(cfg, F.col(cfg.raw_field)))
+    exploded = chunked.select(
+        F.col(id_col).alias("_cid"), F.posexplode(F.col("_chunks")).alias("_pos", "_chunk")
+    )
+    if cfg.mode == "dense":
+        emb = models.dense_embed_udf(cfg.content_type)(F.col("_chunk"))
+    else:
+        emb = _prune_expr(
+            cfg, models.sparse_encode_udf()(F.col("_chunk")).cast("map<string,double>")
+        ).cast("map<string,float>")
+    embedded = exploded.withColumn("_emb", emb)
+    info = embedded.groupBy("_cid").agg(
+        F.struct(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("pos"), F.col("_chunk").alias("text"), F.col("_emb").alias("embedding"))),
+                lambda a, b: F.when(a["pos"] < b["pos"], -1).when(a["pos"] > b["pos"], 1).otherwise(0),
+            ).alias("_sorted")
+        ).alias("_s")
+    ).select(
+        F.col("_cid"),
+        F.struct(
+            F.transform(
+                F.col("_s._sorted"),
+                lambda c: F.struct(c["text"].alias("text"), c["embedding"].alias("embedding")),
+            ).alias("chunks")
+        ).alias(cfg.info_col),
+    )
+    return chunked.drop("_chunks").join(info, chunked[id_col] == info["_cid"]).drop("_cid")
+
+
+def _no_skip(cfg: SemanticFieldConfig) -> SemanticFieldConfig:
+    from dataclasses import replace
+
+    return replace(cfg, skip_existing=False)

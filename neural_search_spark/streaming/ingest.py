@@ -1,0 +1,65 @@
+"""Structured Streaming ingest (§2.12 parity-plus).
+
+The reference has NO streaming semantics — ingest is synchronous
+request batching (`processor/InferenceProcessor.java:190-246`). The
+Spark engine exposes the exact same batch ingest transform under
+`foreachBatch`, so a document stream (Kafka/files/rate) is continuously
+chunked + embedded + appended with exactly-once sink semantics, and a
+windowed-aggregation path with watermarking covers late events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.ingest import SemanticFieldConfig, ingest_transform
+
+
+def streaming_ingest(
+    stream: DataFrame,
+    cfg: SemanticFieldConfig,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    output_path: str | None = None,
+    checkpoint: str | None = None,
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """readStream → (chunk → embed → prune) per micro-batch → sink.
+
+    The per-batch function is the SAME compiled transform as batch
+    ingest — foreachBatch hands us a normal DataFrame, so nothing forks
+    between batch and streaming paths.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        out = ingest_transform(batch, cfg, id_col=id_col)
+        if sink is not None:
+            sink(out, batch_id)
+        elif output_path is not None:
+            out.write.mode("append").parquet(output_path)
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation for a late-data event
+    stream — works identically on a batch frame (watermark is a no-op)
+    and under readStream."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), key_col)
+        .agg(F.count("*").alias("cnt"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "cnt", "avg_value")
+    )
