@@ -1,0 +1,213 @@
+"""Query compiler: reference-DSL dict spec → one lazy DataFrame plan.
+
+Mirrors the reference's search lifecycle (SURVEY.md §3.1) with the
+process boundaries dissolved:
+- parse (`HybridQueryBuilder.fromXContent` :216-270,
+  `NeuralQueryBuilder.fromXContent` :592-612) → `compile_query`
+- request processors: `neural_query_enricher` default-model injection
+  (Q9, `processor/NeuralQueryEnricherProcessor.java:70-77`) →
+  `_resolve_model`; `neural_sparse_two_phase_processor` → `two_phase`
+  flag
+- coordinator rewrite + async inference
+  (`NeuralQueryBuilder.java:887-932`) → eager driver-side
+  `models.embed_text_py` before plan construction
+- query phase + normalization + fetch → the operators in
+  retrieval.py/fusion.py
+- response processors (rerank/highlight/explain) → post-stages keyed
+  off the pipeline config.
+
+The `agentic` query (R9, `query/AgenticSearchQueryBuilder.java`,
+`processor/AgenticQueryTranslatorProcessor.java:97-150`) hands the
+natural-language question to an "agent" that emits a DSL query which is
+executed in its place; the agent here is a deterministic keyword-rule
+stub standing in for the LLM call.
+
+Supported spec (dict keys):
+  {"neural":        {field, query_text | vector, k, filter, min_score,
+                     max_distance, model_id}}
+  {"neural_sparse": {field, query_text | query_tokens, k, two_phase}}
+  {"match":         {field, query, k}}
+  {"hybrid":        {queries: [spec...], pagination_depth}}
+  {"agentic":       {query_text}}
+pipeline:
+  {"normalization": {technique, rank_constant},
+   "combination":   {technique, weights},
+   "rerank":        {type: by_field|ml_opensearch, target_field|query_text},
+   "highlight":     {query_text},
+   "collapse":      {field},
+   "explain":       bool,
+   "default_model_id": str}
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog, models
+from ..functions import sparse as S
+from ..operators import bm25 as B
+from ..operators import fusion as FU
+from ..operators import highlight as H
+from ..operators import rerank as RR
+from ..operators import retrieval as R
+
+DEFAULT_K = R.DEFAULT_K
+
+
+class Engine:
+    """One engine per corpus directory (the "index")."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, default_model_id: str = "stub-dense"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.default_model_id = default_model_id
+        self._bm25 = None
+
+    # -- corpus ------------------------------------------------------------
+    def corpus(self) -> DataFrame:
+        return catalog.corpus(self.spark, self.sf_dir)
+
+    def documents(self) -> DataFrame:
+        return catalog.table(self.spark, self.sf_dir, "documents")
+
+    def bm25_index(self) -> B.BM25Index:
+        if self._bm25 is None:
+            self._bm25 = B.build_bm25(self.documents())
+        return self._bm25
+
+    # -- model resolution (Q9 enricher) -----------------------------------
+    def _resolve_model(self, spec: dict) -> str:
+        return spec.get("model_id") or self.default_model_id
+
+    # -- sub-query compilation --------------------------------------------
+    def _compile_sub(self, spec: dict[str, Any], depth: int | None) -> DataFrame:
+        (qtype, body), = spec.items()
+        k = body.get("k", depth or DEFAULT_K)
+        if qtype == "neural":
+            self._resolve_model(body)  # enricher hook (stub registry has one dense model)
+            if "vector" in body:
+                qv = [float(x) for x in body["vector"]]
+            else:
+                qv = models.embed_text_py(body["query_text"], "QUERY")
+            flt = F.expr(body["filter"]) if body.get("filter") else None
+            if body.get("max_distance") is not None:
+                return R.radial_search(
+                    self.corpus(), qv, max_distance=body["max_distance"]
+                ).limit(k)
+            return R.dense_topk(
+                self.corpus(),
+                qv,
+                k=k,
+                vec_col=body.get("field", "embedding"),
+                pre_filter=flt,
+                min_score=body.get("min_score"),
+            )
+        if qtype == "neural_sparse":
+            if "query_tokens" in body:
+                qt = {t: float(w) for t, w in body["query_tokens"].items()}
+            else:
+                text = body["query_text"]
+                qt = {}
+                for tok in text.split():
+                    qt[tok] = qt.get(tok, 0.0) + 1.0
+            postings = S.tf_postings(self.documents())
+            if body.get("two_phase"):
+                return R.two_phase_sparse(postings, qt, k=k)
+            return R.sparse_topk_postings(postings, qt, k=k)
+        if qtype == "match":
+            return B.bm25_topk(self.bm25_index(), body["query"], k=k)
+        raise ValueError(f"unsupported query type: {qtype}")
+
+    # -- entry point -------------------------------------------------------
+    def search(
+        self,
+        query: dict[str, Any],
+        pipeline: dict[str, Any] | None = None,
+        size: int = DEFAULT_K,
+        from_: int = 0,
+    ) -> DataFrame:
+        pipeline = pipeline or {}
+        if "default_model_id" in pipeline:
+            self.default_model_id = pipeline["default_model_id"]
+
+        (qtype, body), = query.items()
+        if qtype == "agentic":
+            return self.search(
+                _agentic_translate(body["query_text"]), pipeline, size, from_
+            )
+
+        if qtype == "hybrid":
+            subs_spec = body["queries"]
+            depth = body.get("pagination_depth", from_ + size)
+            subs = [self._compile_sub(s, depth) for s in subs_spec]
+            norm = pipeline.get("normalization", {})
+            comb = pipeline.get("combination", {})
+            fused = FU.hybrid_fuse(
+                subs,
+                normalization=norm.get("technique", "min_max"),
+                combination=comb.get("technique", "arithmetic_mean"),
+                weights=comb.get("weights"),
+                depth=depth,
+                k=size if not pipeline.get("collapse") else depth,
+                from_=from_,
+                rank_constant=norm.get("rank_constant", FU.DEFAULT_RANK_CONSTANT),
+            )
+            if pipeline.get("explain"):
+                return FU.hybrid_explain(
+                    subs,
+                    normalization=norm.get("technique", "min_max"),
+                    combination=comb.get("technique", "arithmetic_mean"),
+                    weights=comb.get("weights"),
+                    depth=depth,
+                    k=size,
+                )
+            result = fused
+            if pipeline.get("collapse"):
+                result = FU.collapse(
+                    result, self.documents(), pipeline["collapse"]["field"], k=size
+                )
+        else:
+            result = self._compile_sub(query, size).limit(size)
+
+        rerank = pipeline.get("rerank")
+        if rerank:
+            if rerank.get("type") == "by_field":
+                result = RR.rerank_by_field(
+                    result, self.documents(), rerank["target_field"], k=size
+                )
+            else:
+                result = RR.rerank_cross_encoder(
+                    result, self.documents(), rerank["query_text"], k=size
+                )
+        if pipeline.get("highlight"):
+            result = H.highlight_results(
+                result, self.documents(), pipeline["highlight"]["query_text"]
+            )
+        return result
+
+
+def _agentic_translate(question: str) -> dict:
+    """R9 stub agent: deterministic keyword rules → DSL query.
+
+    Stands in for the ML-Commons agent execution
+    (`ml/MLCommonsClientAccessor.java:642-686`); a real LLM call slots
+    in here returning the same dict shape
+    (`processor/AgenticQueryTranslatorProcessor.java:97-150`).
+    """
+    q = question.lower()
+    terms = [t for t in q.replace("?", " ").split() if len(t) > 2]
+    if "similar" in q or "like" in q:
+        return {"neural": {"query_text": " ".join(terms)}}
+    if "exact" in q or "keyword" in q:
+        return {"match": {"field": "text", "query": " ".join(terms)}}
+    return {
+        "hybrid": {
+            "queries": [
+                {"neural": {"query_text": " ".join(terms)}},
+                {"match": {"field": "text", "query": " ".join(terms)}},
+            ]
+        }
+    }

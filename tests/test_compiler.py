@@ -1,0 +1,111 @@
+"""Query compiler: DSL specs compile to the same results as direct
+operator calls; pipeline stages chain correctly."""
+
+from __future__ import annotations
+
+import pytest
+
+from neural_search_spark import catalog, registry
+from neural_search_spark.plans.compiler import Engine, _agentic_translate
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_neural_with_raw_vector_matches_r1(spark, sf_dir, engine):
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    out = engine.search({"neural": {"vector": qv, "k": 10}})
+    assert _ids(out) == _ids(registry.q_r1_dense(spark, sf_dir))
+
+
+def test_neural_query_text_embeds_and_ranks(engine):
+    out = engine.search({"neural": {"query_text": "spark join window"}})
+    rows = out.collect()
+    assert len(rows) == 10
+    assert rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_neural_filter_pushdown(engine):
+    out = engine.search(
+        {"neural": {"query_text": "spark join", "filter": "lang = 'en' AND n_chars >= 200"}}
+    )
+    assert len(out.collect()) == 10
+    # the filter must reach the scan: no disallowed rows can appear
+    docs = {r["doc_id"] for r in engine.documents().where("n_chars >= 200").collect()}
+    assert set(_ids(out)) <= docs
+
+
+def test_sparse_and_match_compile(engine):
+    sp = engine.search({"neural_sparse": {"query_text": "spark join window batch"}})
+    assert len(sp.collect()) == 10
+    m = engine.search({"match": {"field": "text", "query": "spark join"}})
+    assert len(m.collect()) == 10
+
+
+def test_hybrid_matches_registry_fusion(spark, sf_dir, engine):
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    qt = registry._query_tokens_tf(spark, sf_dir)
+    out = engine.search(
+        {
+            "hybrid": {
+                "queries": [
+                    {"neural": {"vector": qv}},
+                    {"neural_sparse": {"query_tokens": qt}},
+                ],
+                "pagination_depth": registry.HYBRID_DEPTH,
+            }
+        },
+        pipeline={
+            "normalization": {"technique": "min_max"},
+            "combination": {"technique": "arithmetic_mean", "weights": registry.HYBRID_WEIGHTS},
+        },
+    )
+    assert _ids(out) == _ids(registry.q_r6_hybrid_minmax(spark, sf_dir))
+
+
+def test_pipeline_rerank_and_highlight(engine):
+    out = engine.search(
+        {"hybrid": {"queries": [{"neural": {"query_text": "spark"}}, {"match": {"field": "text", "query": "spark join"}}]}},
+        pipeline={
+            "rerank": {"type": "by_field", "target_field": "n_chars"},
+            "highlight": {"query_text": "spark join"},
+        },
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all("<em>" in r["highlighted"] for r in rows if "spark" in r["highlighted"] or "join" in r["highlighted"])
+
+
+def test_collapse_via_pipeline(engine):
+    out = engine.search(
+        {"hybrid": {"queries": [{"neural": {"query_text": "spark"}}, {"neural_sparse": {"query_text": "spark join"}}], "pagination_depth": 50}},
+        pipeline={"collapse": {"field": "source"}},
+    )
+    rows = out.collect()
+    srcs = [r["source"] for r in rows]
+    assert len(srcs) == len(set(srcs))
+
+
+def test_agentic_translation_rules(engine):
+    assert "neural" in _agentic_translate("find documents similar to spark streaming")
+    assert "match" in _agentic_translate("exact keyword search for spark")
+    assert "hybrid" in _agentic_translate("what about spark windows")
+    out = engine.search({"agentic": {"query_text": "find rows similar to spark join"}})
+    assert len(out.collect()) == 10
+
+
+def test_unknown_query_type_rejected(engine):
+    with pytest.raises(ValueError, match="unsupported query type"):
+        engine.search({"mystery": {}})
+
+
+def test_max_five_subqueries(engine):
+    subs = [{"neural": {"query_text": "x"}}] * 6
+    with pytest.raises(ValueError):
+        engine.search({"hybrid": {"queries": subs}})
