@@ -51,12 +51,19 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
+    """Top-k BM25. `candidate_ids` restricts scoring to allowed docs
+    (hybrid filter pushdown, P2) — corpus stats stay corpus-wide, as in
+    Lucene filtered queries."""
     n, avgdl = index.stats
     qtokens = sorted({t for t in query.lower().split() if t})
     spark = index.postings.sparkSession
     q = spark.createDataFrame([(t,) for t in qtokens], "token string")
 
+    postings = index.postings
+    if candidate_ids is not None:
+        postings = postings.join(F.broadcast(candidate_ids.select(id_col)), id_col, "semi")
     df_tbl = (
         index.postings.join(F.broadcast(q), "token")
         .groupBy("token")
@@ -64,7 +71,7 @@ def bm25_topk(
     )
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
-        index.postings.join(F.broadcast(q), "token")
+        postings.join(F.broadcast(q), "token")
         .join(F.broadcast(df_tbl), "token")
         .join(index.doclen, id_col)
         .withColumn(

@@ -72,22 +72,78 @@ def union_subqueries(
     return out
 
 
+def _bound_expr(bounds: list[dict | None] | None, idx_col, default):
+    """Per-subquery bound config lookup → (enabled, mode, score) exprs."""
+    if not bounds or all(b is None for b in bounds):
+        return None
+    chain = F.lit(None).cast("struct<mode:string,score:double>")
+    for i, b in enumerate(bounds):
+        if b is None:
+            continue
+        chain = F.when(
+            idx_col == i,
+            F.struct(
+                F.lit(b.get("mode", "apply")).alias("mode"),
+                F.lit(float(b.get("score", default))).alias("score"),
+            ),
+        ).otherwise(chain)
+    return chain
+
+
 def normalize(
     df: DataFrame,
     technique: str = "min_max",
     rank_constant: int = DEFAULT_RANK_CONSTANT,
     id_col: str = "doc_id",
+    lower_bounds: list[dict | None] | None = None,
+    upper_bounds: list[dict | None] | None = None,
 ) -> DataFrame:
-    """Add `norm_score` per (subquery_idx) window — SURVEY.md §2.4."""
+    """Add `norm_score` per (subquery_idx) window — SURVEY.md §2.4.
+
+    `lower_bounds`/`upper_bounds` (min_max only): per-subquery
+    `{"mode": apply|clip|ignore, "score": float}` or None — parity with
+    `normalization/bounds/LowerBound.java` / `UpperBound.java`.
+    """
     w = Window.partitionBy("subquery_idx")
     s = F.col("raw_score")
     if technique == "min_max":
         # MinMaxScoreNormalizationTechnique.java:260-297
         mn, mx = F.min(s).over(w), F.max(s).over(w)
-        norm = (s - mn) / (mx - mn)
+        idx = F.col("subquery_idx")
+        lb = _bound_expr(lower_bounds, idx, 0.0)
+        ub = _bound_expr(upper_bounds, idx, 1.0)
+        # effective min (LowerBound.determineEffectiveScore)
+        eff_min = mn
+        clip_lo = F.lit(False)
+        if lb is not None:
+            bmode, bs = lb["mode"], lb["score"]
+            eff_min = F.when(
+                lb.isNull(), mn
+            ).when(
+                bmode == "apply", F.when((mx > bs) & (s > bs), bs).otherwise(mn)
+            ).when(
+                bmode == "clip", F.when(mx < bs, mn).otherwise(bs)
+            ).otherwise(mn)
+            clip_lo = lb.isNotNull() & (bmode == "clip") & (s < eff_min)
+        # effective max (UpperBound.determineEffectiveScore)
+        eff_max = mx
+        clip_hi = F.lit(False)
+        if ub is not None:
+            bmode, bs = ub["mode"], ub["score"]
+            eff_max = F.when(
+                ub.isNull(), mx
+            ).when(
+                bmode == "apply", F.when((mn < bs) & (s < bs), bs).otherwise(mx)
+            ).when(
+                bmode == "clip", F.when(mn > bs, mx).otherwise(bs)
+            ).otherwise(mx)
+            clip_hi = ub.isNotNull() & (bmode == "clip") & (s > eff_max)
+        norm = (s - eff_min) / (eff_max - eff_min)
         norm_score = (
             F.when((mx == mn) & (s == mx), F.lit(SINGLE_RESULT_SCORE))  # single-score list
-            .when(mx == mn, F.lit(SINGLE_RESULT_SCORE))  # degenerate effective range
+            .when(clip_lo, F.lit(MIN_SCORE))
+            .when(clip_hi, F.lit(float(SINGLE_RESULT_SCORE)))
+            .when(eff_max == eff_min, F.lit(SINGLE_RESULT_SCORE))  # degenerate range
             .otherwise(F.when(norm == 0.0, F.lit(MIN_SCORE)).otherwise(norm))
         )
     elif technique == "l2":
@@ -185,6 +241,8 @@ def hybrid_fuse(
     min_score: float | None = None,
     rank_constant: int = DEFAULT_RANK_CONSTANT,
     id_col: str = "doc_id",
+    lower_bounds: list[dict | None] | None = None,
+    upper_bounds: list[dict | None] | None = None,
 ) -> DataFrame:
     """Full hybrid pipeline: union → normalize → combine → sort/page.
 
@@ -198,6 +256,8 @@ def hybrid_fuse(
             technique=normalization,
             rank_constant=rank_constant,
             id_col=id_col,
+            lower_bounds=lower_bounds,
+            upper_bounds=upper_bounds,
         ),
         technique=combination,
         weights=weights,

@@ -91,6 +91,7 @@ def sparse_topk_postings(
     query_tokens: dict[str, float],
     k: int = DEFAULT_K,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`neural_sparse` exact scoring (R3) over posting-form storage.
 
@@ -108,6 +109,10 @@ def sparse_topk_postings(
     q = spark.createDataFrame(
         [(t, float(w)) for t, w in query_tokens.items()], "token string, qw double"
     )
+    if candidate_ids is not None:
+        # P2 hybrid filter pushdown: restrict postings to allowed docs
+        # BEFORE scoring (`query/HybridQueryBuilder.java:117-128`)
+        postings = postings.join(F.broadcast(candidate_ids.select(id_col)), id_col, "semi")
     scored = (
         postings.join(F.broadcast(q), "token")
         .groupBy(id_col)

@@ -211,6 +211,16 @@ def seismic_search(
     return exact.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def merge_rebuild(postings: DataFrame, new_postings: DataFrame, id_col: str = "doc_id") -> SeismicIndex:
+    """S5 segment-merge re-clustering: on merge, the reference re-runs
+    SEISMIC clustering over the merged segment in background threads
+    (`sparse/codec/MergeHelper.java`,
+    `sparse/algorithm/seismic/BatchClusteringTask.java`). Spark shape:
+    an OPTIMIZE-style batch job unioning the postings and rebuilding the
+    clustered layout — idempotent, schedulable, no incremental state."""
+    return build_seismic(postings.unionByName(new_postings), id_col=id_col)
+
+
 def sparse_ann_topk(
     postings: DataFrame,
     query_tokens: dict[str, float],

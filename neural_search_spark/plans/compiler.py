@@ -83,9 +83,18 @@ class Engine:
         return spec.get("model_id") or self.default_model_id
 
     # -- sub-query compilation --------------------------------------------
-    def _compile_sub(self, spec: dict[str, Any], depth: int | None) -> DataFrame:
+    def _compile_sub(
+        self, spec: dict[str, Any], depth: int | None, hybrid_filter: str | None = None
+    ) -> DataFrame:
         (qtype, body), = spec.items()
         k = body.get("k", depth or DEFAULT_K)
+        # P2: a hybrid-level filter is pushed into EVERY sub-query
+        # (`query/HybridQueryBuilder.java:117-128`)
+        candidate_ids = (
+            self.documents().where(F.expr(hybrid_filter)).select("doc_id")
+            if hybrid_filter
+            else None
+        )
         if qtype == "neural":
             self._resolve_model(body)  # enricher hook (stub registry has one dense model)
             if "vector" in body:
@@ -93,6 +102,9 @@ class Engine:
             else:
                 qv = models.embed_text_py(body["query_text"], "QUERY")
             flt = F.expr(body["filter"]) if body.get("filter") else None
+            if hybrid_filter:
+                hf = F.expr(hybrid_filter)
+                flt = hf if flt is None else (flt & hf)
             if body.get("max_distance") is not None:
                 return R.radial_search(
                     self.corpus(), qv, max_distance=body["max_distance"]
@@ -115,10 +127,16 @@ class Engine:
                     qt[tok] = qt.get(tok, 0.0) + 1.0
             postings = S.tf_postings(self.documents())
             if body.get("two_phase"):
+                if candidate_ids is not None:
+                    postings = postings.join(
+                        F.broadcast(candidate_ids), "doc_id", "semi"
+                    )
                 return R.two_phase_sparse(postings, qt, k=k)
-            return R.sparse_topk_postings(postings, qt, k=k)
+            return R.sparse_topk_postings(postings, qt, k=k, candidate_ids=candidate_ids)
         if qtype == "match":
-            return B.bm25_topk(self.bm25_index(), body["query"], k=k)
+            return B.bm25_topk(
+                self.bm25_index(), body["query"], k=k, candidate_ids=candidate_ids
+            )
         raise ValueError(f"unsupported query type: {qtype}")
 
     # -- entry point -------------------------------------------------------
@@ -135,14 +153,20 @@ class Engine:
 
         (qtype, body), = query.items()
         if qtype == "agentic":
-            return self.search(
-                _agentic_translate(body["query_text"]), pipeline, size, from_
-            )
+            translated = _agentic_translate(body["query_text"])
+            # Q10 agentic_context response processor: expose the agent's
+            # question + emitted DSL (`processor/AgenticContextResponseProcessor.java`)
+            self.last_agent_context = {
+                "question": body["query_text"],
+                "dsl_query": translated,
+            }
+            return self.search(translated, pipeline, size, from_)
 
         if qtype == "hybrid":
             subs_spec = body["queries"]
             depth = body.get("pagination_depth", from_ + size)
-            subs = [self._compile_sub(s, depth) for s in subs_spec]
+            hybrid_filter = body.get("filter")
+            subs = [self._compile_sub(s, depth, hybrid_filter) for s in subs_spec]
             norm = pipeline.get("normalization", {})
             comb = pipeline.get("combination", {})
             fused = FU.hybrid_fuse(
@@ -153,7 +177,10 @@ class Engine:
                 depth=depth,
                 k=size if not pipeline.get("collapse") else depth,
                 from_=from_,
+                min_score=body.get("min_score"),
                 rank_constant=norm.get("rank_constant", FU.DEFAULT_RANK_CONSTANT),
+                lower_bounds=norm.get("lower_bounds"),
+                upper_bounds=norm.get("upper_bounds"),
             )
             if pipeline.get("explain"):
                 return FU.hybrid_explain(
@@ -168,6 +195,17 @@ class Engine:
             if pipeline.get("collapse"):
                 result = FU.collapse(
                     result, self.documents(), pipeline["collapse"]["field"], k=size
+                )
+            if pipeline.get("sort"):
+                from ..operators.sorting import sort_by_fields
+
+                s = pipeline["sort"]
+                result = sort_by_fields(
+                    result,
+                    self.documents(),
+                    [(c["field"], c.get("asc", True)) for c in s["fields"]],
+                    k=size,
+                    search_after=s.get("search_after"),
                 )
         else:
             result = self._compile_sub(query, size).limit(size)

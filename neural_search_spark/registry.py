@@ -494,6 +494,77 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media_batch(media).orderBy("doc_id")
 
 
+SORT_AFTER = [300, 250]  # search_after cursor: (n_chars, doc_id)
+TRUNC_N = 5  # K6 posting-truncation keep-n
+BOUNDS_LOWER = [{"mode": "apply", "score": 0.3}, None]
+BOUNDS_UPPER = [{"mode": "clip", "score": 0.8}, None]
+
+
+def q_k2_sort_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 sort-by-field + search_after over fused hybrid results."""
+    from .operators.sorting import sort_by_fields
+
+    subs = _hybrid_subqueries(spark, sf_dir)
+    fused = FU.hybrid_fuse(
+        subs, "min_max", "arithmetic_mean", weights=HYBRID_WEIGHTS, k=HYBRID_DEPTH
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    out = sort_by_fields(
+        fused,
+        docs,
+        [("n_chars", False), ("doc_id", True)],
+        k=K,
+        search_after=SORT_AFTER,
+    )
+    return _round4(out.select("doc_id", "n_chars", "score"))
+
+
+def q_r4_analyzer_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 analyzer-based sparse query: tokens from the analyzer with
+    weight 1.0 when no payload (`NeuralSparseQueryBuilder.java:509-552`)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    postings = S.tf_postings(docs)
+    text = catalog.query_text(spark, sf_dir, QUERY_DOC_ID)
+    qt = {t: 1.0 for t in set(text.split())}
+    return _round4(R.sparse_topk_postings(postings, qt, k=K))
+
+
+def q_k6_posting_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/A2 posting truncation: per token keep the TRUNC_N
+    highest-weight docs (`sparse/algorithm/PostingsProcessingUtils.java:38-55`)."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    postings = S.tf_postings(docs)
+    w = Window.partitionBy("token").orderBy(F.col("weight").desc(), F.col("doc_id"))
+    return (
+        postings.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= TRUNC_N)
+        .select("token", "doc_id", "weight")
+        .orderBy("token", "doc_id")
+    )
+
+
+def q_n1_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 min_max with lower/upper bounds (apply + clip modes).
+
+    Emits the per-(doc, subquery) normalized scores rather than the
+    fused top-k — the fused top-10 on this data happens to be invariant
+    to the bounds, so gating the normalized rows directly is the
+    discriminative check of the bounds arithmetic."""
+    subs = _hybrid_subqueries(spark, sf_dir)
+    u = FU.union_subqueries(subs)
+    n = FU.normalize(
+        u, "min_max", lower_bounds=BOUNDS_LOWER, upper_bounds=BOUNDS_UPPER
+    )
+    return _round4(
+        n.select("doc_id", "subquery_idx", "norm_score").orderBy(
+            "subquery_idx", "doc_id"
+        ),
+        "norm_score",
+    )
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 stats endpoint analogue: counters by event type."""
     ev = catalog.table(spark, sf_dir, "events")
@@ -1246,6 +1317,76 @@ SELECT doc_id, byte_len, content_md5,
 FROM m ORDER BY doc_id
 """
 
+ORACLES["k2_sort_search_after"] = f"""
+WITH {_oracle_hybrid_union()},
+{_SQL_MINMAX_ARITH_FUSED},
+top_fused AS (
+  SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+)
+SELECT f.doc_id, d.n_chars, round(f.score, 4) AS score
+FROM top_fused f JOIN documents d USING (doc_id)
+WHERE (d.n_chars < {SORT_AFTER[0]})
+   OR (d.n_chars = {SORT_AFTER[0]} AND f.doc_id > {SORT_AFTER[1]})
+ORDER BY d.n_chars DESC, f.doc_id LIMIT {K}
+"""
+
+ORACLES["r4_analyzer_sparse"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+qtok AS (
+  SELECT DISTINCT token, 1.0 AS qw
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS token
+    FROM documents WHERE doc_id = {QUERY_DOC_ID}
+  )
+),
+scored AS ({SQL_SPARSE_SCORED})
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+ORACLES["k6_posting_truncation"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+ranked AS (
+  SELECT token, doc_id, weight,
+         row_number() OVER (PARTITION BY token ORDER BY weight DESC, doc_id) AS rn
+  FROM postings
+)
+SELECT token, doc_id, weight FROM ranked WHERE rn <= {TRUNC_N}
+ORDER BY token, doc_id
+"""
+
+# bounds CASE chain mirroring fusion.normalize with
+# lower=(apply,0.3) upper=(clip,0.8) on subquery 0 only
+_B_EFF_MIN = "(CASE WHEN mx > 0.3 AND raw_score > 0.3 THEN 0.3 ELSE mn END)"
+_B_EFF_MAX = "(CASE WHEN mn > 0.8 THEN mx ELSE 0.8 END)"
+_B_NORM0 = f"""
+  CASE WHEN mx = mn AND raw_score = mx THEN 1.0
+       WHEN raw_score > {_B_EFF_MAX} THEN 1.0
+       WHEN {_B_EFF_MAX} = {_B_EFF_MIN} THEN 1.0
+       WHEN (raw_score - {_B_EFF_MIN}) / ({_B_EFF_MAX} - {_B_EFF_MIN}) = 0.0 THEN 0.001
+       ELSE (raw_score - {_B_EFF_MIN}) / ({_B_EFF_MAX} - {_B_EFF_MIN})
+  END
+"""
+_B_NORM1 = """
+  CASE WHEN mx = mn THEN 1.0
+       WHEN (raw_score - mn) / (mx - mn) = 0.0 THEN 0.001
+       ELSE (raw_score - mn) / (mx - mn)
+  END
+"""
+ORACLES["n1_minmax_bounds"] = f"""
+WITH {_oracle_hybrid_union()},
+stats AS (
+  SELECT doc_id, subquery_idx, raw_score,
+         min(raw_score) OVER sq AS mn, max(raw_score) OVER sq AS mx
+  FROM u
+  WINDOW sq AS (PARTITION BY subquery_idx)
+)
+SELECT doc_id, subquery_idx,
+       round(CASE WHEN subquery_idx = 0 THEN ({_B_NORM0}) ELSE ({_B_NORM1}) END, 4) AS norm_score
+FROM stats
+ORDER BY subquery_idx, doc_id
+"""
+
 ORACLES["events_stats_by_type"] = """
 SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1293,6 +1434,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_quantize": q_a1_quantize,
     "events_windowed_agg": q_events_windowed,
     "events_stats_by_type": q_events_stats,
+    "k2_sort_search_after": q_k2_sort_search_after,
+    "r4_analyzer_sparse": q_r4_analyzer_sparse,
+    "k6_posting_truncation": q_k6_posting_truncation,
+    "n1_minmax_bounds": q_n1_minmax_bounds,
     "r7_seismic_sparse_ann": q_r7_seismic,
     "q3_mmr_diversify": q_q3_mmr,
     "f1_dense_embed_stub": q_f1_dense_embed,
