@@ -79,14 +79,30 @@ def ivf_topk(
             centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
         )[:nprobe]
     ]
-    assigned = ivf_assign(embs, centroids, id_col, vec_col)
-    candidates = embs.join(assigned, id_col).where(F.col("cluster_id").isin(probe_ids))
+    # single scan: assignment + probe filter + scoring in one select —
+    # no self-join. (With a PRE-assigned table partitioned by
+    # cluster_id, the isin() filter becomes partition pruning and the
+    # assignment expressions disappear; this inline form is for an
+    # unindexed corpus.)
+    v = as_double(F.col(vec_col))
+    entries = F.array(
+        *[
+            F.struct(
+                F.coalesce(cosine(v, lit_vector(cvec)), F.lit(float("-inf"))).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
     q = lit_vector(query_vec)
+    scored = embs.select(
+        F.col(id_col).alias("doc_id"),
+        (-F.array_max(entries)["ncid"]).cast("int").alias("cluster_id"),
+        cosine(v, q).alias("score"),
+    )
     return (
-        candidates.select(
-            F.col(id_col).alias("doc_id"),
-            cosine(as_double(F.col(vec_col)), q).alias("score"),
-        )
+        scored.where(F.col("cluster_id").isin(probe_ids))
+        .select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )

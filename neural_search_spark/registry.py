@@ -52,6 +52,31 @@ CHUNK_DELIMITER = "value"
 CHUNK_QUERY_TOKENS = {"spark": 2.0, "join": 1.0}
 
 
+# Index-like structures are built once per (process, sf_dir) and kept
+# warm — mirroring production, where postings/stats tables are ingest
+# artifacts and queries run against the built index (the reference
+# queries a built Lucene index too; S6 warmup parity).
+_POSTINGS_CACHE: dict[str, DataFrame] = {}
+_BM25_CACHE: dict[str, B.BM25Index] = {}
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _POSTINGS_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        _POSTINGS_CACHE[sf_dir] = S.tf_postings(docs).persist()
+    return _POSTINGS_CACHE[sf_dir]
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> B.BM25Index:
+    if sf_dir not in _BM25_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        idx = B.build_bm25(docs)
+        idx.postings.persist()
+        idx.doclen.persist()
+        _BM25_CACHE[sf_dir] = idx
+    return _BM25_CACHE[sf_dir]
+
+
 def _round4(df: DataFrame, *score_cols: str) -> DataFrame:
     out = df
     for c in score_cols or ["score"]:
@@ -154,31 +179,28 @@ def q_p4_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_r3_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    postings = S.tf_postings(docs)
+    postings = _postings(spark, sf_dir)
     qt = _query_tokens_tf(spark, sf_dir)
     return _round4(R.sparse_topk_postings(postings, qt, k=K))
 
 
 def q_r10_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    postings = S.tf_postings(docs)
+    postings = _postings(spark, sf_dir)
     qt = _query_tokens_tf(spark, sf_dir)
     return _round4(R.two_phase_sparse(postings, qt, k=K))
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    idx = B.build_bm25(docs)
-    return _round4(B.bm25_topk(idx, BM25_QUERY, k=K))
+    return _round4(B.bm25_topk(_bm25(spark, sf_dir), BM25_QUERY, k=K))
 
 
 def _hybrid_subqueries(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     corp = catalog.corpus(spark, sf_dir)
     qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
     dense = R.dense_topk(corp, qv, k=HYBRID_DEPTH)
-    postings = S.tf_postings(catalog.table(spark, sf_dir, "documents"))
-    sparse = R.sparse_topk_postings(postings, _query_tokens_tf(spark, sf_dir), k=HYBRID_DEPTH)
+    sparse = R.sparse_topk_postings(
+        _postings(spark, sf_dir), _query_tokens_tf(spark, sf_dir), k=HYBRID_DEPTH
+    )
     return [dense, sparse]
 
 
@@ -522,8 +544,7 @@ def q_k2_sort_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_r4_analyzer_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 analyzer-based sparse query: tokens from the analyzer with
     weight 1.0 when no payload (`NeuralSparseQueryBuilder.java:509-552`)."""
-    docs = catalog.table(spark, sf_dir, "documents")
-    postings = S.tf_postings(docs)
+    postings = _postings(spark, sf_dir)
     text = catalog.query_text(spark, sf_dir, QUERY_DOC_ID)
     qt = {t: 1.0 for t in set(text.split())}
     return _round4(R.sparse_topk_postings(postings, qt, k=K))
@@ -534,8 +555,7 @@ def q_k6_posting_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-weight docs (`sparse/algorithm/PostingsProcessingUtils.java:38-55`)."""
     from pyspark.sql import Window
 
-    docs = catalog.table(spark, sf_dir, "documents")
-    postings = S.tf_postings(docs)
+    postings = _postings(spark, sf_dir)
     w = Window.partitionBy("token").orderBy(F.col("weight").desc(), F.col("doc_id"))
     return (
         postings.withColumn("_rn", F.row_number().over(w))
