@@ -99,8 +99,10 @@ class Engine:
             self._resolve_model(body)  # enricher hook (stub registry has one dense model)
             if "vector" in body:
                 qv = [float(x) for x in body["vector"]]
-            else:
+            elif "query_text" in body:
                 qv = models.embed_text_py(body["query_text"], "QUERY")
+            else:
+                raise ValueError("neural query requires 'query_text' or 'vector'")
             flt = F.expr(body["filter"]) if body.get("filter") else None
             if hybrid_filter:
                 hf = F.expr(hybrid_filter)

@@ -585,6 +585,52 @@ def q_n1_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERY_IDS = [1, 2, 3, 4, 5]
+BATCH_K = 5
+SESSION_GAP_MIN = 30.0
+
+
+def q_batch_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query dense retrieval: 5 query vectors scored
+    against the corpus in ONE job (offline training-data shape)."""
+    from .operators import batch_retrieval as BR
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    queries = (
+        embs.where(F.col("vec_id").isin(BATCH_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    corpus = embs.withColumnRenamed("vec_id", "doc_id")
+    return _round4(BR.batch_dense_topk(queries, corpus, k=BATCH_K))
+
+
+def q_batch_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query sparse retrieval via one inverted-index join."""
+    from .operators import batch_retrieval as BR
+
+    postings = _postings(spark, sf_dir)
+    qp = (
+        postings.where(F.col("doc_id").isin(BATCH_QUERY_IDS))
+        .select(F.col("doc_id").alias("query_id"), "token", F.col("weight").alias("qw"))
+    )
+    return _round4(BR.batch_sparse_topk(qp, postings, k=BATCH_K))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap) over events."""
+    from .operators import batch_retrieval as BR
+
+    ev = catalog.table(spark, sf_dir, "events")
+    out = BR.sessionize(ev, gap_minutes=SESSION_GAP_MIN, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 stats endpoint analogue: counters by event type."""
     ev = catalog.table(spark, sf_dir, "events")
@@ -1407,6 +1453,73 @@ FROM stats
 ORDER BY subquery_idx, doc_id
 """
 
+_BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+ORACLES["batch_dense_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({_BATCH_IDS_SQL})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         {_sql_cos('e.embedding::DOUBLE[]', 'q.qv')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {BATCH_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+ORACLES["batch_sparse_topk"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+qp AS (
+  SELECT doc_id AS query_id, token, weight AS qw
+  FROM postings WHERE doc_id IN ({_BATCH_IDS_SQL})
+),
+scored AS (
+  SELECT qp.query_id, p.doc_id, sum(p.weight * qp.qw) AS score
+  FROM postings p JOIN qp USING (token)
+  GROUP BY qp.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {BATCH_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+ORACLES["events_sessionize"] = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) / 1000000.0
+                   - lag(epoch_us(ts) / 1000000.0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60.0}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
 ORACLES["events_stats_by_type"] = """
 SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1454,6 +1567,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_quantize": q_a1_quantize,
     "events_windowed_agg": q_events_windowed,
     "events_stats_by_type": q_events_stats,
+    "batch_dense_topk": q_batch_dense_topk,
+    "batch_sparse_topk": q_batch_sparse_topk,
+    "events_sessionize": q_events_sessionize,
     "k2_sort_search_after": q_k2_sort_search_after,
     "r4_analyzer_sparse": q_r4_analyzer_sparse,
     "k6_posting_truncation": q_k6_posting_truncation,
