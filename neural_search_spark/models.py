@@ -45,10 +45,18 @@ def _token_vec(token: str, seed: str) -> np.ndarray:
 
 
 def embed_text_py(text: str, content_type: str = "PASSAGE") -> list[float]:
-    """Driver-side single-text embedding (query inference hoisting)."""
+    """Driver-side single-text embedding (query inference hoisting).
+
+    QUERY and PASSAGE share the token space (so relevance = token
+    overlap survives, as in a real asymmetric bi-encoder) but get a
+    small content-type marker added, so embed(q, QUERY) ≠
+    embed(q, PASSAGE) — the asymmetry the reference wires through
+    `ml/AsymmetricModelDetector.java`.
+    """
     acc = np.zeros(DIM, dtype=np.float64)
     for t in (text or "").lower().split():
-        acc += _token_vec(t, f"dense:{content_type}")
+        acc += _token_vec(t, "dense")
+    acc += 0.05 * _token_vec(f"__type:{content_type}", "dense")
     n = math.sqrt(float(acc @ acc))
     if n > 0:
         acc /= n

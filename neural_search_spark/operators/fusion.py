@@ -188,12 +188,20 @@ def combine(
     technique: str = "arithmetic_mean",
     weights: list[float] | None = None,
     id_col: str = "doc_id",
+    num_subqueries: int | None = None,
 ) -> DataFrame:
     """Combine normalized sub-query scores per doc — SURVEY.md §2.5.
 
     Missing sub-query scores contribute nothing (no row in the union);
     the guard filters replicate each technique's skip conditions.
+    `num_subqueries` enables the reference's weights-count validation
+    (`combination/ScoreCombinationUtil.java` validateIfWeightsMatchScores).
     """
+    if weights is not None and num_subqueries is not None and len(weights) != num_subqueries:
+        raise ValueError(
+            f"number of weights ({len(weights)}) must match number of "
+            f"sub-queries ({num_subqueries})"
+        )
     s, w_ = F.col("norm_score"), F.col("w")
     df = df.withColumn("w", _weight_expr(weights))
     g = df.groupBy(id_col)
@@ -262,6 +270,7 @@ def hybrid_fuse(
         technique=combination,
         weights=weights,
         id_col=id_col,
+        num_subqueries=len(subqueries),
     )
     if min_score is not None:
         fused = fused.where(F.col("score") >= min_score)

@@ -165,6 +165,21 @@ def ingest_transform(
     return chunked.drop("_chunks").join(info, chunked[id_col] == info["_cid"]).drop("_cid")
 
 
+def ingest_pipeline(
+    docs: DataFrame,
+    configs: list[SemanticFieldConfig],
+    id_col: str = "doc_id",
+    previous: DataFrame | None = None,
+) -> DataFrame:
+    """Full ingest pipeline: apply every semantic-field transform in
+    order (the reference's ordered processor chain,
+    `plugin/NeuralSearch.java:309-340`)."""
+    out = docs
+    for cfg in configs:
+        out = ingest_transform(out, cfg, id_col=id_col, previous=previous)
+    return out
+
+
 def _no_skip(cfg: SemanticFieldConfig) -> SemanticFieldConfig:
     from dataclasses import replace
 
