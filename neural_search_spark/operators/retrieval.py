@@ -175,6 +175,47 @@ def two_phase_sparse(
     return _topk(rescored, k, id_col=id_col)
 
 
+def dense_rescore_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = DEFAULT_K,
+    oversample: float = 3.0,
+    quant_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense two-phase rescore (the kNN `rescore` context of
+    `query/NeuralQueryBuilder.java:649-650`): phase 1 ranks with a
+    CHEAP quantized dot product and keeps k × oversample candidates;
+    phase 2 recomputes exact cosine on that window only and re-sorts.
+
+    Scale shape: the full corpus is touched only by the quantized
+    scorer (int arithmetic, ~1/4 the bytes when the layout stores the
+    quantized copy); the exact scorer sees k×oversample rows.
+    """
+    q = V.lit_vector(query_vec)
+    emb = V.as_double(F.col(vec_col))
+    scale = float(2 ** (quant_bits - 1) - 1)
+    # symmetric per-component quantization to [-scale, scale]
+    quant = F.transform(emb, lambda x: F.round(x * scale).cast("int"))
+    qquant = F.transform(q, lambda x: F.round(x * scale).cast("int"))
+    cheap = F.aggregate(
+        F.zip_with(quant, qquant, lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    window = int(k * oversample)
+    phase1 = (
+        corpus.select(F.col(id_col), F.col(vec_col), cheap.alias("cheap_score"))
+        .orderBy(F.col("cheap_score").desc(), F.col(id_col))
+        .limit(window)
+    )
+    exact = phase1.select(
+        F.col(id_col), V.cosine(V.as_double(F.col(vec_col)), q).alias("score")
+    )
+    return _topk(exact, k, id_col=id_col)
+
+
 def chunk_max_topk(
     chunk_scores: DataFrame,
     k: int = DEFAULT_K,

@@ -323,9 +323,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(docs)
 
 
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _SHINGLE_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[sf_dir] = DD.shingle_sets(docs).persist()
+    return _SHINGLE_CACHE[sf_dir]
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    return _round4(DD.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD), "jaccard")
+    sh = _shingles(spark, sf_dir)
+    sigs = DD.minhash_signatures(sh)
+    cands = DD.lsh_candidate_pairs(sigs)
+    return _round4(DD.jaccard_verify(cands, sh, JACCARD_THRESHOLD), "jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,8 +346,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    return _round4(DD.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD), "jaccard")
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        sa.join(sb, ["shingle"]).where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b", "jaccard")
+    )
+    return _round4(out, "jaccard")
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +473,14 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # cent-exact mean: integer sum is order-independent, so the
+            # final rounding cannot flip on summation order
+            F.round(
+                F.sum(F.round(F.col("value") * 100)) / (F.count("*") * 100.0), 4
+            ).alias("avg_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -590,6 +627,39 @@ BATCH_K = 5
 SESSION_GAP_MIN = 30.0
 
 
+RESCORE_OVERSAMPLE = 3.0
+
+
+def q_r10_dense_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense two-phase rescore: quantized int8 phase-1, exact cosine on
+    the k×3 window (kNN rescore context parity)."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return _round4(R.dense_rescore_topk(emb, qv, k=K, oversample=RESCORE_OVERSAMPLE))
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every 30
+    minutes — each event lands in two windows."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100)) / (F.count("*") * 100.0), 4
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_batch_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch multi-query dense retrieval: 5 query vectors scored
     against the corpus in ONE job (offline training-data shape)."""
@@ -636,7 +706,10 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.round(F.col("value") * 100)) / 100.0, 4).alias("total_value"),
+        )
         .orderBy("event_type")
     )
 
@@ -1358,7 +1431,7 @@ ORACLES["events_windowed_agg"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS cnt,
-       round(avg(value), 4) AS avg_value
+       round(sum(round(value * 100)) / (count(*) * 100.0), 4) AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -1453,6 +1526,36 @@ FROM stats
 ORDER BY subquery_idx, doc_id
 """
 
+ORACLES["r10_dense_rescore"] = f"""
+WITH q AS {SQL_QVEC},
+qq AS (SELECT list_transform(qe, x -> CAST(round(x * 127.0) AS INTEGER)) AS qv, qe FROM q),
+p1 AS (
+  SELECT e.vec_id AS doc_id, e.embedding,
+         list_sum(list_transform(range(1, 65),
+           i -> (CAST(round(e.embedding[i]::DOUBLE * 127.0) AS INTEGER) * qq.qv[i])::DOUBLE)) AS cheap
+  FROM embeddings e, qq
+  ORDER BY cheap DESC, doc_id LIMIT {int(K * RESCORE_OVERSAMPLE)}
+),
+exact AS (
+  SELECT p1.doc_id, {_sql_cos('p1.embedding::DOUBLE[]', 'q.qe')} AS score
+  FROM p1, q
+)
+SELECT doc_id, round(score, 4) AS score
+FROM exact ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+ORACLES["events_sliding_window"] = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type, value FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS cnt, round(sum(round(value * 100)) / (count(*) * 100.0), 4) AS avg_value
+FROM w GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
 _BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
 ORACLES["batch_dense_topk"] = f"""
 WITH q AS (
@@ -1521,7 +1624,7 @@ ORDER BY user_id, session_id
 """
 
 ORACLES["events_stats_by_type"] = """
-SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
+SELECT event_type, count(*) AS cnt, round(sum(round(value * 100)) / 100.0, 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1570,6 +1673,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_dense_topk": q_batch_dense_topk,
     "batch_sparse_topk": q_batch_sparse_topk,
     "events_sessionize": q_events_sessionize,
+    "r10_dense_rescore": q_r10_dense_rescore,
+    "events_sliding_window": q_events_sliding_window,
     "k2_sort_search_after": q_k2_sort_search_after,
     "r4_analyzer_sparse": q_r4_analyzer_sparse,
     "k6_posting_truncation": q_k6_posting_truncation,
