@@ -108,6 +108,50 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN-JOIN: top-m cosine neighbors for EVERY row,
+    candidates blocked by shared IVF cell.
+
+    The all-pairs similarity graph is the backbone op of training-data
+    pipelines (near-dup clustering, label propagation, diversity
+    sampling). Blocking by cluster turns O(n²) into Σ|cell|² — with
+    balanced cells, n²/ncells — and at scale each cell's self-join is
+    co-located when the table is partitioned by cluster_id.
+    Recall < 1 for pairs straddling cell boundaries (probe >1 cells or
+    use SRP-OR for higher recall).
+    """
+    from .dedup import unit_vectors
+
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    unit = unit_vectors(embs, id_col, vec_col)
+    side = unit.join(assigned, id_col)
+    a = side.select(
+        F.col("cluster_id"), F.col(id_col).alias("a"), F.col("unit").alias("ua")
+    )
+    b = side.select(
+        F.col("cluster_id"), F.col(id_col).alias("b"), F.col("unit").alias("ub")
+    )
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", dot(F.col("ua"), F.col("ub")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .orderBy("a", "rank")
+    )
+
+
 def _srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — components in
     [-0.5, 0.5), reproducible across runs and languages."""

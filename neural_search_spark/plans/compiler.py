@@ -226,6 +226,14 @@ class Engine:
             result = H.highlight_results(
                 result, self.documents(), pipeline["highlight"]["query_text"]
             )
+        if pipeline.get("fetch_source"):
+            # the reference's query-then-fetch: scores are computed over
+            # ids only, the full `_source` row joins in at the END for
+            # the few surviving docs (SURVEY.md §3.1 step 8 — a
+            # broadcast-hash join on doc_id)
+            result = result.join(self.documents(), "doc_id", "left").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
         return result
 
 

@@ -397,6 +397,17 @@ def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_M = 3
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-join: per-row top-3 neighbors, IVF-blocked."""
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    out = ANN.knn_join(embs, cents, m=KNN_JOIN_M)
+    return _round4(out)
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
     return docs.select(
@@ -1556,6 +1567,37 @@ FROM w GROUP BY ws, event_type
 ORDER BY window_start, event_type
 """
 
+ORACLES["ann_knn_join"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {IVF_NUM_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding::DOUBLE[]', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+un AS ({_SQL_UNIT}),
+side AS (SELECT u.vec_id, u.unit, a.cluster_id FROM un u JOIN assign a USING (vec_id)),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, list_dot_product(x.unit, y.unit) AS score
+  FROM side x JOIN side y ON x.cluster_id = y.cluster_id AND x.vec_id != y.vec_id
+),
+ranked AS (
+  SELECT a, b, score,
+         row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rank
+  FROM pairs
+)
+SELECT a, b, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= {KNN_JOIN_M}
+ORDER BY a, rank
+"""
+
 _BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
 ORACLES["batch_dense_topk"] = f"""
 WITH q AS (
@@ -1659,6 +1701,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_cosine": q_emb_neardup,
     "ann_ivf_topk": q_ann_ivf,
     "ann_lsh_neardup": q_ann_lsh_neardup,
+    "ann_knn_join": q_ann_knn_join,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,

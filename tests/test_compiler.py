@@ -100,6 +100,17 @@ def test_agentic_translation_rules(engine):
     assert len(out.collect()) == 10
 
 
+def test_fetch_source_joins_full_rows(engine):
+    out = engine.search(
+        {"hybrid": {"queries": [{"neural": {"query_text": "spark"}}, {"neural_sparse": {"query_text": "spark join"}}]}},
+        pipeline={"fetch_source": True},
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {"doc_id", "score", "text", "lang", "source", "n_chars"} <= set(out.columns)
+    assert all(r["text"] for r in rows)
+
+
 def test_unknown_query_type_rejected(engine):
     with pytest.raises(ValueError, match="unsupported query type"):
         engine.search({"mystery": {}})
