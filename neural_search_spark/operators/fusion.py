@@ -97,14 +97,22 @@ def normalize(
     id_col: str = "doc_id",
     lower_bounds: list[dict | None] | None = None,
     upper_bounds: list[dict | None] | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Add `norm_score` per (subquery_idx) window — SURVEY.md §2.4.
+    """Add `norm_score` per (*group_cols, subquery_idx) window —
+    SURVEY.md §2.4.
+
+    `group_cols` adds extra window dimensions — pass ("query_id",) to
+    fuse a whole BATCH of hybrid queries in one plan: statistics stay
+    local to each query's candidate lists, exactly as single-query
+    semantics require, while Spark executes every query's fusion in the
+    same stages.
 
     `lower_bounds`/`upper_bounds` (min_max only): per-subquery
     `{"mode": apply|clip|ignore, "score": float}` or None — parity with
     `normalization/bounds/LowerBound.java` / `UpperBound.java`.
     """
-    w = Window.partitionBy("subquery_idx")
+    w = Window.partitionBy(*group_cols, "subquery_idx")
     s = F.col("raw_score")
     if technique == "min_max":
         # MinMaxScoreNormalizationTechnique.java:260-297
@@ -165,7 +173,9 @@ def normalize(
         # RRFNormalizationTechnique.java:66-130 — global rank per
         # sub-query, ties (score desc, doc_id asc); 1-indexed rank
         rank = F.row_number().over(
-            Window.partitionBy("subquery_idx").orderBy(s.desc(), F.col(id_col))
+            Window.partitionBy(*group_cols, "subquery_idx").orderBy(
+                s.desc(), F.col(id_col)
+            )
         )
         norm_score = F.lit(1.0) / (F.lit(float(rank_constant)) + rank)
     else:
@@ -189,6 +199,7 @@ def combine(
     weights: list[float] | None = None,
     id_col: str = "doc_id",
     num_subqueries: int | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Combine normalized sub-query scores per doc — SURVEY.md §2.5.
 
@@ -204,7 +215,7 @@ def combine(
         )
     s, w_ = F.col("norm_score"), F.col("w")
     df = df.withColumn("w", _weight_expr(weights))
-    g = df.groupBy(id_col)
+    g = df.groupBy(*group_cols, id_col)
     if technique == "arithmetic_mean":
         # ArithmeticMeanScoreCombinationTechnique.java:43-60 (skip s<0)
         num = F.sum(F.when(s >= 0.0, w_ * s).otherwise(F.lit(0.0)))

@@ -697,6 +697,99 @@ def q_batch_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(BR.batch_sparse_topk(qp, postings, k=BATCH_K))
 
 
+def q_batch_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of hybrid queries fused in one plan: 5 queries × (dense
+    + sparse legs) → per-query min_max/arith fusion → per-query top-5.
+    All window statistics stay local to each query's candidate lists
+    (group_cols=query_id), so semantics equal 5 single-query runs while
+    the cluster executes one job."""
+    from .operators import batch_retrieval as BR
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.withColumnRenamed("vec_id", "doc_id")
+    dense = BR.batch_dense_topk(queries, corpus, k=20).select(
+        "query_id", "doc_id", F.col("score").cast("double").alias("raw_score"),
+        F.lit(0).alias("subquery_idx"),
+    )
+    postings = _postings(spark, sf_dir)
+    qp = postings.where(F.col("doc_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("weight").alias("qw")
+    )
+    sparse = BR.batch_sparse_topk(qp, postings, k=20).select(
+        "query_id", "doc_id", F.col("score").cast("double").alias("raw_score"),
+        F.lit(1).alias("subquery_idx"),
+    )
+    u = dense.unionByName(sparse)
+    n = FU.normalize(u, "min_max", group_cols=("query_id",))
+    fused = FU.combine(
+        n, "arithmetic_mean", HYBRID_WEIGHTS, group_cols=("query_id",)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    out = (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= BATCH_K)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), "doc_id")
+    )
+    return _round4(out)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (relational breadth over the largest
+    table) — decimal-exact arithmetic so sums are order-independent."""
+    l = catalog.table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-table join + decimal revenue."""
+    cutoff = F.lit("2000-09-01 00:00:00").cast("timestamp")
+    c = catalog.table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = catalog.table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = catalog.table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) over events."""
     from .operators import batch_retrieval as BR
@@ -1640,6 +1733,99 @@ FROM ranked WHERE rn <= {BATCH_K}
 ORDER BY query_id, score DESC, doc_id
 """
 
+ORACLES["batch_hybrid_fusion"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({_BATCH_IDS_SQL})
+),
+dense_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         {_sql_cos('e.embedding::DOUBLE[]', 'q.qv')} AS raw_score
+  FROM embeddings e CROSS JOIN q
+),
+dense_top AS (
+  SELECT query_id, doc_id, raw_score, 0 AS subquery_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, doc_id) AS rn
+    FROM dense_scored
+  ) WHERE rn <= 20
+),
+postings AS ({SQL_TF_POSTINGS}),
+qp AS (
+  SELECT doc_id AS query_id, token, weight AS qw
+  FROM postings WHERE doc_id IN ({_BATCH_IDS_SQL})
+),
+sparse_scored AS (
+  SELECT qp.query_id, p.doc_id, sum(p.weight * qp.qw) AS raw_score
+  FROM postings p JOIN qp USING (token)
+  GROUP BY qp.query_id, p.doc_id
+),
+sparse_top AS (
+  SELECT query_id, doc_id, raw_score, 1 AS subquery_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, doc_id) AS rn
+    FROM sparse_scored
+  ) WHERE rn <= 20
+),
+u AS (SELECT * FROM dense_top UNION ALL SELECT * FROM sparse_top),
+n AS (
+  SELECT query_id, doc_id, subquery_idx,
+         CASE WHEN max(raw_score) OVER sq = min(raw_score) OVER sq THEN 1.0
+              ELSE CASE WHEN (raw_score - min(raw_score) OVER sq)
+                             / (max(raw_score) OVER sq - min(raw_score) OVER sq) = 0.0
+                        THEN 0.001
+                        ELSE (raw_score - min(raw_score) OVER sq)
+                             / (max(raw_score) OVER sq - min(raw_score) OVER sq) END
+         END AS norm_score
+  FROM u
+  WINDOW sq AS (PARTITION BY query_id, subquery_idx)
+),
+{_SQL_WTS},
+fused AS (
+  SELECT n.query_id, n.doc_id, sum(wts.w * n.norm_score) / sum(wts.w) AS score
+  FROM n JOIN wts USING (subquery_idx)
+  GROUP BY n.query_id, n.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {BATCH_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2)))::DOUBLE, 2) AS sum_charge,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_price,
+       round(sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2000-09-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '2000-09-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
 ORACLES["events_sessionize"] = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -1718,6 +1904,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "r10_dense_rescore": q_r10_dense_rescore,
     "events_sliding_window": q_events_sliding_window,
+    "batch_hybrid_fusion": q_batch_hybrid_fusion,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "k2_sort_search_after": q_k2_sort_search_after,
     "r4_analyzer_sparse": q_r4_analyzer_sparse,
     "k6_posting_truncation": q_k6_posting_truncation,
