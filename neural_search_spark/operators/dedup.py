@@ -251,6 +251,61 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: with 64 bits in `n_bands` bands, any pair
+    within hamming `n_bands − 1` shares at least one identical band —
+    candidates meet ONLY through band equi-joins (linear), then the
+    exact 64-position hamming distance filters. Returns (a, b, hamming).
+    """
+    band_len = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.substring(F.col("simhash"), i * band_len + 1, band_len).alias("band"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
+    ).select(
+        F.col(id_col), F.col("simhash"), F.col("b.band_idx"), F.col("b.band")
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band"),
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band"),
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"),
+    )
+    cands = (
+        left.join(right, ["band_idx", "band"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring(F.col("sh_a"), j + 1, 1) != F.substring(F.col("sh_b"), j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(64)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(
     embs: DataFrame,
     threshold: float = 0.95,

@@ -368,6 +368,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(out, "jaccard")
 
 
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    fp = DD.simhash64(docs)
+    return DD.simhash_neardup_pairs(fp, max_hamming=SIMHASH_MAX_HAMMING).orderBy("a", "b")
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = catalog.table(spark, sf_dir, "embeddings")
     return _round4(DD.embedding_neardup_pairs(embs, NEARDUP_THRESHOLD), "cosine")
@@ -1361,6 +1370,44 @@ _SQL_UNIT = """
   FROM embeddings
 """
 
+_SIMHASH_FP_CTE = f"""
+tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS w
+  FROM (SELECT doc_id, unnest({_SQL_TOKS_LOWER}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+hs AS (SELECT doc_id, w, md5(token) AS h FROM tf),
+sums AS (
+  SELECT doc_id, {', '.join(_SIMHASH_SUMS)}
+  FROM hs GROUP BY doc_id
+),
+fp AS (SELECT doc_id, concat({_SIMHASH_FP}) AS simhash FROM sums)
+"""
+
+_SIMHASH_BANDS = ", ".join(
+    "{'band_idx': %d, 'band': substr(simhash, %d, 16)}" % (i, i * 16 + 1)
+    for i in range(4)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"(CASE WHEN substr(sh_a, {j + 1}, 1) != substr(sh_b, {j + 1}, 1) THEN 1 ELSE 0 END)"
+    for j in range(64)
+)
+ORACLES["dedup_simhash_neardup"] = f"""
+WITH {_SIMHASH_FP_CTE},
+banded AS (
+  SELECT doc_id, simhash, b.band_idx, b.band
+  FROM (SELECT doc_id, simhash, unnest([{_SIMHASH_BANDS}]) AS b FROM fp)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sh_a, r.simhash AS sh_b
+  FROM banded l
+  JOIN banded r ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
+),
+h AS (SELECT a, b, ({_SIMHASH_HAMMING})::INTEGER AS hamming FROM cands)
+SELECT a, b, hamming FROM h WHERE hamming <= {SIMHASH_MAX_HAMMING}
+ORDER BY a, b
+"""
+
 ORACLES["emb_neardup_cosine"] = f"""
 WITH un AS ({_SQL_UNIT}),
 pairs AS (
@@ -1883,6 +1930,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_neardup": q_dedup_simhash_neardup,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "emb_neardup_cosine": q_emb_neardup,
     "ann_ivf_topk": q_ann_ivf,
