@@ -54,6 +54,10 @@ def main() -> None:
     registry.SPARK_QUERIES["r1_neural_dense_topk"](spark, sf_dir).collect()
     registry._postings(spark, sf_dir).count()
     registry._bm25(spark, sf_dir).doclen.count()
+    registry._shingles(spark, sf_dir).count()
+    registry._centroids(spark, sf_dir)
+    registry._qvec(spark, sf_dir)
+    registry._ivf_assigned(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

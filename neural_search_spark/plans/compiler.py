@@ -122,6 +122,10 @@ class Engine:
         if qtype == "neural_sparse":
             if "query_tokens" in body:
                 qt = {t: float(w) for t, w in body["query_tokens"].items()}
+            elif "query_text" not in body:
+                raise ValueError(
+                    "neural_sparse query requires 'query_text' or 'query_tokens'"
+                )
             else:
                 text = body["query_text"]
                 qt = {}
@@ -136,6 +140,8 @@ class Engine:
                 return R.two_phase_sparse(postings, qt, k=k)
             return R.sparse_topk_postings(postings, qt, k=k, candidate_ids=candidate_ids)
         if qtype == "match":
+            if "query" not in body:
+                raise ValueError("match query requires 'query'")
             return B.bm25_topk(
                 self.bm25_index(), body["query"], k=k, candidate_ids=candidate_ids
             )

