@@ -333,6 +333,33 @@ def hybrid_explain(
     )
 
 
+def collapse_subquery_cap(
+    union_df: DataFrame,
+    corpus: DataFrame,
+    collapse_col: str,
+    docs_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(subquery, collapse-group) candidate cap applied DURING
+    collection, before fusion.
+
+    Parity: `index.neural_search.hybrid_collapse_docs_per_group_per_subquery`
+    (`settings/NeuralSearchSettings.java:79-87`, enforced in
+    `search/collector/HybridCollapsingTopDocsCollector.java`): each
+    sub-query contributes at most N docs per collapse-key to the fused
+    lists.
+    """
+    joined = union_df.join(corpus.select(id_col, collapse_col), id_col)
+    w = Window.partitionBy("subquery_idx", collapse_col).orderBy(
+        F.col("raw_score").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= docs_per_group)
+        .drop("_rn", collapse_col)
+    )
+
+
 def collapse(
     fused: DataFrame,
     corpus: DataFrame,

@@ -252,6 +252,28 @@ def q_k5_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(FU.collapse(fused, docs, "source", k=K))
 
 
+def q_agg_over_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregations over the hybrid result set — the reference
+    delegates these to OpenSearch core
+    (`search/query/HybridAggregationProcessor.java:45`); in Spark the
+    fused frame is just a DataFrame, so any agg composes directly."""
+    subs = _hybrid_subqueries(spark, sf_dir)
+    fused = FU.hybrid_fuse(
+        subs, "min_max", "arithmetic_mean", weights=HYBRID_WEIGHTS, k=HYBRID_DEPTH
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        fused.join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("hits"),
+            F.round(F.sum("score"), 4).alias("score_sum"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q_q6_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = _hybrid_subqueries(spark, sf_dir)
     out = FU.hybrid_explain(subs, "min_max", "arithmetic_mean", weights=HYBRID_WEIGHTS, k=K)
@@ -1188,6 +1210,20 @@ JOIN top_fused f USING (doc_id)
 ORDER BY combined_score DESC, n.doc_id, n.subquery_idx
 """
 
+ORACLES["agg_over_hybrid"] = f"""
+WITH {_oracle_hybrid_union()},
+{_SQL_MINMAX_ARITH_FUSED},
+top_fused AS (
+  SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+)
+SELECT d.lang, d.source, count(*) AS hits,
+       round(sum(f.score), 4) AS score_sum,
+       max(d.n_chars) AS max_chars
+FROM top_fused f JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+"""
+
 ORACLES["q2_rerank_by_field"] = f"""
 WITH {_oracle_hybrid_union()},
 {_SQL_MINMAX_ARITH_FUSED},
@@ -1973,6 +2009,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k4_pagination": q_k4_pagination,
     "k5_collapse_by_source": q_k5_collapse,
     "q6_hybrid_explain": q_q6_explain,
+    "agg_over_hybrid": q_agg_over_hybrid,
     "q2_rerank_by_field": q_q2_rerank_by_field,
     "q1_rerank_cross_encoder": q_q1_rerank_cross_encoder,
     "q7_highlight": q_q7_highlight,

@@ -108,6 +108,21 @@ def test_max_subqueries_enforced(spark):
         FU.union_subqueries(subs)
 
 
+def test_collapse_subquery_cap(spark):
+    # two groups; sub-query 0 has 3 docs in group g1 → cap 2 keeps the
+    # 2 best per (subquery, group)
+    union = spark.createDataFrame(
+        [(1, 0.9, 0), (2, 0.8, 0), (3, 0.7, 0), (4, 0.6, 0), (1, 0.5, 1)],
+        "doc_id long, raw_score double, subquery_idx int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2")], "doc_id long, grp string"
+    )
+    capped = FU.collapse_subquery_cap(union, corpus, "grp", docs_per_group=2)
+    rows = {(r["subquery_idx"], r["doc_id"]) for r in capped.collect()}
+    assert rows == {(0, 1), (0, 2), (0, 4), (1, 1)}  # doc 3 dropped from g1/sub0
+
+
 def test_mmr_diversify_prefers_diverse(spark):
     # candidates: two near-identical high scorers + one distinct
     results = spark.createDataFrame(
