@@ -902,6 +902,32 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r2_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 nested query with inner hits: top-k parents by max chunk
+    score, each carrying its best-matching chunk (the reference's
+    nested inner_hits payload,
+    `search/HybridQuerySearchRequestFilter.java` inner-hits handling)."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    chunks = C.chunk_fixed_token(F.col("text"), CHUNK_TOKEN_LIMIT, CHUNK_OVERLAP_RATE)
+    exploded = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    toks = S.tokens(F.col("chunk"))
+    score = F.lit(0.0)
+    for t, w in CHUNK_QUERY_TOKENS.items():
+        score = score + F.lit(float(w)) * F.size(F.filter(toks, lambda x: x == t)).cast("double")
+    scored = exploded.select("doc_id", "chunk_idx", "chunk", score.alias("score"))
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("chunk_idx"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return _round4(
+        best.orderBy(F.col("score").desc(), F.col("doc_id")).limit(K)
+    )
+
+
 def q_r2_chunk_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested chunk scoring: chunk each doc, score chunks by tf dot with
     the chunk query tokens, parent score = max chunk score (R2)."""
@@ -1328,6 +1354,38 @@ _R2_SCORE_SQL = " + ".join(
     f"{float(w)} * len(list_filter(ctoks, x -> x = '{t}'))::DOUBLE"
     for t, w in CHUNK_QUERY_TOKENS.items()
 )
+ORACLES["r2_inner_hits"] = f"""
+WITH chunks AS (
+  SELECT doc_id, s.idx AS chunk_idx, s.chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(toks) - 1) // {_CHUNK_TOK_STRIDE} + 1),
+             i -> {{'idx': i,
+                    'chunk': array_to_string(list_slice(toks, i * {_CHUNK_TOK_STRIDE} + 1,
+                                                        i * {_CHUNK_TOK_STRIDE} + {CHUNK_TOKEN_LIMIT}), ' ')}})) AS s
+    FROM (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+      FROM documents
+    )
+    WHERE len(toks) >= 1
+  )
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx, chunk, {_R2_SCORE_SQL} AS score
+  FROM (SELECT doc_id, chunk_idx, chunk,
+               list_filter(regexp_split_to_array(chunk, '\\s+'), t -> t != '') AS ctoks
+        FROM chunks)
+),
+best AS (
+  SELECT doc_id, chunk_idx, chunk, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, chunk_idx) AS rn
+    FROM chunk_scores
+  ) WHERE rn = 1
+)
+SELECT doc_id, chunk_idx, chunk, round(score, 4) AS score
+FROM best ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
 ORACLES["r2_chunk_max_topk"] = f"""
 WITH chunks AS (
   SELECT doc_id, s.chunk
@@ -2017,6 +2075,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f5_chunk_delimiter": q_f5_chunk_delimiter,
     "f6_chunk_fixed_char": q_f6_chunk_fixed_char,
     "r2_chunk_max_topk": q_r2_chunk_max,
+    "r2_inner_hits": q_r2_inner_hits,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
