@@ -84,14 +84,21 @@ def _round4(df: DataFrame, *score_cols: str) -> DataFrame:
     return out
 
 
+_QTOK_CACHE: dict[tuple[str, int], dict[str, float]] = {}
+
+
 def _query_tokens_tf(spark: SparkSession, sf_dir: str, doc_id: int = QUERY_DOC_ID) -> dict[str, float]:
     """Driver-side sparse query encoding (tf of the query text) — the
-    analogue of hoisted query inference (SURVEY.md §4)."""
-    text = catalog.query_text(spark, sf_dir, doc_id)
-    tf: dict[str, float] = {}
-    for t in text.split():
-        tf[t] = tf.get(t, 0.0) + 1.0
-    return tf
+    analogue of hoisted query inference (SURVEY.md §4); memoized like
+    the other per-(sf, query) artifacts."""
+    key = (sf_dir, doc_id)
+    if key not in _QTOK_CACHE:
+        text = catalog.query_text(spark, sf_dir, doc_id)
+        tf: dict[str, float] = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0.0) + 1.0
+        _QTOK_CACHE[key] = tf
+    return _QTOK_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
