@@ -281,6 +281,43 @@ def q_agg_over_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLAPSE_DOCS_PER_GROUP = 1  # cap=1 is the discriminative setting on this data
+
+
+def q_k5_collapse_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with the per-(subquery, group) collection cap applied BEFORE
+    fusion (`hybrid_collapse_docs_per_group_per_subquery`)."""
+    subs = _hybrid_subqueries(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    u = FU.union_subqueries(subs)
+    capped = FU.collapse_subquery_cap(u, docs, "source", COLLAPSE_DOCS_PER_GROUP)
+    fused = FU.combine(
+        FU.normalize(capped, "min_max"), "arithmetic_mean", HYBRID_WEIGHTS
+    )
+    return _round4(FU.collapse(fused, docs, "source", k=K))
+
+
+def q_f12_prune_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 split-prune: emit BOTH halves of a max_ratio split with a
+    kept flag (`util/prune/PruneUtils.java:170-209` two-phase path)."""
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < PRUNE_DOC_LIMIT)
+    maps = S.tf_map(docs)
+    kept = P.prune_max_ratio(F.col("sparse"), 0.5)
+    pruned = P.prune_split(F.col("sparse"), kept)
+    both = maps.select(
+        "doc_id",
+        F.explode(
+            F.map_concat(
+                F.transform_values(kept, lambda k, v: F.struct(v.alias("weight"), F.lit(True).alias("kept"))),
+                F.transform_values(pruned, lambda k, v: F.struct(v.alias("weight"), F.lit(False).alias("kept"))),
+            )
+        ).alias("token", "wk"),
+    )
+    return both.select(
+        "doc_id", "token", F.col("wk.weight").alias("weight"), F.col("wk.kept").alias("kept")
+    ).orderBy("doc_id", "token")
+
+
 def q_q6_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = _hybrid_subqueries(spark, sf_dir)
     out = FU.hybrid_explain(subs, "min_max", "arithmetic_mean", weights=HYBRID_WEIGHTS, k=K)
@@ -1257,6 +1294,44 @@ GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source
 """
 
+ORACLES["k5_collapse_capped"] = f"""
+WITH {_oracle_hybrid_union()},
+capped AS (
+  SELECT doc_id, raw_score, subquery_idx FROM (
+    SELECT u.doc_id, u.raw_score, u.subquery_idx,
+           row_number() OVER (PARTITION BY u.subquery_idx, d.source
+                              ORDER BY u.raw_score DESC, u.doc_id) AS rn
+    FROM u JOIN documents d USING (doc_id)
+  ) WHERE rn <= {COLLAPSE_DOCS_PER_GROUP}
+),
+n AS (
+  SELECT capped.doc_id, capped.subquery_idx, capped.raw_score,
+         CASE WHEN max(capped.raw_score) OVER sq = min(capped.raw_score) OVER sq THEN 1.0
+              ELSE CASE WHEN (capped.raw_score - min(capped.raw_score) OVER sq)
+                             / (max(capped.raw_score) OVER sq - min(capped.raw_score) OVER sq) = 0.0
+                        THEN 0.001
+                        ELSE (capped.raw_score - min(capped.raw_score) OVER sq)
+                             / (max(capped.raw_score) OVER sq - min(capped.raw_score) OVER sq) END
+         END AS norm_score
+  FROM capped
+  WINDOW sq AS (PARTITION BY capped.subquery_idx)
+),
+{_SQL_WTS},
+fused AS (
+  SELECT n.doc_id, sum(wts.w * n.norm_score) / sum(wts.w) AS score
+  FROM n JOIN wts USING (subquery_idx)
+  GROUP BY n.doc_id
+),
+collapsed AS (
+  SELECT f.doc_id, f.score, d.source,
+         row_number() OVER (PARTITION BY d.source ORDER BY f.score DESC, f.doc_id) AS rn
+  FROM fused f JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(score, 4) AS score, source
+FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
 ORACLES["q2_rerank_by_field"] = f"""
 WITH {_oracle_hybrid_union()},
 {_SQL_MINMAX_ARITH_FUSED},
@@ -1694,6 +1769,13 @@ SELECT doc_id, token, weight FROM ranked WHERE rn <= 5
 ORDER BY doc_id, token
 """
 
+ORACLES["f12_prune_split"] = f"""
+WITH tf AS ({_SQL_TF_LIMITED})
+SELECT doc_id, token, weight,
+       weight >= 0.5 * max(weight) OVER (PARTITION BY doc_id) AS kept
+FROM tf ORDER BY doc_id, token
+"""
+
 ORACLES["f9_prune_alpha_mass"] = f"""
 WITH tf AS ({_SQL_TF_LIMITED}),
 ranked AS (
@@ -2073,6 +2155,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c3_harmonic_fusion": q_c3_harmonic,
     "k4_pagination": q_k4_pagination,
     "k5_collapse_by_source": q_k5_collapse,
+    "k5_collapse_capped": q_k5_collapse_capped,
+    "f12_prune_split": q_f12_prune_split,
     "q6_hybrid_explain": q_q6_explain,
     "agg_over_hybrid": q_agg_over_hybrid,
     "q2_rerank_by_field": q_q2_rerank_by_field,
