@@ -35,6 +35,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     if s_cols != o_cols:
         return False, f"schema mismatch: spark={s_cols} oracle={o_cols}"
+    # the driver's value-hash is dtype-sensitive (int64 vs float64 hash
+    # differently even when numerically equal), so flag kind divergence
+    _kind = lambda d: {"i": "n", "u": "n", "f": "n"}.get(d.kind, d.kind)
+    for c in s_cols:
+        ks, ko = sdf[c].dtype, odf[c].dtype
+        if _kind(ks) == "n" and _kind(ko) == "n" and ks.kind != ko.kind:
+            return False, f"dtype mismatch on {c}: spark={ks} oracle={ko}"
     if len(sdf) != len(odf):
         return False, f"row count mismatch: spark={len(sdf)} oracle={len(odf)}"
     s_rows = _canon(sdf.to_dict("records"))
