@@ -326,3 +326,95 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.col("cos").alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (node, component) where component =
+    the minimum node id transitively reachable through the pair graph.
+
+    The last stage of every real dedup pipeline: near-dup PAIRS from
+    LSH/SimHash are not enough — A~B and B~C must collapse to one
+    cluster {A,B,C} with one canonical survivor. The reference has no
+    graph stage (its collapse K5 is single-key group-by,
+    `processor/collapse/CollapseDataCollector.java:114-135`); this is a
+    training-data-pipeline addition.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min label among itself and its neighbors — one shuffle
+    join + one groupBy per round, converging in O(graph diameter)
+    rounds. Near-dup clusters are shallow (duplicates of a common
+    ancestor), so diameter is small; `localCheckpoint` truncates the
+    lineage each round so the plan does not grow with iterations. At
+    1000-executor scale the same loop runs with edges partitioned by
+    `v`; for adversarially deep graphs swap in the large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds with the same per-round shape.
+    """
+    # symmetrize in ONE pass over pairs (a union of two selects would
+    # run the upstream pair pipeline twice)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    # seed with one propagation round folded in: label(u) = min(u, N(u))
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    # labels are monotone non-increasing per node, so the frame-wide sum
+    # is strictly decreasing until the fixpoint: one tiny agg job per
+    # round doubles as convergence check AND checkpoint materializer
+    # (no separate join-with-previous + count).
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.select(F.col("node").alias("v"), "component"), "v"
+        ).select(F.col("u").alias("node"), "component")
+        labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end fuzzy-dedup pipeline: MinHash→LSH→verify→connected
+    components. Returns (doc_id, canonical_id, cluster_size) for every
+    doc in a near-dup cluster of size ≥ 2; canonical = min doc id in
+    the cluster (the survivor a filtering pass would keep)."""
+    prs = minhash_lsh_dedup(docs, n, threshold, id_col, text_col)
+    cc = connected_components(prs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )

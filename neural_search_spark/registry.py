@@ -399,11 +399,41 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[sf_dir]
 
 
+_LSH_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (a, b, jaccard), persisted —
+    shared substrate of the pair query and the cluster pipeline."""
+    if sf_dir not in _LSH_PAIRS_CACHE:
+        sh = _shingles(spark, sf_dir)
+        sigs = DD.minhash_signatures(sh)
+        cands = DD.lsh_candidate_pairs(sigs)
+        _LSH_PAIRS_CACHE[sf_dir] = DD.jaccard_verify(cands, sh, JACCARD_THRESHOLD).persist()
+    return _LSH_PAIRS_CACHE[sf_dir]
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    sigs = DD.minhash_signatures(sh)
-    cands = DD.lsh_candidate_pairs(sigs)
-    return _round4(DD.jaccard_verify(cands, sh, JACCARD_THRESHOLD), "jaccard")
+    return _round4(_lsh_pairs(spark, sf_dir), "jaccard")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup end-to-end: MinHash→LSH→verify pairs, then
+    connected-components cluster assignment with canonical survivor
+    (training-data-pipeline addition; the reference's collapse K5 is
+    single-key dedup only, `processor/collapse/CollapseDataCollector.java:114-135`)."""
+    prs = _lsh_pairs(spark, sf_dir)
+    cc = DD.connected_components(prs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1590,49 @@ cands AS (
 {_SQL_JACCARD_TAIL}
 """
 
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, s.band_idx, s.band_hash
+  FROM (SELECT doc_id, unnest([{_BAND_STRUCTS}]) AS s FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+prs AS (
+  SELECT a, b FROM inter
+  JOIN sizes za ON za.doc_id = a
+  JOIN sizes zb ON zb.doc_id = b
+  WHERE i::DOUBLE / (za.sz + zb.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+szs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.node AS doc_id, c.component AS canonical_id, s.cluster_size
+FROM comp c JOIN szs s USING (component)
+ORDER BY doc_id
+"""
+
 ORACLES["dedup_ngram_jaccard"] = f"""
 WITH sh AS ({SQL_SHINGLES}),
 cands AS (
@@ -2169,6 +2242,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r2_inner_hits": q_r2_inner_hits,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_neardup": q_dedup_simhash_neardup,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

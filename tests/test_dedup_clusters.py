@@ -1,0 +1,58 @@
+"""Connected-components dedup clustering: unit graphs + oracle parity.
+
+The reference has no graph stage (collapse K5 is single-key group-by,
+`processor/collapse/CollapseDataCollector.java:114-135`); transitive
+near-dup clustering is a training-data-pipeline addition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators import dedup as DD
+from neural_search_spark import registry
+
+from .conftest import SF_SMOKE
+from .oracle_check import compare
+
+
+def _components(spark, edges):
+    prs = spark.createDataFrame(edges, "a long, b long")
+    cc = DD.connected_components(prs)
+    return {r["node"]: r["component"] for r in cc.collect()}
+
+
+def test_cc_two_clusters(spark):
+    got = _components(spark, [(1, 2), (2, 3), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 9-hop path needs several propagation rounds — exercises the
+    # iteration + sum-fixpoint convergence logic
+    edges = [(i, i + 1) for i in range(10, 19)]
+    got = _components(spark, edges)
+    assert got == {n: 10 for n in range(10, 20)}
+
+
+def test_cc_cycle_and_bridge(spark):
+    # cycle {1,2,3} bridged to {7,8} through (3,7)
+    got = _components(spark, [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8)])
+    assert set(got.values()) == {1}
+    assert len(got) == 5
+
+
+def test_dedup_clusters_oracle_smoke(spark):
+    df = registry.q_dedup_clusters(spark, SF_SMOKE)
+    ok, msg = compare(df, registry.ORACLES["dedup_clusters"], SF_SMOKE)
+    assert ok, msg
+
+
+def test_cluster_sizes_consistent(spark):
+    rows = registry.q_dedup_clusters(spark, SF_SMOKE).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["canonical_id"], []).append(r)
+    for comp, members in by_comp.items():
+        assert all(r["cluster_size"] == len(members) for r in members)
+        assert min(r["doc_id"] for r in members) == comp
+        assert len(members) >= 2
