@@ -548,6 +548,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(out)
 
 
+PQ_SHORTLIST = 50
+PQ_M = 8
+PQ_NUM_CENTROIDS = 16
+PQ_ADC_SCALE = 1_000_000
+_PQ_CACHE: dict[str, tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(codebooks, codes-table) — an ingest-time artifact like the
+    SEISMIC postings table; codes persisted (8 B/vec at scale)."""
+    from .operators import pq as PQ
+
+    if sf_dir not in _PQ_CACHE:
+        embs = catalog.table(spark, sf_dir, "embeddings")
+        books = PQ.sample_codebooks(embs)
+        codes = PQ.encode_pq(embs, books).persist()
+        _PQ_CACHE[sf_dir] = (books, codes)
+    return _PQ_CACHE[sf_dir]
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: integer-LUT approximate scan over 8-byte codes →
+    exact cosine rescore of a 50-row shortlist (operators/pq.py; the
+    32×-compression dense tier the reference lacks — its only
+    quantization is sparse-side,
+    `sparse/quantization/ByteQuantizationUtil.java:20-80`)."""
+    from .operators import pq as PQ
+
+    books, codes = _pq_index(spark, sf_dir)
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    out = PQ.pq_adc_topk(
+        codes, embs, books, _qvec(spark, sf_dir), k=K, shortlist=PQ_SHORTLIST
+    )
+    return _round4(out)
+
+
 def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = catalog.table(spark, sf_dir, "embeddings")
     return _round4(
@@ -1761,6 +1797,49 @@ _SRP_BITS = ", ".join(
     f"CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql_literal(p)}) >= 0.0 THEN '1' ELSE '0' END"
     for p in ANN._srp_planes(SRP_DIM, SRP_PLANES)
 )
+# PQ-ADC oracle: codes = argmin sub-distance over the first-16-vector
+# codebooks; integer-quantized query LUT (floor(d*1e6+0.5)) makes the
+# approx distance an exact integer sum on both engines; shortlist 50 →
+# exact cosine rescore → top-k. Mirrors operators/pq.py bit-for-bit.
+ORACLES["ann_pq_topk"] = f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {PQ_NUM_CENTROIDS}
+),
+vm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve, unnest(range({PQ_M})) AS m
+  FROM embeddings
+),
+dists AS (
+  SELECT v.vec_id, v.m, c.cid,
+         (v.ve[v.m*8+1] - c.ce[v.m*8+1]) * (v.ve[v.m*8+1] - c.ce[v.m*8+1]) + (v.ve[v.m*8+2] - c.ce[v.m*8+2]) * (v.ve[v.m*8+2] - c.ce[v.m*8+2]) + (v.ve[v.m*8+3] - c.ce[v.m*8+3]) * (v.ve[v.m*8+3] - c.ce[v.m*8+3]) + (v.ve[v.m*8+4] - c.ce[v.m*8+4]) * (v.ve[v.m*8+4] - c.ce[v.m*8+4]) + (v.ve[v.m*8+5] - c.ce[v.m*8+5]) * (v.ve[v.m*8+5] - c.ce[v.m*8+5]) + (v.ve[v.m*8+6] - c.ce[v.m*8+6]) * (v.ve[v.m*8+6] - c.ce[v.m*8+6]) + (v.ve[v.m*8+7] - c.ce[v.m*8+7]) * (v.ve[v.m*8+7] - c.ce[v.m*8+7]) + (v.ve[v.m*8+8] - c.ce[v.m*8+8]) * (v.ve[v.m*8+8] - c.ce[v.m*8+8]) AS dist
+  FROM vm v CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT m, cid, CAST(floor(dist * {PQ_ADC_SCALE} + 0.5) AS BIGINT) AS dq
+  FROM dists WHERE vec_id = {QUERY_VEC_ID}
+),
+approx AS (
+  SELECT c.vec_id, sum(l.dq) AS ad
+  FROM codes c JOIN qlut l ON l.m = c.m AND l.cid = c.code
+  GROUP BY c.vec_id
+),
+short AS (SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT {PQ_SHORTLIST}),
+q AS {SQL_QVEC},
+rescored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.embedding::DOUBLE[]', 'q.qe')} AS score
+  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q
+)
+SELECT doc_id, round(score, 4) AS score
+FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
 ORACLES["ann_lsh_neardup"] = f"""
 WITH buckets AS (
   SELECT vec_id, concat({_SRP_BITS}) AS bucket FROM embeddings
@@ -2248,6 +2327,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "emb_neardup_cosine": q_emb_neardup,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_pq_topk": q_ann_pq,
     "ann_lsh_neardup": q_ann_lsh_neardup,
     "ann_knn_join": q_ann_knn_join,
     "text_lang_id": q_text_lang_id,

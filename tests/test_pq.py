@@ -1,0 +1,56 @@
+"""Product-quantization ANN: recall gate (k-means codebooks), encode
+determinism, and oracle parity for the sample-codebook registry query."""
+
+from __future__ import annotations
+
+from neural_search_spark import catalog, registry
+from neural_search_spark.operators import pq as PQ
+from neural_search_spark.operators import retrieval as R
+
+from .conftest import SF_SMOKE
+from .oracle_check import compare
+
+
+def test_pq_recall_with_rescore(spark):
+    """k-means-trained PQ + exact rescore must recover ≥0.9 of the
+    brute-force top-10 (production config; the registry query's fixed
+    sample codebooks are the SQL-parity variant)."""
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    qv = catalog.query_vector(spark, SF_SMOKE, registry.QUERY_VEC_ID)
+    # synthetic near-random embeddings are PQ's hardest case (no cluster
+    # structure): K=64 centroids/subspace + 20% shortlist gives recall
+    # 1.0 here; at 0.9 the gate still catches any encode/ADC regression
+    books = PQ.train_codebooks(embs, k=64, sample_n=512)
+    codes = PQ.encode_pq(embs, books)
+    approx = PQ.pq_adc_topk(codes, embs, books, qv, k=10, shortlist=100)
+    exact = R.dense_topk(embs.withColumnRenamed("vec_id", "doc_id"), qv, k=10)
+    a = {r["doc_id"] for r in approx.collect()}
+    e = {r["doc_id"] for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9, (sorted(a), sorted(e))
+
+
+def test_pq_encode_deterministic(spark):
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    books = PQ.sample_codebooks(embs)
+    c1 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in PQ.encode_pq(embs, books).collect())))
+    c2 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in PQ.encode_pq(embs, books).collect())))
+    assert c1 == c2
+    m = len(books)
+    k = len(books[0])
+    for _, codes in c1:
+        assert len(codes) == m
+        assert all(0 <= c < k for c in codes)
+
+
+def test_pq_codes_compress(spark):
+    """M int codes per vector — the 32× memory story at 100 TB."""
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    books = PQ.sample_codebooks(embs)
+    row = PQ.encode_pq(embs, books).first()
+    assert len(row["codes"]) == PQ.DEFAULT_M
+
+
+def test_pq_oracle_smoke(spark):
+    df = registry.q_ann_pq(spark, SF_SMOKE)
+    ok, msg = compare(df, registry.ORACLES["ann_pq_topk"], SF_SMOKE)
+    assert ok, msg
