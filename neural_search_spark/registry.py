@@ -984,6 +984,57 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: 6-table star join. The dimension
+    chain region→nation is broadcast explicitly; customer/supplier ride
+    AQE's broadcast threshold — no shuffle reaches the fact table until
+    the single groupBy(n_name)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    r = catalog.table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = catalog.table(spark, sf_dir, "nation")
+    s = catalog.table(spark, sf_dir, "supplier")
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = catalog.table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: pure scan+filter+agg — the
+    predicate set (date range, discount band, quantity cap) pushes down
+    to the parquet row-group level; no shuffle at all bar the final
+    1-row reduce."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    l = catalog.table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (dec("l_discount") >= F.lit("0.03").cast("decimal(18,2)"))
+        & (dec("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2).alias(
+            "revenue"
+        )
+    )
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) over events."""
     from .operators import batch_retrieval as BR
@@ -998,6 +1049,21 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
 
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (streaming-capable
+    stateful merging sessions; same islands as q_events_sessionize,
+    window-end = last event + gap)."""
+    from .streaming.ingest import session_window_agg
+
+    ev = catalog.table(spark, sf_dir, "events")
+    out = session_window_agg(ev, gap=f"{int(SESSION_GAP_MIN)} minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
 
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 stats endpoint analogue: counters by event type."""
@@ -2261,6 +2327,31 @@ ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
 """
 
+ORACLES["tpch_q5"] = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLES["tpch_q6"] = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount::DECIMAL(18,2) BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
 ORACLES["events_sessionize"] = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -2284,6 +2375,31 @@ SELECT user_id, session_id,
 FROM s
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
+"""
+
+ORACLES["events_session_window"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) / 1000000.0
+                   - lag(epoch_us(ts) / 1000000.0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
 """
 
 ORACLES["events_stats_by_type"] = """
@@ -2344,11 +2460,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_dense_topk": q_batch_dense_topk,
     "batch_sparse_topk": q_batch_sparse_topk,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "r10_dense_rescore": q_r10_dense_rescore,
     "events_sliding_window": q_events_sliding_window,
     "batch_hybrid_fusion": q_batch_hybrid_fusion,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "k2_sort_search_after": q_k2_sort_search_after,
     "r4_analyzer_sparse": q_r4_analyzer_sparse,
     "k6_posting_truncation": q_k6_posting_truncation,

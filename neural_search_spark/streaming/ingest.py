@@ -63,3 +63,33 @@ def windowed_event_counts(
         .agg(F.count("*").alias("cnt"), F.avg("value").alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "cnt", "avg_value")
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows via the native `F.session_window` operator —
+    Spark's stateful merging-session aggregation (batch AND streaming;
+    under readStream, state merges sessions across micro-batches and
+    the watermark bounds state size — the scale path for sessionizing
+    an unbounded event stream without a per-user sort).
+
+    Same semantics as the batch gaps-and-islands sessionize
+    (operators/batch_retrieval.py) except `session_end` here is
+    last_event + gap (the window's exclusive end), not last_event.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
