@@ -33,6 +33,12 @@ HEADLINE = [
     "ann_lsh_neardup",
     "text_quality",
     "events_windowed_agg",
+    # round-2 additions
+    "dedup_clusters",
+    "ann_pq_topk",
+    "events_session_window",
+    "tpch_q5",
+    "tpch_q6",
 ]
 
 
@@ -58,6 +64,9 @@ def main() -> None:
     registry._centroids(spark, sf_dir)
     registry._qvec(spark, sf_dir)
     registry._ivf_assigned(spark, sf_dir).count()
+    registry._lsh_pairs(spark, sf_dir).count()
+    _books, _codes = registry._pq_index(spark, sf_dir)
+    _codes.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
