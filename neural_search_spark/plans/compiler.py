@@ -24,7 +24,9 @@ stub standing in for the LLM call.
 
 Supported spec (dict keys):
   {"neural":        {field, query_text | vector, k, filter, min_score,
-                     max_distance, model_id}}
+                     max_distance, model_id,
+                     method: {name: brute|ivf|pq, ncells, nprobe,
+                              codebook_k, shortlist}}}
   {"neural_sparse": {field, query_text | query_tokens, k, two_phase}}
   {"match":         {field, query, k}}
   {"hybrid":        {queries: [spec...], pagination_depth}}
@@ -111,6 +113,9 @@ class Engine:
                 return R.radial_search(
                     self.corpus(), qv, max_distance=body["max_distance"]
                 ).limit(k)
+            method = (body.get("method") or {}).get("name", "brute")
+            if method != "brute":
+                return self._ann_topk(method, body.get("method") or {}, qv, k, flt)
             return R.dense_topk(
                 self.corpus(),
                 qv,
@@ -146,6 +151,43 @@ class Engine:
                 self.bm25_index(), body["query"], k=k, candidate_ids=candidate_ids
             )
         raise ValueError(f"unsupported query type: {qtype}")
+
+    # -- dense ANN method dispatch ----------------------------------------
+    def _ann_topk(
+        self,
+        method: str,
+        params: dict[str, Any],
+        qv: list[float],
+        k: int,
+        flt,
+    ) -> DataFrame:
+        """`method.name` selection on a dense query — the dense analogue
+        of the reference's sparse ANN method parameter
+        (`sparse/query/SparseAnnQueryBuilder.java:67-87`): `ivf`
+        (partition-pruned probe) or `pq` (compressed-code ADC scan +
+        exact rescore). A pre-filter is applied to the corpus BEFORE
+        the approximate search (filter-then-search semantics, P1)."""
+        from ..operators import ann as ANN
+        from ..operators import pq as PQ
+
+        corp = self.corpus()
+        if flt is not None:
+            corp = corp.where(flt)
+        embs = corp.select(F.col("doc_id").alias("vec_id"), "embedding")
+        if method == "ivf":
+            ncells = int(params.get("ncells", 16))
+            nprobe = int(params.get("nprobe", 4))
+            cents = [
+                (i, [float(x) for x in r["embedding"]])
+                for i, r in enumerate(embs.orderBy("vec_id").limit(ncells).collect())
+            ]
+            return ANN.ivf_topk(embs, cents, qv, k=k, nprobe=nprobe)
+        if method == "pq":
+            shortlist = int(params.get("shortlist", max(50, 5 * k)))
+            books = PQ.train_codebooks(embs, k=int(params.get("codebook_k", 64)))
+            codes = PQ.encode_pq(embs, books)
+            return PQ.pq_adc_topk(codes, embs, books, qv, k=k, shortlist=shortlist)
+        raise ValueError(f"unsupported dense ANN method: {method}")
 
     # -- entry point -------------------------------------------------------
     def search(

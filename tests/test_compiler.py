@@ -120,3 +120,34 @@ def test_max_five_subqueries(engine):
     subs = [{"neural": {"query_text": "x"}}] * 6
     with pytest.raises(ValueError):
         engine.search({"hybrid": {"queries": subs}})
+
+
+def test_neural_method_ivf_and_pq(spark, sf_dir, engine):
+    """Dense ANN `method.name` dispatch (the dense analogue of the
+    reference's sparse method param,
+    `sparse/query/SparseAnnQueryBuilder.java:67-87`): both tiers must
+    substantially agree with the brute-force top-10."""
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    exact = set(_ids(engine.search({"neural": {"vector": qv, "k": 10}})))
+    ivf = engine.search(
+        {"neural": {"vector": qv, "k": 10, "method": {"name": "ivf", "nprobe": 8}}}
+    )
+    pq = engine.search(
+        {"neural": {"vector": qv, "k": 10, "method": {"name": "pq", "shortlist": 100}}}
+    )
+    assert len(set(_ids(ivf)) & exact) >= 5   # probe misses are possible
+    assert len(set(_ids(pq)) & exact) >= 9    # rescored shortlist ≈ exact
+
+
+def test_neural_method_pq_respects_filter(engine):
+    out = engine.search(
+        {"neural": {"query_text": "spark join", "k": 10,
+                    "method": {"name": "pq"}, "filter": "lang = 'en'"}}
+    )
+    en = {r["doc_id"] for r in engine.documents().where("lang = 'en'").collect()}
+    assert set(_ids(out)) <= en
+
+
+def test_neural_method_unknown_raises(engine):
+    with pytest.raises(ValueError, match="unsupported dense ANN method"):
+        engine.search({"neural": {"query_text": "x", "method": {"name": "hnsw"}}})
