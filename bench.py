@@ -68,9 +68,17 @@ def main() -> None:
     _books, _codes = registry._pq_index(spark, sf_dir)
     _codes.count()
 
+    # each query: one untimed warmup run (first-execution JIT/codegen of
+    # that plan shape + broadcast build), then the timed steady-state
+    # run — the number comparable to a warmed server answering query N.
+    # Cold (first-run) times are reported alongside.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -83,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -59,7 +59,9 @@ def bm25_topk(
     n, avgdl = index.stats
     qtokens = sorted({t for t in query.lower().split() if t})
     spark = index.postings.sparkSession
-    q = spark.createDataFrame([(t,) for t in qtokens], "token string")
+    from .retrieval import token_frame
+
+    q = token_frame(spark, dict.fromkeys(qtokens, 1.0)).select("token")
 
     postings = index.postings
     if candidate_ids is not None:

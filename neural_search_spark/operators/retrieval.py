@@ -29,6 +29,27 @@ def _topk(df: DataFrame, k: int, score_col: str = "score", id_col: str = "doc_id
     return df.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
 
 
+def token_frame(spark, tokens: dict[str, float]) -> DataFrame:
+    """(token, qw) as a literal LocalRelation — `F.inline` over literal
+    structs, NOT `createDataFrame` (which round-trips a Python RDD:
+    an extra Python-worker scan stage and a slower broadcast on a real
+    cluster; inference hoisting should put the query's tokens straight
+    into the plan, like lit_vector does for dense)."""
+    return spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("token"), F.lit(float(w)).cast("double").alias("qw")
+                    )
+                    for t, w in tokens.items()
+                ]
+            )
+        )
+    )
+
+
+
 def dense_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -105,10 +126,7 @@ def sparse_topk_postings(
     postings (inverted-index access), then one partial-aggregated
     groupBy(doc) and a TakeOrdered top-k.
     """
-    spark = postings.sparkSession
-    q = spark.createDataFrame(
-        [(t, float(w)) for t, w in query_tokens.items()], "token string, qw double"
-    )
+    q = token_frame(postings.sparkSession, query_tokens)
     if candidate_ids is not None:
         # P2 hybrid filter pushdown: restrict postings to allowed docs
         # BEFORE scoring (`query/HybridQueryBuilder.java:117-128`)
@@ -162,10 +180,7 @@ def two_phase_sparse(
     window = min(int(k * expansion_rate), max_window)
     phase1 = sparse_topk_postings(postings, high, k=window, id_col=id_col).select(id_col)
     # rescore ONLY the window with the full token map
-    spark = postings.sparkSession
-    q = spark.createDataFrame(
-        [(t, float(w)) for t, w in query_tokens.items()], "token string, qw double"
-    )
+    q = token_frame(postings.sparkSession, query_tokens)
     rescored = (
         postings.join(F.broadcast(phase1), id_col)
         .join(F.broadcast(q), "token")

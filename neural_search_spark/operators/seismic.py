@@ -170,7 +170,9 @@ def seismic_search(
         t: min(max(w, 0.0), QUANT_CEIL_SEARCH) * 255.0 / QUANT_CEIL_SEARCH
         for t, w in sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
     }
-    q_df = spark.createDataFrame(list(qt.items()), "token string, qw double")
+    from .retrieval import token_frame
+
+    q_df = token_frame(spark, qt)
 
     # pass 1: summary upper-bound score per (token, cluster)
     qmap = F.create_map(*[x for t, w in qt.items() for x in (F.lit(t), F.lit(float(w)))])
