@@ -63,6 +63,22 @@ def embed_text_py(text: str, content_type: str = "PASSAGE") -> list[float]:
     return [float(x) for x in acc]
 
 
+def embed_text_image_py(text: str | None, image: bytes | None) -> list[float]:
+    """Driver-side multimodal (text+image) query embedding — the
+    query-time twin of `text_image_embed_udf` (F3), for the `neural`
+    query's `query_image` parameter
+    (`query/NeuralQueryBuilder.java` QUERY_IMAGE field): one embedding
+    per query, hoisted into the plan as a literal."""
+    acc = np.zeros(DIM, dtype=np.float64)
+    for tok in (text or "").lower().split():
+        acc += _token_vec(tok, "mm:text")
+    if image:
+        digest = hashlib.md5(bytes(image)).hexdigest()
+        acc += _token_vec(digest, "mm:image")
+    n = math.sqrt(float(acc @ acc))
+    return [float(x) for x in (acc / n if n > 0 else acc)]
+
+
 def dense_embed_udf(content_type: str = "PASSAGE"):
     """F1 `text_embedding` (`processor/TextEmbeddingProcessor.java:38-120`):
     string → array<float>[64], Arrow-batched."""

@@ -23,7 +23,7 @@ executed in its place; the agent here is a deterministic keyword-rule
 stub standing in for the LLM call.
 
 Supported spec (dict keys):
-  {"neural":        {field, query_text | vector, k, filter, min_score,
+  {"neural":        {field, query_text | query_image | vector, k, filter, min_score,
                      max_distance, model_id,
                      method: {name: brute|ivf|pq, ncells, nprobe,
                               codebook_k, shortlist}}}
@@ -101,10 +101,16 @@ class Engine:
             self._resolve_model(body)  # enricher hook (stub registry has one dense model)
             if "vector" in body:
                 qv = [float(x) for x in body["vector"]]
+            elif "query_image" in body:
+                img = body["query_image"]
+                img = bytes.fromhex(img) if isinstance(img, str) else bytes(img)
+                qv = models.embed_text_image_py(body.get("query_text"), img)
             elif "query_text" in body:
                 qv = models.embed_text_py(body["query_text"], "QUERY")
             else:
-                raise ValueError("neural query requires 'query_text' or 'vector'")
+                raise ValueError(
+                    "neural query requires 'query_text', 'query_image', or 'vector'"
+                )
             flt = F.expr(body["filter"]) if body.get("filter") else None
             if hybrid_filter:
                 hf = F.expr(hybrid_filter)

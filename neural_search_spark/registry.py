@@ -1078,6 +1078,49 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type × day → event_type → grand
+    total) in ONE pass — Spark's ROLLUP grouping sets; the reference
+    delegates all aggregations to OpenSearch core
+    (`search/query/HybridAggregationProcessor.java:45`), this is the
+    engine-side equivalent of a date_histogram + terms agg tree."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.round(F.col("value") * 100)) / 100.0, 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "cnt",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — the
+    percentiles agg the reference delegates to core; at scale swap
+    `percentile` for `approx_percentile` (t-digest) and keep the same
+    plan shape."""
+    ev = catalog.table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_r2_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 nested query with inner hits: top-k parents by max chunk
     score, each carrying its best-matching chunk (the reference's
@@ -2402,6 +2445,24 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
 
+ORACLES["events_rollup"] = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS cnt,
+       round(sum(round(value * 100)) / 100.0, 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+ORACLES["events_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 ORACLES["events_stats_by_type"] = """
 SELECT event_type, count(*) AS cnt, round(sum(round(value * 100)) / 100.0, 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
@@ -2457,6 +2518,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_quantize": q_a1_quantize,
     "events_windowed_agg": q_events_windowed,
     "events_stats_by_type": q_events_stats,
+    "events_rollup": q_events_rollup,
+    "events_percentiles": q_events_percentiles,
     "batch_dense_topk": q_batch_dense_topk,
     "batch_sparse_topk": q_batch_sparse_topk,
     "events_sessionize": q_events_sessionize,

@@ -151,3 +151,17 @@ def test_neural_method_pq_respects_filter(engine):
 def test_neural_method_unknown_raises(engine):
     with pytest.raises(ValueError, match="unsupported dense ANN method"):
         engine.search({"neural": {"query_text": "x", "method": {"name": "hnsw"}}})
+
+
+def test_neural_query_image_multimodal(engine):
+    """`query_image` (± query_text) embeds via the multimodal stub —
+    the reference's text_image query path (QUERY_IMAGE field on the
+    neural query)."""
+    img = b"\x89PNG-fake-bytes"
+    out1 = engine.search({"neural": {"query_text": "blue cat", "query_image": img, "k": 5}})
+    out2 = engine.search({"neural": {"query_text": "blue cat", "query_image": img.hex(), "k": 5}})
+    r1, r2 = out1.collect(), out2.collect()
+    assert len(r1) == 5
+    assert [x["doc_id"] for x in r1] == [x["doc_id"] for x in r2]  # bytes ≡ hex
+    # image-only is also valid
+    assert len(engine.search({"neural": {"query_image": img, "k": 3}}).collect()) == 3
