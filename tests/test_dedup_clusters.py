@@ -56,3 +56,35 @@ def test_cluster_sizes_consistent(spark):
         assert all(r["cluster_size"] == len(members) for r in members)
         assert min(r["doc_id"] for r in members) == comp
         assert len(members) >= 2
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Property check: on random graphs, distributed label propagation
+    must agree with a driver-side union-find (min-id canonical)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 60))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expect = {x: find(x) for x in touched}
+        got = _components(spark, [(int(a), int(b)) for a, b in edges])
+        assert got == expect, f"trial {trial}: {got} != {expect}"
