@@ -1,0 +1,93 @@
+"""Temporal joins over event streams — as-of join as a single-shuffle
+window plan.
+
+The reference has no temporal operators (ingest is request batching,
+SURVEY.md §2.12); these are training-data-pipeline additions: aligning
+events to the most recent prior state (last checkpoint, last click,
+last model snapshot) is the canonical feature-engineering join.
+
+Scale design: the naive formulation is an inequality join
+(``probe.ts >= build.ts``) which Spark executes as a broadcast
+nested-loop — O(|probe|·|build|) and a non-starter at 100 TB. The
+implementation here is the union + fill-forward pattern:
+
+    union(tagged build, tagged probe)
+      → window over (keys) ordered by (ts, side, tiebreak)
+      → last(carry, ignorenulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING
+      → keep probe rows
+
+One hash shuffle on the join keys, linear work per partition, and the
+sort is per-key — the same plan shape survives a 1000-executor
+cluster. Skewed keys (one user with millions of events) can be
+pre-split with operators/skew.py helpers.
+
+Determinism: ties are totally ordered by (ts, side, tiebreak), so the
+matched build row is "max ts, then max tiebreak" — reproducible across
+engines and shard counts (the same discipline as RRF tie-breaks,
+`processor/normalization/RRFNormalizationTechnique.java:56-60`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    carry: Sequence[str],
+    tiebreak: str,
+    allow_exact: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each probe row, attach ``carry`` columns from the build row
+    with the greatest ``ts`` ≤ (or < when ``allow_exact=False``) the
+    probe row's ``ts``, per ``on`` key. Left-join semantics: probe rows
+    with no prior build row keep nulls.
+
+    ``tiebreak`` must be a build column giving a total order among
+    equal-``ts`` build rows (e.g. an event id); the max wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = list(probe.columns)
+
+    carry_struct = F.struct(*[F.col(c) for c in carry]).alias("__carry")
+    b = build.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.col(tiebreak).cast("double").alias("__tb"),
+        carry_struct,
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}")
+          for c in probe_cols],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    # allow_exact: build rows at equal ts sort BEFORE probe rows (side
+    # 0 < 1) and land inside the ..1 PRECEDING frame; otherwise probe
+    # rows sort first and equal-ts build rows are excluded.
+    side_order = F.col("__side") if allow_exact else -F.col("__side")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), side_order, F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = (
+        b.unionByName(p)
+        .withColumn("__m", F.last("__carry", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
+    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
+    return matched.select(*out_cols)

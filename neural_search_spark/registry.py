@@ -2557,3 +2557,203 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_dense_embed_stub": q_f1_dense_embed,
     "mm_media_meta": q_mm_media_meta,
 }
+
+
+# ===========================================================================
+# Round-3 additions: temporal joins, dataset curation, agg breadth
+# ===========================================================================
+
+from .operators import temporal as TJ  # noqa: E402
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the most recent click
+    at-or-before it by the same user (ties → max click event_id).
+    Single-shuffle union+fill-forward plan (operators/temporal.py) —
+    no inequality-join explosion at scale. Training-data analogue of
+    'join each sample to the latest prior checkpoint/state'."""
+    ev = catalog.table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = TJ.asof_join(
+        probe, build, on="user_id", ts="ts",
+        carry=["click_id", "click_ts"], tiebreak="click_id",
+    )
+    # epoch seconds (not raw timestamps: the source parquet stores
+    # nanosecond timestamps, which Spark rounds and DuckDB truncates
+    # to micros — floor-to-second is engine-stable); unmatched → -1
+    return out.select(
+        "event_id", "user_id", "value",
+        F.coalesce("asof_click_id", F.lit(-1)).alias("asof_click_id"),
+        F.coalesce(F.unix_timestamp("asof_click_ts"), F.lit(-1)).alias("asof_click_epoch"),
+    )
+
+
+ORACLES["events_asof_join"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id AS tb, 0 AS side,
+         event_id AS click_id, ts AS click_ts,
+         NULL::BIGINT AS p_event_id, NULL::DOUBLE AS p_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, NULL AS tb, 1 AS side,
+         NULL AS click_id, NULL AS click_ts,
+         event_id AS p_event_id, round(value, 4) AS p_value
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT *,
+    -- a struct of NULL fields is not NULL in DuckDB; CASE (no ELSE)
+    -- yields a true NULL on probe rows so IGNORE NULLS skips them
+    last_value(CASE WHEN side = 0 THEN {'id': click_id, 'ts': click_ts} END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM u
+)
+SELECT p_event_id AS event_id, user_id, p_value AS value,
+       coalesce(m.id, -1) AS asof_click_id,
+       coalesce(CAST(floor(epoch(m.ts)) AS BIGINT), -1) AS asof_click_epoch
+FROM w WHERE side = 1
+"""
+
+
+def q_split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by md5(doc_id) —
+    the scalable idiom for reproducible dataset splits (no sampling
+    state, stable under reshards/retries; md5 hex is identical across
+    engines). Returns per-(split, lang) counts + mean length."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < F.lit("cd"), "train")
+        .when(bucket < F.lit("e6"), "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+ORACLES["split_train_valid_test"] = """
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+# per-source keep-rates for the training mixture (hex threshold on the
+# first 2 md5 chars of a salted doc_id: ' ' < threshold ≈ rate·256/256)
+SAMPLE_RATES_HEX = {"src0": "33", "src1": "33", "src2": "80"}  # ~20%, ~20%, ~50%
+SAMPLE_DEFAULT_HEX = "cd"  # ~80% for every other source
+SAMPLE_SALT = "mix1:"
+
+
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stratified sampling: per-source keep-rates applied via a
+    salted md5 threshold — deterministic, idempotent, and executes as
+    a pure filter (full predicate pushdown; no sampling state to
+    coordinate across 1000 executors). The salt decorrelates this
+    sample from the train/test split hash."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT_HEX)
+    for src, hexthr in SAMPLE_RATES_HEX.items():
+        thr = F.when(F.col("source") == src, F.lit(hexthr)).otherwise(thr)
+    return (
+        docs.filter(h < thr)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SAMPLE_THR = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN '{h}'" for s, h in SAMPLE_RATES_HEX.items()
+) + f" ELSE '{SAMPLE_DEFAULT_HEX}' END"
+
+ORACLES["sample_stratified_hash"] = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE substring(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < {_SQL_SAMPLE_THR}
+ORDER BY doc_id
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language — the per-group top-k
+    pattern (window rank). Spark plans the rank filter as a per-
+    partition partial sort before the shuffle, so per-group top-k
+    scales with groups, not corpus size."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+        .orderBy("lang", "rnk")
+    )
+
+
+ORACLES["topk_per_group"] = """
+SELECT lang, rnk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+ORDER BY lang, rnk
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets in one
+    pass — one shuffle produces the full subtotal lattice instead of
+    four separate aggregations (rollup's sibling; SURVEY.md §4 lists
+    grouping sets as a Catalyst built-in the reference lacks)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.cube(F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.round(F.col("value") * 100)) / 100.0, 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "cnt",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLES["events_cube"] = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS cnt,
+       round(sum(round(value * 100)) / 100.0, 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+
+SPARK_QUERIES["events_asof_join"] = q_events_asof_join
+SPARK_QUERIES["split_train_valid_test"] = q_split_train_valid_test
+SPARK_QUERIES["sample_stratified_hash"] = q_sample_stratified_hash
+SPARK_QUERIES["topk_per_group"] = q_topk_per_group
+SPARK_QUERIES["events_cube"] = q_events_cube

@@ -1,0 +1,63 @@
+"""asof_join edge semantics: exact-match toggle, tie-break, no-match,
+and multi-key partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators.temporal import asof_join
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 5, "b")],
+        "pid long, ts long, k string",
+    )
+    build = spark.createDataFrame(
+        [(100, 10, "a"), (101, 10, "a"), (102, 15, "a"), (103, 50, "b")],
+        "bid long, ts long, k string",
+    )
+    return probe, build
+
+
+def test_allow_exact_picks_equal_ts_max_tiebreak(spark):
+    probe, build = _frames(spark)
+    out = asof_join(probe, build, on="k", ts="ts", carry=["bid"], tiebreak="bid")
+    rows = {r.pid: r.asof_bid for r in out.collect()}
+    # pid 1 at ts=10: builds 100 and 101 tie at ts=10 → max bid (101)
+    assert rows[1] == 101
+    # pid 2 at ts=20: latest build ≤ 20 is 102 (ts=15)
+    assert rows[2] == 102
+    # pid 3 at ts=5 on key b: only build is at ts=50 (future) → null
+    assert rows[3] is None
+
+
+def test_strict_excludes_equal_ts(spark):
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe, build, on="k", ts="ts", carry=["bid"], tiebreak="bid",
+        allow_exact=False,
+    )
+    rows = {r.pid: r.asof_bid for r in out.collect()}
+    assert rows[1] is None  # equal-ts builds excluded, nothing earlier
+    assert rows[2] == 102
+
+
+def test_probe_columns_and_row_count_preserved(spark):
+    probe, build = _frames(spark)
+    out = asof_join(probe, build, on="k", ts="ts", carry=["bid", "ts"], tiebreak="bid")
+    assert out.count() == probe.count()
+    assert set(out.columns) == {"pid", "ts", "k", "asof_bid", "asof_ts"}
+    # carried ts comes from the matched build row
+    row = {r.pid: r for r in out.collect()}
+    assert row[2].asof_ts == 15
+
+
+def test_single_shuffle_plan(spark):
+    """The plan must contain exactly one exchange (hash by key) and no
+    nested-loop join — the property that makes it viable at scale."""
+    probe, build = _frames(spark)
+    out = asof_join(probe, build, on="k", ts="ts", carry=["bid"], tiebreak="bid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
