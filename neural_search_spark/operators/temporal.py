@@ -91,3 +91,43 @@ def asof_join(
     out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
     out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
     return matched.select(*out_cols)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    band: float,
+) -> DataFrame:
+    """|left_ts − right_ts| ≤ band (seconds) join, executed as an
+    equi-join on (keys, time bucket) instead of a range predicate.
+
+    A raw range predicate Spark can only run as a nested-loop join.
+    Bucketing both sides to ⌊epoch/band⌋ and exploding the left row
+    into its 3 candidate buckets (b−1, b, b+1) turns it into a hash
+    join with a cheap residual filter — 3× left fan-out, linear work,
+    shuffle only on (keys, bucket). Timestamps are compared at
+    microsecond precision (``double`` epoch)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    l = left.withColumn("__lsec", lsec).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(lsec / band) - 1,
+                F.floor(lsec / band),
+                F.floor(lsec / band) + 1,
+            )
+        ),
+    )
+    r = right.withColumn("__rsec", rsec).withColumn("__bucket", F.floor(rsec / band))
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = [F.col(k) == F.col(f"__r_{k}") for k in keys]
+    joined = l.join(r, cond + [l["__bucket"] == r["__bucket"]], "inner").filter(
+        F.abs(F.col("__lsec") - F.col("__rsec")) <= band
+    )
+    return joined.drop("__bucket", "__lsec", "__rsec", *[f"__r_{k}" for k in keys])

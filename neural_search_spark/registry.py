@@ -2757,3 +2757,265 @@ SPARK_QUERIES["split_train_valid_test"] = q_split_train_valid_test
 SPARK_QUERIES["sample_stratified_hash"] = q_sample_stratified_hash
 SPARK_QUERIES["topk_per_group"] = q_topk_per_group
 SPARK_QUERIES["events_cube"] = q_events_cube
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: EXISTS-predicate = discounted lineitem, the
+    schema has no commit/receipt dates): order-priority counts over a
+    quarter, existence-filtered. The EXISTS compiles to a LEFT SEMI
+    shuffle-hash join — no fact-side duplication, no distinct needed."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    o = catalog.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = catalog.table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+TPCH_Q18_QTY = 180.0
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING-subquery on the fact
+    table → semi-join back → 3-table join → top-100. The heavy
+    aggregation happens ONCE on (l_orderkey) and its tiny qualifying
+    key set broadcasts back onto orders before customer joins."""
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    l = catalog.table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .where(F.col("total_qty") > TPCH_Q18_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+ORACLES["tpch_q18"] = f"""
+SELECT c_name, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 4) > {TPCH_Q18_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+SPARK_QUERIES["tpch_q4"] = q_tpch_q4
+SPARK_QUERIES["tpch_q18"] = q_tpch_q18
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HLL sketches —
+    the 100 TB path for cardinality: sketches partial-aggregate on the
+    map side and merge associatively, so a day×type lattice of
+    sketches can be stored and re-unioned without rescanning raw data
+    (demonstrated here: per-day sketches → hll_union_agg per type).
+    Rows-only contract check (sketch estimates are engine-specific);
+    tests/test_approx_aggs.py gates the estimate against the exact
+    distinct count at ≤5% relative error."""
+    ev = catalog.table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of value per event type
+    (percentile_approx = mergeable GK sketch; the exact-percentile
+    sibling is events_percentiles). Rows-only; error gated in
+    tests/test_approx_aggs.py."""
+    ev = catalog.table(spark, sf_dir, "events")
+    pq = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(pq[0], 4).alias("p50"),
+            F.round(pq[1], 4).alias("p95"),
+            F.round(pq[2], 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SPARK_QUERIES["events_approx_distinct"] = q_events_approx_distinct
+SPARK_QUERIES["events_approx_quantiles"] = q_events_approx_quantiles
+
+
+BAND_SECONDS = 300
+
+
+def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±5-minute band join: clicks near each error event by the same
+    user, executed bucket-equi-join style (operators/temporal.py::
+    band_join — hash join + residual filter, never a nested loop).
+    Errors with no nearby click are kept with cnt 0."""
+    ev = catalog.table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    near = TJ.band_join(errors, clicks, on="user_id", left_ts="ts",
+                        right_ts="click_ts", band=BAND_SECONDS)
+    cnt = near.groupBy("event_id").agg(F.count("*").alias("nearby_clicks"))
+    return (
+        errors.join(cnt, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("nearby_clicks", F.lit(0)).alias("nearby_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLES["events_band_join"] = f"""
+SELECT e.event_id, e.user_id, coalesce(c.cnt, 0) AS nearby_clicks
+FROM events e
+LEFT JOIN (
+  SELECT a.event_id, count(*) AS cnt
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.event_type = 'click'
+   AND abs(epoch(a.ts) - epoch(b.ts)) <= {BAND_SECONDS}
+  WHERE a.event_type = 'error'
+  GROUP BY a.event_id
+) c ON e.event_id = c.event_id
+WHERE e.event_type = 'error'
+ORDER BY e.event_id
+"""
+
+
+def q_events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per user (seconds, 2dp) — the sequence-
+    feature primitive (time-since-last-action); first event per user
+    → -1. One shuffle on user_id, sorted within partition."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.coalesce(F.round(delta, 2), F.lit(-1.0)).alias("delta_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLES["events_user_deltas"] = """
+SELECT event_id, user_id,
+       coalesce(round(epoch(ts) - lag(epoch(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id), 2), -1.0) AS delta_s
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_customer_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in 1996 — compiles to a
+    LEFT ANTI shuffle-hash join (the NOT-EXISTS shape; complements
+    tpch_q4's semi join)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLES["customer_no_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+CENTROID_DIMS = 8
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (first 8 dims, exploded to scalar
+    rows for the cross-engine hash): posexplode → groupBy(label, pos)
+    → avg. At scale this is a single partial-aggregated shuffle of
+    (label, pos) cells — no driver collect of vectors; the class-
+    centroid primitive behind IVF seeding and embedding-quality
+    monitoring."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .filter(F.col("pos") < CENTROID_DIMS)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+        .orderBy("label", "pos")
+    )
+
+
+ORACLES["emb_centroids"] = f"""
+SELECT label, pos, round(avg(v), 4) AS centroid_v
+FROM (
+  SELECT label,
+         unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+WHERE pos < {CENTROID_DIMS}
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+SPARK_QUERIES["events_band_join"] = q_events_band_join
+SPARK_QUERIES["events_user_deltas"] = q_events_user_deltas
+SPARK_QUERIES["customer_no_orders"] = q_customer_no_orders
+SPARK_QUERIES["emb_centroids"] = q_emb_centroids

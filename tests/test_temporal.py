@@ -61,3 +61,41 @@ def test_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_band_join_matches_naive(spark):
+    """Bucketed band join ≡ naive cross-filter on a small frame."""
+    from neural_search_spark.operators.temporal import band_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "a"), (2, 500.0, "a"), (3, 100.0, "b")],
+        "lid long, ts double, k string",
+    )
+    right = spark.createDataFrame(
+        [(10, 50.0, "a"), (11, 199.0, "a"), (12, 201.0, "a"), (13, 100.0, "b")],
+        "rid long, ts double, k string",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in band_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", band=100
+        ).collect()
+    )
+    naive = sorted(
+        (lr.lid, rr.rid)
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr.k == rr.k and abs(lr.ts - rr.ts) <= 100
+    )
+    assert got == naive == [(1, 10), (1, 11), (3, 13)]
+
+
+def test_band_join_no_nested_loop(spark):
+    from neural_search_spark.operators.temporal import band_join
+
+    left = spark.createDataFrame([(1, 100.0, "a")], "lid long, ts double, k string")
+    right = spark.createDataFrame([(10, 50.0, "a")], "rid long, ts double, k string")
+    plan = band_join(left, right, on="k", left_ts="ts", right_ts="ts", band=100)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
