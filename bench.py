@@ -39,6 +39,13 @@ HEADLINE = [
     "events_session_window",
     "tpch_q5",
     "tpch_q6",
+    # round-3 additions
+    "events_asof_join",
+    "events_band_join",
+    "tpch_q4",
+    "tpch_q18",
+    "curate_training_set",
+    "events_approx_distinct",
 ]
 
 

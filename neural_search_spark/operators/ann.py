@@ -18,7 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot, lit_vector
+from ..functions.vector import as_double, cosine, dot, l2_norm, lit_vector
 
 
 def ivf_assign(
@@ -197,11 +197,23 @@ def lsh_bucketed_neardup(
     bucket, then exact cosine filters. Linear-time candidate
     generation — the 100 TB replacement for the brute-force O(n²) pass
     (recall < 1.0: pairs split across buckets are missed; raise
-    n_planes bands or OR multiple tables for higher recall)."""
-    from .dedup import unit_vectors
+    n_planes bands or OR multiple tables for higher recall).
 
-    buckets = srp_bucket(embs, dim, n_planes, id_col, vec_col)
-    with_vec = unit_vectors(embs, id_col, vec_col).join(buckets, id_col)
+    bucket + unit vector are computed in ONE projection over the scan
+    (no id-join between derived frames): the only shuffle in the plan
+    is the bucket hash for the self-join."""
+    from ..functions.common import let
+
+    v = as_double(F.col(vec_col))
+    bits = [
+        F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in _srp_planes(dim, n_planes)
+    ]
+    with_vec = embs.select(
+        F.col(id_col),
+        F.concat(*bits).alias("bucket"),
+        let(l2_norm(v), lambda nrm: F.transform(v, lambda x: x / nrm)).alias("unit"),
+    )
     a = with_vec.select(
         F.col("bucket"), F.col(id_col).alias("a"), F.col("unit").alias("ua")
     )

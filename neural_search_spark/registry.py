@@ -3019,3 +3019,99 @@ SPARK_QUERIES["events_band_join"] = q_events_band_join
 SPARK_QUERIES["events_user_deltas"] = q_events_user_deltas
 SPARK_QUERIES["customer_no_orders"] = q_customer_no_orders
 SPARK_QUERIES["emb_centroids"] = q_emb_centroids
+
+
+CURATE_QUALITY_MIN = 0.5
+
+
+def q_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation pipeline — quality gate → exact dedup
+    (min-id keeper per content hash) → deterministic split → per-source
+    hash sample — as ONE lazy plan: a scan-side projection + filter,
+    one groupBy(md5) shuffle for dedup, and pure filters after; every
+    stage is the already-tested primitive (text_quality, dedup_exact,
+    split_train_valid_test, sample_stratified_hash) composed, which is
+    how a 100 TB curation job actually ships."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.withColumn("quality", F.round(T.quality_score(F.col("text")), 4)).where(
+        F.col("quality") >= CURATE_QUALITY_MIN
+    )
+    keeper = Window.partitionBy(F.md5("text"))
+    deduped = (
+        scored.withColumn("keep_id", F.min("doc_id").over(keeper))
+        .where(F.col("doc_id") == F.col("keep_id"))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = deduped.where(bucket < F.lit("cd"))
+    h = F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT_HEX)
+    for src, hexthr in SAMPLE_RATES_HEX.items():
+        thr = F.when(F.col("source") == src, F.lit(hexthr)).otherwise(thr)
+    return (
+        train.where(h < thr)
+        .select("doc_id", "source", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["curate_training_set"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         round((
+           least({_SQL_NTOK}::DOUBLE / 50.0, 1.0)
+           + least({_SQL_SW_RATIO} * 10.0, 1.0)
+           + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0))
+         ) / 3.0, 4) AS quality
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE quality >= {CURATE_QUALITY_MIN}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM gated
+  ) WHERE doc_id = keep_id
+), train AS (
+  SELECT * FROM deduped
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+)
+SELECT doc_id, source, lang, quality
+FROM train
+WHERE substring(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < {_SQL_SAMPLE_THR}
+ORDER BY doc_id
+"""
+
+
+def q_events_user_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total (cumulative window) — the
+    lifetime-aggregate feature; one shuffle on user_id, linear
+    per-partition scan."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.round(F.sum(F.round(F.col("value") * 100)).over(w) / 100.0, 4).alias("cum_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLES["events_user_cumulative"] = """
+SELECT event_id, user_id,
+       round(sum(round(value * 100)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4) AS cum_value
+FROM events
+ORDER BY event_id
+"""
+
+
+SPARK_QUERIES["curate_training_set"] = q_curate_training_set
+SPARK_QUERIES["events_user_cumulative"] = q_events_user_cumulative

@@ -93,3 +93,34 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def stream_stream_band_join(
+    left,
+    right,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    band_seconds: int = 300,
+    watermark: str = "10 minutes",
+):
+    """Watermarked stream-stream inner join: left rows match right rows
+    with the same key within ±band_seconds. Both sides carry a
+    watermark so the join state is BOUNDED — Spark evicts buffered rows
+    once the watermark passes their band window (without the time-range
+    predicate the state would grow forever; Structured Streaming
+    requires exactly this shape for stream-stream joins at scale).
+
+    The batch twin is operators/temporal.py::band_join (bucketed hash
+    join) — same semantics, tested equivalent in
+    tests/test_stream_stream_join.py."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[f"r_{on}"])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {band_seconds} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {band_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner")
