@@ -232,14 +232,23 @@ def sparse_ann_topk(
     k: int = 10,
     id_col: str = "doc_id",
     approximate_threshold: int = APPROXIMATE_THRESHOLD,
+    top_n: int = DEFAULT_TOP_N,
+    heap_factor: float = DEFAULT_HEAP_FACTOR,
 ) -> DataFrame:
     """R7/R8: SEISMIC when the segment is big enough, exact otherwise.
 
     Parity: `sparse/query/SparseQueryWeight.java:100-102` — segments
     under `approximate_threshold` docs use exact FeatureField scoring.
+    ``top_n``/``heap_factor`` mirror the SparseAnnQueryBuilder params
+    (`sparse/query/SparseAnnQueryBuilder.java:85-87`); they only apply
+    on the approximate path — exact scoring uses every query token.
     """
     n_docs = postings.select(id_col).distinct().count()
     if n_docs < approximate_threshold:
         return sparse_topk_postings(postings, query_tokens, k=k, id_col=id_col)
     index = build_seismic(postings, id_col=id_col)
-    return seismic_search(index, query_tokens, k=k, id_col=id_col)
+    qmx = max(query_tokens.values()) or 1.0
+    scaled = {t: w / qmx * QUANT_CEIL_SEARCH for t, w in query_tokens.items()}
+    return seismic_search(
+        index, scaled, k=k, top_n=top_n, heap_factor=heap_factor, id_col=id_col
+    )

@@ -25,9 +25,13 @@ stub standing in for the LLM call.
 Supported spec (dict keys):
   {"neural":        {field, query_text | query_image | vector, k, filter, min_score,
                      max_distance, model_id,
+                     rescore: {oversample, quant_bits},
                      method: {name: brute|ivf|pq, ncells, nprobe,
                               codebook_k, shortlist}}}
-  {"neural_sparse": {field, query_text | query_tokens, k, two_phase}}
+  {"neural_sparse": {field, query_text | query_tokens, k, two_phase,
+                     nested: {token_limit, overlap_rate},
+                     method: {name: seismic, top_n, heap_factor,
+                              approximate_threshold}}}
   {"match":         {field, query, k}}
   {"hybrid":        {queries: [spec...], pagination_depth}}
   {"agentic":       {query_text}}
@@ -37,6 +41,7 @@ pipeline:
    "rerank":        {type: by_field|ml_opensearch, target_field|query_text},
    "highlight":     {query_text},
    "collapse":      {field},
+   "mmr":           {candidates, lambda},
    "explain":       bool,
    "default_model_id": str}
 """
@@ -119,6 +124,19 @@ class Engine:
                 return R.radial_search(
                     self.corpus(), qv, max_distance=body["max_distance"]
                 ).limit(k)
+            if body.get("rescore"):
+                # kNN rescore context (`query/NeuralQueryBuilder.java:649-650`):
+                # cheap int-quantized phase 1 over the corpus, exact cosine
+                # only on the oversampled window
+                rs = body["rescore"] if isinstance(body["rescore"], dict) else {}
+                corp = self.corpus()
+                if flt is not None:
+                    corp = corp.where(flt)
+                return R.dense_rescore_topk(
+                    corp, qv, k=k,
+                    oversample=float(rs.get("oversample", 3.0)),
+                    quant_bits=int(rs.get("quant_bits", 8)),
+                )
             method = (body.get("method") or {}).get("name", "brute")
             if method != "brute":
                 return self._ann_topk(method, body.get("method") or {}, qv, k, flt)
@@ -142,7 +160,56 @@ class Engine:
                 qt = {}
                 for tok in text.split():
                     qt[tok] = qt.get(tok, 0.0) + 1.0
+            if body.get("nested"):
+                # R2 nested-chunk scoring: chunk each doc, score every
+                # chunk, parent score = MAX child (`ScoreMode.Max`,
+                # `query/NeuralQueryBuilder.java:787`)
+                from ..functions import chunking as CH
+                from ..functions import sparse as SP
+
+                nested = body["nested"] if isinstance(body["nested"], dict) else {}
+                chunks = CH.chunk_fixed_token(
+                    F.col(body.get("field", "text")),
+                    int(nested.get("token_limit", 20)),
+                    float(nested.get("overlap_rate", 0.25)),
+                )
+                exploded = self.documents().select(
+                    "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+                )
+                if hybrid_filter:
+                    exploded = exploded.join(
+                        F.broadcast(candidate_ids), "doc_id", "semi"
+                    )
+                toks = SP.tokens(F.col("chunk"))
+                score = F.lit(0.0)
+                for t, w in qt.items():
+                    score = score + F.lit(float(w)) * F.size(
+                        F.filter(toks, lambda x: x == t)
+                    ).cast("double")
+                chunk_scores = exploded.select(
+                    "doc_id", "chunk_idx", score.alias("score")
+                )
+                return R.chunk_max_topk(chunk_scores, k=k)
             postings = S.tf_postings(self.documents())
+            method = (body.get("method") or {})
+            if method.get("name") == "seismic":
+                # R7 sparse ANN method dispatch
+                # (`sparse/query/SparseAnnQueryBuilder.java:67-87`) with
+                # the R8 exact fallback built in
+                from ..operators import seismic as SE
+
+                if candidate_ids is not None:
+                    postings = postings.join(
+                        F.broadcast(candidate_ids), "doc_id", "semi"
+                    )
+                return SE.sparse_ann_topk(
+                    postings, qt, k=k,
+                    approximate_threshold=int(
+                        method.get("approximate_threshold", SE.APPROXIMATE_THRESHOLD)
+                    ),
+                    top_n=int(method.get("top_n", SE.DEFAULT_TOP_N)),
+                    heap_factor=float(method.get("heap_factor", SE.DEFAULT_HEAP_FACTOR)),
+                )
             if body.get("two_phase"):
                 if candidate_ids is not None:
                     postings = postings.join(
@@ -206,6 +273,10 @@ class Engine:
         pipeline = pipeline or {}
         if "default_model_id" in pipeline:
             self.default_model_id = pipeline["default_model_id"]
+        # Q3 MMR over-fetches `candidates` results, then greedily
+        # re-selects `size` (`processor/mmr/MMRNeuralQueryTransformer.java:40-110`)
+        mmr = pipeline.get("mmr")
+        mmr_cand = int(mmr.get("candidates", 3 * size)) if mmr else None
 
         (qtype, body), = query.items()
         if qtype == "agentic":
@@ -225,13 +296,18 @@ class Engine:
             subs = [self._compile_sub(s, depth, hybrid_filter) for s in subs_spec]
             norm = pipeline.get("normalization", {})
             comb = pipeline.get("combination", {})
+            fuse_k = size
+            if pipeline.get("collapse"):
+                fuse_k = depth
+            if mmr_cand:
+                fuse_k = max(fuse_k, mmr_cand)
             fused = FU.hybrid_fuse(
                 subs,
                 normalization=norm.get("technique", "min_max"),
                 combination=comb.get("technique", "arithmetic_mean"),
                 weights=comb.get("weights"),
                 depth=depth,
-                k=size if not pipeline.get("collapse") else depth,
+                k=fuse_k,
                 from_=from_,
                 min_score=body.get("min_score"),
                 rank_constant=norm.get("rank_constant", FU.DEFAULT_RANK_CONSTANT),
@@ -264,7 +340,19 @@ class Engine:
                     search_after=s.get("search_after"),
                 )
         else:
-            result = self._compile_sub(query, size).limit(size)
+            fetch = max(size, mmr_cand or 0)
+            result = self._compile_sub(query, fetch).limit(fetch)
+
+        if mmr:
+            picked = RR.mmr_diversify(
+                result, self.corpus(), k=size,
+                lambda_=float(mmr.get("lambda", 0.5)),
+            )
+            order = self.spark.createDataFrame(
+                [(int(d), i) for i, d in enumerate(picked)],
+                "doc_id long, mmr_rank int",
+            )
+            result = result.join(F.broadcast(order), "doc_id").orderBy("mmr_rank")
 
         rerank = pipeline.get("rerank")
         if rerank:

@@ -165,3 +165,84 @@ def test_neural_query_image_multimodal(engine):
     assert [x["doc_id"] for x in r1] == [x["doc_id"] for x in r2]  # bytes ≡ hex
     # image-only is also valid
     assert len(engine.search({"neural": {"query_image": img, "k": 3}}).collect()) == 3
+
+
+def test_neural_rescore_matches_direct(spark, sf_dir, engine):
+    from neural_search_spark.operators import retrieval as R
+
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    out = engine.search({"neural": {"vector": qv, "k": 10, "rescore": {"oversample": 3.0}}})
+    direct = R.dense_rescore_topk(engine.corpus(), qv, k=10, oversample=3.0)
+    assert _ids(out) == _ids(direct)
+
+
+def test_sparse_nested_matches_r2(spark, sf_dir, engine):
+    out = engine.search(
+        {
+            "neural_sparse": {
+                "query_tokens": registry.CHUNK_QUERY_TOKENS,
+                "k": 10,
+                "nested": {
+                    "token_limit": registry.CHUNK_TOKEN_LIMIT,
+                    "overlap_rate": registry.CHUNK_OVERLAP_RATE,
+                },
+            }
+        }
+    )
+    expected = registry.q_r2_chunk_max(spark, sf_dir)
+    assert _ids(out) == _ids(expected)
+
+
+def test_sparse_method_seismic_dispatch(engine):
+    """method.name=seismic with threshold 0 forces the SEISMIC path:
+    the compiler must produce exactly what a direct sparse_ann_topk
+    call produces with the same params (recall itself is gated in
+    test_seismic.py; byte quantization ties are expected here)."""
+    from neural_search_spark.functions import sparse as S
+    from neural_search_spark.operators import seismic as SE
+
+    spec = {"query_text": "spark join stream window batch", "k": 10}
+    ann = engine.search(
+        {
+            "neural_sparse": {
+                **spec,
+                "method": {
+                    "name": "seismic",
+                    "approximate_threshold": 0,
+                    "top_n": 10,
+                    "heap_factor": 2.0,
+                },
+            }
+        }
+    )
+    qt = {t: 1.0 for t in spec["query_text"].split()}
+    direct = SE.sparse_ann_topk(
+        S.tf_postings(engine.documents()), qt, k=10,
+        approximate_threshold=0, top_n=10, heap_factor=2.0,
+    )
+    assert _ids(ann) == _ids(direct)
+    assert len(_ids(ann)) == 10
+
+
+def test_sparse_method_seismic_falls_back_exact(engine):
+    """Below approximate_threshold (default 1M ≫ corpus) the dispatch
+    must produce exactly the brute-force result (R8)."""
+    spec = {"query_text": "spark join stream window batch", "k": 10}
+    exact = engine.search({"neural_sparse": dict(spec)})
+    ann = engine.search({"neural_sparse": {**spec, "method": {"name": "seismic"}}})
+    assert _ids(ann) == _ids(exact)
+
+
+def test_mmr_pipeline_stage(spark, sf_dir, engine):
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    plain = engine.search({"neural": {"vector": qv, "k": 5}})
+    mmr = engine.search(
+        {"neural": {"vector": qv, "k": 5}},
+        pipeline={"mmr": {"candidates": 30, "lambda": 0.5}},
+        size=5,
+    )
+    rows = mmr.collect()
+    assert len(rows) == 5
+    assert [r["mmr_rank"] for r in rows] == [0, 1, 2, 3, 4]
+    # MMR always keeps the single most-relevant doc first
+    assert rows[0]["doc_id"] == plain.collect()[0]["doc_id"]
