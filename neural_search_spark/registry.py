@@ -3656,3 +3656,214 @@ for _name, _fn in [
     ("tpch_q21", q_tpch_q21), ("tpch_q22", q_tpch_q22),
 ]:
     SPARK_QUERIES[_name] = _fn
+
+
+# ---------------------------------------------------------------------------
+# Round-4: feature-engineering / analytics breadth over events+documents
+# (pivot, histogram, ntile buckets, grouping sets, argmax, weighted
+# sampling) — the remaining relational shapes a training-data pipeline
+# leans on that weren't yet first-class queries.
+# ---------------------------------------------------------------------------
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events into one row per user with per-type value sums (the
+    wide feature-matrix shape). Spark's pivot with an EXPLICIT value
+    list compiles to one pass of conditional aggregates — no extra
+    shuffle or distinct-scan over types; at 100 TB the type vocabulary
+    is metadata, never discovered from data."""
+    ev = catalog.table(spark, sf_dir, "events")
+    cents = lambda: F.round(F.col("value") * 100)
+    types = ["click", "purchase", "view"]
+    return (
+        ev.where(F.col("event_type").isin(types))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(cents()) / 100.0, 4))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0.0)).alias("click_value"),
+            F.coalesce("purchase", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("view", F.lit(0.0)).alias("view_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["events_pivot"] = """
+SELECT user_id,
+  coalesce(round(sum(CASE WHEN event_type='click' THEN round(value*100) END)/100.0, 4), 0.0) AS click_value,
+  coalesce(round(sum(CASE WHEN event_type='purchase' THEN round(value*100) END)/100.0, 4), 0.0) AS purchase_value,
+  coalesce(round(sum(CASE WHEN event_type='view' THEN round(value*100) END)/100.0, 4), 0.0) AS view_value
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+HIST_BIN_WIDTH = 5.0
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — bin = floor(v/w),
+    a pure map-side expression, so the whole histogram is one partial
+    aggregate tree with no sort; works identically on a 100 TB scan."""
+    ev = catalog.table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+ORACLES["events_histogram"] = f"""
+SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM events
+GROUP BY event_type, floor(value / {HIST_BIN_WIDTH})
+ORDER BY event_type, bin
+"""
+
+
+def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of event values within each type (ntile) +
+    per-bucket aggregates — the label-balancing / stratification
+    primitive. One shuffle on event_type, per-partition sort, then the
+    second aggregate reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cents = F.round(F.col("value") * 100)
+    return (
+        ev.select("event_type", "value", "event_id", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(cents) / 100.0, 4).alias("sum_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+ORACLES["events_ntile"] = """
+SELECT event_type, quartile, count(*) AS n,
+       round(sum(round(value*100))/100.0, 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM (SELECT event_type, value, event_id,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      FROM events) t
+GROUP BY event_type, quartile
+ORDER BY event_type, quartile
+"""
+
+
+def q_docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition via GROUPING SETS — (lang, source), (lang),
+    (source), () in ONE shuffle instead of four jobs; grouping_id
+    disambiguates the lattice levels (NULL-safe). Complements the
+    existing rollup/cube queries with the explicit-sets form."""
+    d = catalog.table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, grouping_id(lang, source) AS gid,
+               count(*) AS n, sum(n_chars) AS chars
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        ORDER BY gid, lang, source
+        """
+    )
+
+
+ORACLES["docs_grouping_sets"] = """
+SELECT lang, source, CAST(grouping(lang, source) AS BIGINT) AS gid,
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+ORDER BY gid, lang, source
+"""
+
+
+def q_events_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user argmax: the event carrying each user's maximum value
+    (max_by — a single partial-aggregable struct-max, NOT a window
+    sort; ties broken by event_id so the answer is deterministic)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    # tie-break: among equal values take the smallest event_id — encode
+    # as max_by over struct(value, -event_id) via expression ordering
+    key = F.struct(
+        F.round(F.col("value") * 100).alias("cents"), (-F.col("event_id")).alias("neg_id")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", key).alias("top_event_id"),
+            F.max_by("event_type", key).alias("top_event_type"),
+            F.round(F.max(F.round(F.col("value") * 100)) / 100.0, 4).alias("top_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["events_argmax"] = """
+SELECT user_id, event_id AS top_event_id, event_type AS top_event_type,
+       round(round(value*100)/100.0, 4) AS top_value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY round(value*100) DESC, event_id ASC) AS rn
+      FROM events) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+WSAMPLE_N = 200
+WSAMPLE_SALT = "wsamp1"
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): key = u^(1/w) with u drawn from md5(salt||doc_id),
+    take the global top-N keys. Longer documents are proportionally
+    likelier to be drawn, the draw is reproducible across engines and
+    runs, and the plan is a pure map expression + TakeOrdered — no
+    shuffle of the full corpus, so it holds at 100 TB (the classic
+    distributed weighted-reservoir construction)."""
+    d = catalog.table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(WSAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    # ln(key) = ln(u)/w is monotone in the A-ES key and numerically tamer
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 10)
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(WSAMPLE_N)
+    )
+
+
+ORACLES["sample_weighted"] = f"""
+SELECT doc_id, source, n_chars,
+       round(ln(CAST(('0x' || substring(md5('{WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 10) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT {WSAMPLE_N}
+"""
+
+
+for _name, _fn in [
+    ("events_pivot", q_events_pivot), ("events_histogram", q_events_histogram),
+    ("events_ntile", q_events_ntile), ("docs_grouping_sets", q_docs_grouping_sets),
+    ("events_argmax", q_events_argmax), ("sample_weighted", q_sample_weighted),
+]:
+    SPARK_QUERIES[_name] = _fn
