@@ -86,3 +86,86 @@ def bm25_topk(
         .agg(F.sum("term_score").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def build_positional(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: (doc_id, token, positions array<int>) — the
+    layout Lucene keeps for phrase queries (proximity data lives in the
+    postings, not the stored text). Built once per corpus snapshot;
+    bucket/partition by token at scale so a phrase query prunes to its
+    m tokens' partitions."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
+        .groupBy(id_col, "token")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    candidate_ids: DataFrame | None = None,
+) -> DataFrame:
+    """`match_phrase` (exact adjacency, slop=0): BM25 scoring where tf
+    is the PHRASE frequency, computed by position-list intersection —
+    the docs containing token_j at offset j from a token_0 occurrence.
+
+    Plan shape: one token-pruned scan of the positional postings per
+    phrase term, m-way equi-join on doc_id (each side already tiny:
+    only docs containing that term), then a pure array expression
+    counts aligned positions — no UDF, no text re-scan, no corpus-wide
+    shuffle. The reference delegates phrase matching to Lucene's
+    positional postings (`PhraseQuery`); this is the same algorithm as
+    a join.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    n, avgdl = index.stats
+
+    sides = []
+    for j, t in enumerate(terms):
+        sides.append(
+            positional.where(F.col("token") == t).select(
+                F.col(id_col), F.col("positions").alias(f"_p{j}")
+            )
+        )
+    joined = sides[0]
+    for j in range(1, len(terms)):
+        joined = joined.join(sides[j], id_col)
+    if candidate_ids is not None:
+        joined = joined.join(F.broadcast(candidate_ids.select(id_col)), id_col, "semi")
+
+    def aligned(p):
+        cond = F.lit(True)
+        for j in range(1, len(terms)):
+            cond = cond & F.array_contains(F.col(f"_p{j}"), p + F.lit(j))
+        return cond
+
+    tf = F.size(F.filter(F.col("_p0"), aligned)).cast("double")
+    matched = (
+        joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    )
+    dfs = matched.agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        matched.join(index.doclen, id_col)
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -33,6 +33,7 @@ Supported spec (dict keys):
                      method: {name: seismic, top_n, heap_factor,
                               approximate_threshold}}}
   {"match":         {field, query, k}}
+  {"match_phrase":  {field, query, k}}
   {"hybrid":        {queries: [spec...], pagination_depth}}
   {"agentic":       {query_text}}
 pipeline:
@@ -72,6 +73,7 @@ class Engine:
         self.sf_dir = sf_dir
         self.default_model_id = default_model_id
         self._bm25 = None
+        self._positional = None
 
     # -- corpus ------------------------------------------------------------
     def corpus(self) -> DataFrame:
@@ -84,6 +86,11 @@ class Engine:
         if self._bm25 is None:
             self._bm25 = B.build_bm25(self.documents())
         return self._bm25
+
+    def positional_index(self) -> DataFrame:
+        if self._positional is None:
+            self._positional = B.build_positional(self.documents())
+        return self._positional
 
     # -- model resolution (Q9 enricher) -----------------------------------
     def _resolve_model(self, spec: dict) -> str:
@@ -222,6 +229,13 @@ class Engine:
                 raise ValueError("match query requires 'query'")
             return B.bm25_topk(
                 self.bm25_index(), body["query"], k=k, candidate_ids=candidate_ids
+            )
+        if qtype == "match_phrase":
+            if "query" not in body:
+                raise ValueError("match_phrase query requires 'query'")
+            return B.phrase_topk(
+                self.positional_index(), self.bm25_index(), body["query"], k=k,
+                candidate_ids=candidate_ids,
             )
         raise ValueError(f"unsupported query type: {qtype}")
 

@@ -3867,3 +3867,55 @@ for _name, _fn in [
     ("events_argmax", q_events_argmax), ("sample_weighted", q_sample_weighted),
 ]:
     SPARK_QUERIES[_name] = _fn
+
+
+# ---------------------------------------------------------------------------
+# Round-4: match_phrase — positional-postings phrase query (the
+# proximity half of Lucene's lexical surface; hybrid lexical legs use
+# it constantly). tf = exact-adjacency phrase frequency via position
+# intersection; scored with the same BM25 formula as `match`.
+# ---------------------------------------------------------------------------
+
+PHRASE_QUERY = "join window"
+_POSITIONAL_CACHE: dict[str, DataFrame] = {}
+
+
+def _positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _POSITIONAL_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        _POSITIONAL_CACHE[sf_dir] = B.build_positional(docs).persist()
+    return _POSITIONAL_CACHE[sf_dir]
+
+
+def q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round4(
+        B.phrase_topk(_positional(spark, sf_dir), _bm25(spark, sf_dir), PHRASE_QUERY, k=K)
+    )
+
+
+_PH = PHRASE_QUERY.split()
+ORACLES["match_phrase"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+tfs AS (
+  SELECT doc_id, len(l)::DOUBLE AS dl,
+         len(list_filter(range(1, len(l) - {len(_PH)} + 2),
+             i -> l[i] = '{_PH[0]}' AND l[i+1] = '{_PH[1]}'))::DOUBLE AS tf
+  FROM toks
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM tfs),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM tfs WHERE tf > 0)
+SELECT doc_id,
+       round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)), 4) AS score
+FROM tfs CROSS JOIN stats s CROSS JOIN dfs f
+WHERE tf > 0
+ORDER BY score DESC, doc_id
+LIMIT {K}
+"""
+
+SPARK_QUERIES["match_phrase"] = q_match_phrase

@@ -246,3 +246,40 @@ def test_mmr_pipeline_stage(spark, sf_dir, engine):
     assert [r["mmr_rank"] for r in rows] == [0, 1, 2, 3, 4]
     # MMR always keeps the single most-relevant doc first
     assert rows[0]["doc_id"] == plain.collect()[0]["doc_id"]
+
+
+def test_match_phrase_dispatch_matches_direct(spark, sf_dir, engine):
+    out = engine.search({"match_phrase": {"query": registry.PHRASE_QUERY, "k": 10}})
+    assert _ids(out) == _ids(registry.q_match_phrase(spark, sf_dir))
+
+
+def test_match_phrase_requires_adjacency(spark, sf_dir, engine):
+    """Docs matched by the phrase must contain the exact token sequence;
+    the bag-of-words `match` can rank docs that only contain the terms
+    separately."""
+    phrase = registry.PHRASE_QUERY
+    ids = _ids(engine.search({"match_phrase": {"query": phrase, "k": 10}}))
+    assert ids
+    docs = engine.documents()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(docs.doc_id.isin([int(i) for i in ids])).collect()
+    }
+    for i in ids:
+        toks = texts[i].split()
+        assert any(
+            toks[j] == phrase.split()[0] and toks[j + 1] == phrase.split()[1]
+            for j in range(len(toks) - 1)
+        )
+
+
+def test_match_phrase_in_hybrid_leg(engine):
+    out = engine.search(
+        {"hybrid": {"queries": [
+            {"neural": {"query_text": "spark join window"}},
+            {"match_phrase": {"query": registry.PHRASE_QUERY}},
+        ]}},
+        pipeline={"normalization": {"technique": "min_max"}},
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
