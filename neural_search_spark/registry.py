@@ -3919,3 +3919,168 @@ LIMIT {K}
 """
 
 SPARK_QUERIES["match_phrase"] = q_match_phrase
+
+
+# ---------------------------------------------------------------------------
+# Round-4: corpus statistics for training-data curation — bigram/PMI
+# co-occurrence, embedding norm audit, text normalization.
+# ---------------------------------------------------------------------------
+
+PMI_TOP = 50
+
+
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: explode adjacent token pairs, count,
+    and score with PMI = ln(c_xy · T_u² / (T_b · c_x · c_y)). Two
+    aggregate passes over exploded tokens (unigrams, bigrams) — both
+    map-side combinable; the unigram table broadcasts back onto the
+    bigram counts, so nothing corpus-sized shuffles twice. Top pairs by
+    count, PMI as the quality signal (the phrase-vocabulary builder for
+    tokenizer training)."""
+    d = catalog.table(spark, sf_dir, "documents")
+    toks = S.tokens(F.col("text"))
+    tok_tbl = d.select(F.explode(toks).alias("tok"))
+    uni = tok_tbl.groupBy("tok").agg(F.count("*").alias("c"))
+    t_uni = uni.agg(F.sum("c").cast("double").alias("t_uni"))
+    n = F.size(toks)
+    bigrams = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    t_bi = bc.agg(F.sum("c_xy").cast("double").alias("t_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    pmi = F.log(
+        F.col("c_xy").cast("double") * F.col("t_uni") * F.col("t_uni")
+        / (F.col("t_bi") * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select("w1", "w2", "c_xy", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+ORACLES["text_bigram_pmi"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT u.tok, count(*) AS c
+  FROM toks, unnest(l) AS u(tok) GROUP BY u.tok
+),
+t_uni AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+bigrams AS (
+  SELECT bg[1] AS w1, bg[2] AS w2
+  FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(bg)
+),
+t_bi AS (SELECT count(*)::DOUBLE AS t FROM bigrams),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bigrams GROUP BY w1, w2)
+SELECT w1, w2, c_xy,
+       round(ln(c_xy::DOUBLE * tu.t * tu.t / (tb.t * ux.c::DOUBLE * uy.c::DOUBLE)), 4) AS pmi
+FROM bc
+JOIN uni ux ON ux.tok = w1
+JOIN uni uy ON uy.tok = w2
+CROSS JOIN t_uni tu CROSS JOIN t_bi tb
+ORDER BY c_xy DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm audit per label (the drift / degenerate-vector
+    check before ANN indexing): L2 norm as a sequential double fold
+    (exact cross-engine), per-label avg via integerized sums so the
+    reduction order can't perturb the 4th decimal."""
+    e = catalog.table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    cents = F.round(norm * 10000.0)
+    return (
+        e.select("label", norm.alias("norm"), cents.alias("cents"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("cents") / F.count("*") / 10000.0, 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLES["emb_norm_stats"] = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(sum(round(norm * 10000.0)) / count(*) / 10000.0, 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM norms
+GROUP BY label
+ORDER BY label
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (lowercase → strip non-alphanumerics →
+    collapse whitespace → trim): the standard pre-tokenization cleanup,
+    pure codegen string expressions, zero shuffles — plus the resulting
+    length delta as the audit column."""
+    d = catalog.table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            cleaned.alias("norm_text"),
+            (F.length("text") - F.length(cleaned)).alias("chars_removed"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+ORACLES["text_normalize"] = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS norm_text,
+         text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(text) - length(norm_text) AS INTEGER) AS chars_removed
+FROM c
+ORDER BY doc_id
+LIMIT 500
+"""
+
+
+for _name, _fn in [
+    ("text_bigram_pmi", q_text_bigram_pmi),
+    ("emb_norm_stats", q_emb_norm_stats),
+    ("text_normalize", q_text_normalize),
+]:
+    SPARK_QUERIES[_name] = _fn
