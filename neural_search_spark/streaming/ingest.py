@@ -124,3 +124,92 @@ def stream_stream_band_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {band_seconds} SECONDS"))
     )
     return lw.join(rw, cond, "inner")
+
+
+class IncrementalPostingsIndex:
+    """Continuously-maintained lexical index (S5 at scale): each
+    micro-batch appends a postings *segment* plus a mergeable stats
+    partial; `compact()` is the segment-merge job (re-truncating
+    per-token posting lists, A2/K6) that the reference schedules on
+    Lucene merges (`sparse/codec/MergeHelper.java`,
+    `BatchClusteringTask`).
+
+    Layout on disk (all append-only parquet — object-store friendly):
+      base_dir/postings/  (doc_id, token, tf)   one dir of segment files
+      base_dir/stats/     (n, total_dl)         one partial row per batch
+    Readers aggregate the stats partials (associative sums → exact
+    corpus N/avgdl at any point) and union the segments; neither path
+    ever rewrites existing files, so writers never block readers — the
+    same LSM-ish contract Lucene segments give the reference.
+    """
+
+    def __init__(self, base_dir: str):
+        self.base = str(base_dir).rstrip("/")
+        self.postings_dir = self.base + "/postings"
+        self.stats_dir = self.base + "/stats"
+
+    # -- writer side -------------------------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..functions.sparse import tf_postings, tokens
+
+        seg = tf_postings(batch).withColumnRenamed("weight", "tf")
+        seg.write.mode("append").parquet(self.postings_dir)
+        partial = batch.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(tokens(F.col("text")))).cast("double").alias("total_dl"),
+        )
+        partial.write.mode("append").parquet(self.stats_dir)
+
+    def attach(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    # -- reader side -------------------------------------------------------
+    def postings(self, spark) -> DataFrame:
+        return spark.read.parquet(self.postings_dir)
+
+    def stats(self, spark) -> tuple[int, float]:
+        n, total = (
+            spark.read.parquet(self.stats_dir)
+            .agg(F.sum("n"), F.sum("total_dl"))
+            .first()
+        )
+        return int(n), float(total) / float(n)
+
+    def bm25_index(self, spark):
+        from ..operators.bm25 import BM25Index
+
+        p = self.postings(spark)
+        doclen = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        return BM25Index(postings=p, doclen=doclen, stats=self.stats(spark))
+
+    # -- segment merge (S5) ------------------------------------------------
+    def compact(self, spark, n_postings: int | None = None) -> None:
+        """Merge segments into one sorted set of files; optionally
+        re-truncate to the top `n_postings` docs per token by tf
+        (A2/K6 `PostingsProcessingUtils.java:38-55`). At cluster scale
+        this is the periodic OPTIMIZE job: repartition by token so each
+        output file is one token range (query-side pruning), written to
+        a fresh dir then swapped in."""
+        from pyspark.sql import Window
+
+        merged = self.postings(spark)
+        if n_postings is not None:
+            w = Window.partitionBy("token").orderBy(
+                F.col("tf").desc(), F.col("doc_id")
+            )
+            merged = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_postings)
+                .drop("_rn")
+            )
+        tmp = self.base + "/postings_compacted"
+        merged.repartition("token").write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.postings_dir)
+        shutil.move(tmp, self.postings_dir)
