@@ -4084,3 +4084,105 @@ for _name, _fn in [
     ("text_normalize", q_text_normalize),
 ]:
     SPARK_QUERIES[_name] = _fn
+
+
+# ---------------------------------------------------------------------------
+# Round-4: decontamination (train/test n-gram overlap) and repetition
+# detection — the two curation checks still missing from the dedup/
+# quality suite.
+# ---------------------------------------------------------------------------
+
+DECONT_TEST_MOD = 20  # doc_id % 20 == 0 → held-out "test" split
+DECONT_MIN_SHARED = 3
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥3 distinct
+    3-gram shingles with the held-out split. One equi-join on the
+    shingle string between the two split halves of the SAME cached
+    shingle table, then a count per training doc — at 100 TB both
+    sides partition by shingle hash, and the held-out side is usually
+    small enough to broadcast. The canonical pre-training leakage
+    check (NOT a near-dup test: ANY shared n-gram window counts)."""
+    sh = _shingles(spark, sf_dir)
+    is_test = (F.col("doc_id") % DECONT_TEST_MOD) == 0
+    test_sh = sh.where(is_test).select("shingle").distinct()
+    train_sh = sh.where(~is_test)
+    return (
+        train_sh.join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= DECONT_MIN_SHARED)
+        .orderBy(F.col("shared_shingles").desc(), "doc_id")
+    )
+
+
+ORACLES["decontaminate_overlap"] = f"""
+WITH sh AS ({SQL_SHINGLES}),
+test_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONT_TEST_MOD} = 0
+)
+SELECT doc_id, count(*) AS shared_shingles
+FROM sh JOIN test_sh USING (shingle)
+WHERE doc_id % {DECONT_TEST_MOD} <> 0
+GROUP BY doc_id
+HAVING count(*) >= {DECONT_MIN_SHARED}
+ORDER BY shared_shingles DESC, doc_id
+"""
+
+
+REPETITION_FLAG_RATIO = 0.2
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition audit (C4/Gopher-style quality rule):
+    fraction of a doc's 3-gram windows occupied by its single most
+    repeated 3-gram. Pure explode → two-level aggregate keyed on
+    doc_id — the second aggregate reuses the first's partitioning, so
+    one shuffle total; docs above the flag ratio are the
+    boilerplate/spam candidates."""
+    d = catalog.table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.max("c").alias("max_repeat"),
+            F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 4).alias(
+                "rep_ratio"
+            ),
+        )
+        .withColumn("flagged", F.col("rep_ratio") >= REPETITION_FLAG_RATIO)
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["text_repetition"] = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(shingles) AS g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END AS shingles
+    FROM (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents)
+  )
+  WHERE len(shingles) > 0
+),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS total_grams,
+       CAST(max(c) AS BIGINT) AS max_repeat,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio,
+       (round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) >= {REPETITION_FLAG_RATIO}) AS flagged
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+SPARK_QUERIES["decontaminate_overlap"] = q_decontaminate_overlap
+SPARK_QUERIES["text_repetition"] = q_text_repetition
