@@ -46,6 +46,16 @@ HEADLINE = [
     "tpch_q18",
     "curate_training_set",
     "events_approx_distinct",
+    # round-4 additions
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q21",
+    "match_phrase",
+    "events_pivot",
+    "sample_weighted",
+    "text_bigram_pmi",
+    "decontaminate_overlap",
+    "text_repetition",
 ]
 
 
@@ -74,6 +84,7 @@ def main() -> None:
     registry._lsh_pairs(spark, sf_dir).count()
     _books, _codes = registry._pq_index(spark, sf_dir)
     _codes.count()
+    registry._positional(spark, sf_dir).count()
 
     # each query: one untimed warmup run (first-execution JIT/codegen of
     # that plan shape + broadcast build), then the timed steady-state
