@@ -65,6 +65,62 @@ from ..operators import retrieval as R
 DEFAULT_K = R.DEFAULT_K
 
 
+def compile_filter(spec) -> str:
+    """Structured filter DSL → SQL predicate string.
+
+    The reference carries opaque `QueryBuilder` filters into
+    neural/knn queries (P1, `query/NeuralQueryBuilder.java:645-646`);
+    the OpenSearch-idiomatic leaves are `term`/`terms`/`range`/
+    `exists` composed with `bool` (must/should/must_not). A plain
+    string passes through unchanged, so both forms are accepted
+    anywhere a filter is allowed.
+    """
+    if isinstance(spec, str):
+        return spec
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(f"bad filter spec: {spec!r}")
+    (kind, body), = spec.items()
+    if kind == "term":
+        (field, value), = body.items()
+        return f"{field} = {_sql_lit(value)}"
+    if kind == "terms":
+        (field, values), = body.items()
+        vals = ", ".join(_sql_lit(v) for v in values)
+        return f"{field} IN ({vals})"
+    if kind == "range":
+        (field, bounds), = body.items()
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        parts = [
+            f"{field} {ops[op]} {_sql_lit(v)}" for op, v in bounds.items() if op in ops
+        ]
+        if not parts:
+            raise ValueError(f"range filter needs gte/gt/lte/lt: {bounds!r}")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        return f"{body['field']} IS NOT NULL"
+    if kind == "bool":
+        clauses = []
+        for sub in body.get("must", []):
+            clauses.append(compile_filter(sub))
+        should = [compile_filter(s) for s in body.get("should", [])]
+        if should:
+            clauses.append("(" + " OR ".join(should) + ")")
+        for sub in body.get("must_not", []):
+            clauses.append(f"NOT ({compile_filter(sub)})")
+        if not clauses:
+            raise ValueError("empty bool filter")
+        return "(" + " AND ".join(clauses) + ")"
+    raise ValueError(f"unsupported filter type: {kind}")
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 class Engine:
     """One engine per corpus directory (the "index")."""
 
@@ -123,7 +179,7 @@ class Engine:
                 raise ValueError(
                     "neural query requires 'query_text', 'query_image', or 'vector'"
                 )
-            flt = F.expr(body["filter"]) if body.get("filter") else None
+            flt = F.expr(compile_filter(body["filter"])) if body.get("filter") else None
             if hybrid_filter:
                 hf = F.expr(hybrid_filter)
                 flt = hf if flt is None else (flt & hf)
@@ -306,7 +362,9 @@ class Engine:
         if qtype == "hybrid":
             subs_spec = body["queries"]
             depth = body.get("pagination_depth", from_ + size)
-            hybrid_filter = body.get("filter")
+            hybrid_filter = (
+                compile_filter(body["filter"]) if body.get("filter") else None
+            )
             subs = [self._compile_sub(s, depth, hybrid_filter) for s in subs_spec]
             norm = pipeline.get("normalization", {})
             comb = pipeline.get("combination", {})

@@ -283,3 +283,61 @@ def test_match_phrase_in_hybrid_leg(engine):
     )
     rows = out.collect()
     assert 0 < len(rows) <= 10
+
+
+def test_compile_filter_leaves_and_bool():
+    from neural_search_spark.plans.compiler import compile_filter
+
+    assert compile_filter("lang = 'en'") == "lang = 'en'"
+    assert compile_filter({"term": {"lang": "en"}}) == "lang = 'en'"
+    assert compile_filter({"terms": {"lang": ["en", "de"]}}) == "lang IN ('en', 'de')"
+    assert (
+        compile_filter({"range": {"n_chars": {"gte": 100, "lt": 500}}})
+        == "(n_chars >= 100 AND n_chars < 500)"
+    )
+    assert compile_filter({"exists": {"field": "source"}}) == "source IS NOT NULL"
+    got = compile_filter(
+        {"bool": {
+            "must": [{"term": {"lang": "en"}}],
+            "should": [{"term": {"source": "web"}}, {"term": {"source": "news"}}],
+            "must_not": [{"range": {"n_chars": {"lt": 50}}}],
+        }}
+    )
+    assert got == (
+        "(lang = 'en' AND (source = 'web' OR source = 'news')"
+        " AND NOT ((n_chars < 50)))"
+    )
+
+
+def test_structured_filter_equals_string_filter(spark, sf_dir, engine):
+    structured = engine.search(
+        {"neural": {
+            "query_text": "spark join",
+            "filter": {"bool": {"must": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 200}}},
+            ]}},
+        }}
+    )
+    raw = engine.search(
+        {"neural": {"query_text": "spark join",
+                    "filter": "lang = 'en' AND n_chars >= 200"}}
+    )
+    assert _ids(structured) == _ids(raw)
+
+
+def test_structured_filter_in_hybrid_pushdown(engine):
+    out = engine.search(
+        {"hybrid": {
+            "queries": [
+                {"neural": {"query_text": "spark join window"}},
+                {"match": {"field": "text", "query": "spark join"}},
+            ],
+            "filter": {"range": {"n_chars": {"gte": 300}}},
+        }}
+    )
+    ids = [int(i) for i in _ids(out)]
+    assert ids
+    docs = engine.documents()
+    ok = {r["doc_id"] for r in docs.where("n_chars >= 300").collect()}
+    assert set(ids) <= ok
