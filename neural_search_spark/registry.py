@@ -4186,3 +4186,117 @@ ORDER BY doc_id
 
 SPARK_QUERIES["decontaminate_overlap"] = q_decontaminate_overlap
 SPARK_QUERIES["text_repetition"] = q_text_repetition
+
+
+# ---------------------------------------------------------------------------
+# Round-4: tokenizer-vocabulary coverage and length-bucketed batching —
+# the two remaining pipeline-shaping stats before model training.
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE = 0.95
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: tokens by descending corpus frequency with
+    cumulative coverage; keep the prefix covering 95% of all token
+    occurrences (the classic vocab-size selection curve). One explode+
+    aggregate over the corpus, then window arithmetic on the tiny
+    vocab frame only — the cumsum never touches corpus-sized data."""
+    from pyspark.sql import Window
+
+    d = catalog.table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(S.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").cast("double").alias("total"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        tf.crossJoin(F.broadcast(total))
+        .withColumn("cum_tf", F.sum("tf").over(w))
+        .withColumn("coverage", F.round(F.col("cum_tf") / F.col("total"), 6))
+    )
+    kept = ranked.where(
+        (F.col("cum_tf") - F.col("tf")) / F.col("total") < VOCAB_COVERAGE
+    )
+    return kept.select("token", "tf", "coverage").orderBy(
+        F.col("tf").desc(), "token"
+    )
+
+
+ORACLES["vocab_coverage"] = f"""
+WITH tf AS (
+  SELECT u.token, count(*) AS tf
+  FROM (SELECT {_SQL_TOKS_LOWER} AS toks FROM documents), unnest(toks) AS u(token)
+  GROUP BY u.token
+),
+total AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+ranked AS (
+  SELECT token, tf,
+         sum(tf) OVER (ORDER BY tf DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf,
+         total
+  FROM tf CROSS JOIN total
+)
+SELECT token, tf, round(cum_tf / total, 6) AS coverage
+FROM ranked
+WHERE (cum_tf - tf) / total < {VOCAB_COVERAGE}
+ORDER BY tf DESC, token
+"""
+
+
+LEN_BUCKET_EDGES = [0, 16, 32, 64, 128]
+
+
+def q_inference_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 at scale (`processor/InferenceProcessor.java:221-264` sorts
+    texts by length before batching so model batches are
+    homogeneous): assign every doc to a token-length bucket — at
+    cluster scale this column feeds `repartitionByRange`, so each
+    Arrow batch hitting the embedding UDF has near-uniform sequence
+    lengths (minimal padding waste). The audit output: per-bucket doc
+    count, token sum, and padding-waste estimate (bucket_max − len)."""
+    d = catalog.table(spark, sf_dir, "documents")
+    nlen = F.size(S.tokens(F.col("text")))
+    edges = LEN_BUCKET_EDGES
+    bucket = F.when(nlen >= edges[-1], F.lit(len(edges) - 1))
+    for i in range(len(edges) - 2, -1, -1):
+        bucket = bucket.when(nlen >= edges[i], F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(edges)))
+    per_doc = d.select(nlen.alias("n_tokens"), bucket.alias("bucket"))
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("bucket_max"),
+            (F.max("n_tokens") * F.count("*") - F.sum("n_tokens")).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LB_CASE = "CASE " + " ".join(
+    f"WHEN n >= {e} THEN {i}"
+    for i, e in reversed(list(enumerate(LEN_BUCKET_EDGES)))
+) + f" ELSE {len(LEN_BUCKET_EDGES)} END"
+ORACLES["inference_length_buckets"] = f"""
+WITH per_doc AS (
+  SELECT len({_SQL_TOKS_LOWER}) AS n,
+         {_LB_CASE} AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(max(n) AS INTEGER) AS bucket_max,
+       CAST(max(n) * count(*) - sum(n) AS BIGINT) AS padding_waste
+FROM per_doc
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+SPARK_QUERIES["vocab_coverage"] = q_vocab_coverage
+SPARK_QUERIES["inference_length_buckets"] = q_inference_length_buckets
