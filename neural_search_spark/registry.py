@@ -4300,3 +4300,45 @@ ORDER BY bucket
 
 SPARK_QUERIES["vocab_coverage"] = q_vocab_coverage
 SPARK_QUERIES["inference_length_buckets"] = q_inference_length_buckets
+
+
+# ---------------------------------------------------------------------------
+# Round-4: semi-structured JSON extraction (events.props) — schema-on-
+# read over a JSON string column, the log-processing staple.
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the `props` JSON column with an explicit schema
+    (from_json — no sampling/inference pass, a requirement at 100 TB
+    where schema inference would scan everything) and aggregate the
+    extracted field: per event type, count and stats of props.k.
+    Catalyst's JsonTuple/from_json stays in codegen; the aggregate is
+    an ordinary partial-agg tree."""
+    ev = catalog.table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["events_json_extract"] = """
+SELECT event_type,
+       count(CAST(props->>'k' AS INTEGER)) AS n,
+       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_json_extract"] = q_events_json_extract
