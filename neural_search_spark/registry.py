@@ -4342,3 +4342,105 @@ ORDER BY event_type
 """
 
 SPARK_QUERIES["events_json_extract"] = q_events_json_extract
+
+
+# ---------------------------------------------------------------------------
+# Round-4: contrastive-training data ops — hard-negative mining and
+# label-balanced resampling over the embeddings table.
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+REBALANCE_CAP = 50
+REBALANCE_SALT = "bal1:"
+
+
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors with a DIFFERENT label (the
+    negatives that actually teach the model). Anchors broadcast onto
+    one corpus scan; the label-mismatch predicate filters before the
+    per-anchor top-k window — same one-scan shape as batch retrieval,
+    so N anchors cost one job regardless of N."""
+    from pyspark.sql import Window
+    from .functions.vector import as_double, cosine
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    anchors = embs.where(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(as_double(F.col("embedding")), as_double(F.col("qvec"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= HARDNEG_K)
+        .drop("_rn")
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy("query_id", F.col("score").desc(), "doc_id")
+    )
+
+
+_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+ORACLES["mine_hard_negatives"] = f"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS ql
+  FROM embeddings WHERE vec_id IN ({_IDS_SQL})
+),
+scored AS (
+  SELECT a.query_id, e.vec_id AS doc_id,
+         {_sql_cos('e.embedding::DOUBLE[]', 'a.qe')} AS score
+  FROM embeddings e, a
+  WHERE e.label <> a.ql
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {HARDNEG_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
+def q_label_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balanced downsampling: cap every label at REBALANCE_CAP
+    rows, membership chosen by salted-hash order so the subsample is
+    deterministic, uniform within label, and stable under reruns —
+    one window shuffle on label, no collect."""
+    from pyspark.sql import Window
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit(REBALANCE_SALT), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("label").orderBy(h, "vec_id")
+    return (
+        embs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= REBALANCE_CAP)
+        .select("label", "vec_id")
+        .orderBy("label", "vec_id")
+    )
+
+
+ORACLES["label_rebalance"] = f"""
+SELECT label, vec_id
+FROM (
+  SELECT label, vec_id, row_number() OVER (
+    PARTITION BY label
+    ORDER BY md5('{REBALANCE_SALT}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings
+)
+WHERE rn <= {REBALANCE_CAP}
+ORDER BY label, vec_id
+"""
+
+SPARK_QUERIES["mine_hard_negatives"] = q_mine_hard_negatives
+SPARK_QUERIES["label_rebalance"] = q_label_rebalance
