@@ -56,6 +56,10 @@ HEADLINE = [
     "text_bigram_pmi",
     "decontaminate_overlap",
     "text_repetition",
+    "vocab_coverage",
+    "mine_hard_negatives",
+    "label_rebalance",
+    "events_json_extract",
 ]
 
 
