@@ -227,3 +227,61 @@ def lsh_bucketed_neardup(
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.col("cos").alias("cosine"))
     )
+
+
+def lsh_multitable_neardup(
+    embs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-composition of `n_tables` independent SRP hash tables: a pair
+    becomes a candidate if it collides in ANY table, so recall
+    compounds as 1−(1−p^b)^T (the standard LSH amplification the
+    single-table variant lacks). Plan shape: ONE projection computes
+    the unit vector and all T bucket ids, `posexplode` lays them out as
+    (table, bucket, id), and a single self-equi-join on (table, bucket)
+    generates candidates — one shuffle, linear in T·n. Candidate pairs
+    dedup on (a, b) BEFORE the exact-cosine verify, so each pair pays
+    the D-dim dot product once no matter how many tables it collides
+    in."""
+    from ..functions.common import let
+
+    v = as_double(F.col(vec_col))
+    buckets = []
+    for t in range(n_tables):
+        bits = [
+            F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+            for plane in _srp_planes(dim, n_planes, seed=f"srp{t}")
+        ]
+        buckets.append(F.concat(*bits))
+    with_vec = embs.select(
+        F.col(id_col),
+        F.array(*buckets).alias("_buckets"),
+        let(l2_norm(v), lambda nrm: F.transform(v, lambda x: x / nrm)).alias("unit"),
+    )
+    laid_out = with_vec.select(
+        F.col(id_col),
+        "unit",
+        F.posexplode(F.col("_buckets")).alias("table", "bucket"),
+    )
+    a = laid_out.select(
+        "table", "bucket", F.col(id_col).alias("a"), F.col("unit").alias("ua")
+    )
+    b = laid_out.select(
+        "table", "bucket", F.col(id_col).alias("b"), F.col("unit").alias("ub")
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ua", "ub")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cos", dot(F.col("ua"), F.col("ub")))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.col("cos").alias("cosine"))
+    )

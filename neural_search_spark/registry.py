@@ -4444,3 +4444,21 @@ ORDER BY label, vec_id
 
 SPARK_QUERIES["mine_hard_negatives"] = q_mine_hard_negatives
 SPARK_QUERIES["label_rebalance"] = q_label_rebalance
+
+
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table OR-amplified SRP-LSH near-dup (rows-only: the
+    4×8-plane bucket computation is impractical to mirror in SQL;
+    recall/precision gated in tests/test_layout_and_properties.py —
+    precision is exactly 1.0 because candidates are re-verified with
+    the exact cosine)."""
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    return _round4(
+        ANN.lsh_multitable_neardup(
+            embs, SRP_DIM, NEARDUP_THRESHOLD, n_planes=SRP_PLANES, n_tables=4
+        ),
+        "cosine",
+    )
+
+
+SPARK_QUERIES["ann_lsh_multitable"] = q_ann_lsh_multitable
