@@ -237,3 +237,40 @@ class CurationPipeline:
             out = fn(out)
             report.append((name, out.count()))
         return report
+
+
+def streaming_curate(
+    stream: DataFrame,
+    pipe: CurationPipeline,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    cross_batch_dedup: bool = True,
+):
+    """Run a CurationPipeline continuously: exact dedup is hoisted OUT
+    of the per-batch stages into Spark's stateful `dropDuplicates` on
+    the content hash, so duplicates are dropped ACROSS micro-batches
+    (state = seen hashes, exactly the streaming face of the dedup
+    stage); every other stage is batch/stream-agnostic and runs inside
+    foreachBatch on the surviving rows. Returns the StreamingQuery.
+    """
+    s = stream
+    if cross_batch_dedup:
+        s = s.withColumn("_content_hash", F.md5(F.col(pipe.text_col))).dropDuplicates(
+            ["_content_hash"]
+        )
+    # per-batch stages: everything EXCEPT dedup (handled by state above)
+    batch_pipe = CurationPipeline(pipe.id_col, pipe.text_col)
+    batch_pipe._stages = [
+        (n, fn) for n, fn in pipe._stages if not n.startswith("dedup")
+    ]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        out = batch_pipe.apply(batch.drop("_content_hash"))
+        sink(out, batch_id)
+
+    return (
+        s.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

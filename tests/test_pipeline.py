@@ -105,3 +105,38 @@ def test_simhash_dedup_collapses_variants(spark):
     ids = sorted(r["doc_id"] for r in out.collect())
     # 1 and 2 share a fingerprint (tiny token-weight delta), 3 survives
     assert 3 in ids and 1 in ids and len(ids) <= 2
+
+
+def test_streaming_curate_cross_batch(spark, tmp_path):
+    """Duplicates arriving in LATER batches are dropped by state; the
+    quality/length stages apply per batch."""
+    from neural_search_spark.pipeline import streaming_curate
+
+    src = str(tmp_path / "src")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then keeps "
+        "running through the quiet field for a while longer"
+    )
+    spark.createDataFrame(
+        [(1, good), (2, "x")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, good), (4, good + " entirely new suffix making it unique")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    pipe = CurationPipeline().length(min_tokens=5).dedup("exact")
+    got = []
+    q = streaming_curate(
+        stream, pipe, lambda df, bid: got.extend(df.collect()), str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["doc_id"] for r in got)
+    # 2 fails length; 3 is a cross-batch duplicate of 1; 1 and 4 survive
+    assert ids == [1, 4]
