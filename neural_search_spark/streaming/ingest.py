@@ -150,15 +150,21 @@ class IncrementalPostingsIndex:
 
     # -- writer side -------------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Idempotent per-batch write: each micro-batch lands in its own
+        `batch=<id>` subdirectory with overwrite, so a replayed batch
+        (foreachBatch re-delivers after a crash-restart) REPLACES its
+        previous attempt instead of double-appending — the standard
+        exactly-once recipe for foreachBatch sinks without transactional
+        tables."""
         from ..functions.sparse import tf_postings, tokens
 
         seg = tf_postings(batch).withColumnRenamed("weight", "tf")
-        seg.write.mode("append").parquet(self.postings_dir)
+        seg.write.mode("overwrite").parquet(f"{self.postings_dir}/batch={batch_id}")
         partial = batch.agg(
             F.count("*").alias("n"),
             F.sum(F.size(tokens(F.col("text")))).cast("double").alias("total_dl"),
         )
-        partial.write.mode("append").parquet(self.stats_dir)
+        partial.write.mode("overwrite").parquet(f"{self.stats_dir}/batch={batch_id}")
 
     def attach(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
         return (
@@ -170,7 +176,9 @@ class IncrementalPostingsIndex:
 
     # -- reader side -------------------------------------------------------
     def postings(self, spark) -> DataFrame:
-        return spark.read.parquet(self.postings_dir)
+        # `batch` is a partition-discovery column (the segment id), not
+        # index data — readers see the union of segments without it
+        return spark.read.parquet(self.postings_dir).drop("batch")
 
     def stats(self, spark) -> tuple[int, float]:
         n, total = (
@@ -209,7 +217,11 @@ class IncrementalPostingsIndex:
             )
         tmp = self.base + "/postings_compacted"
         merged.repartition("token").write.mode("overwrite").parquet(tmp)
+        import os
         import shutil
 
         shutil.rmtree(self.postings_dir)
-        shutil.move(tmp, self.postings_dir)
+        # the compacted set becomes one merged segment; later streaming
+        # batches keep appending fresh `batch=<id>` segments beside it
+        os.makedirs(self.postings_dir)
+        shutil.move(tmp, self.postings_dir + "/batch=compacted")

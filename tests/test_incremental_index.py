@@ -74,3 +74,23 @@ def test_streaming_attach_then_compact(spark, tmp_path):
         inc.postings(spark).groupBy("token").agg(F.count("*").alias("c")).collect()
     )
     assert all(r["c"] == 1 for r in per_token)
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a batch after crash-restart; the
+    per-batch overwrite layout must make the replay a no-op."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    inc = IncrementalPostingsIndex(str(tmp_path / "idx"))
+    inc.apply_batch(docs, 0)
+    once = sorted(
+        (r["doc_id"], r["token"], r["tf"]) for r in inc.postings(spark).collect()
+    )
+    n_once, avgdl_once = inc.stats(spark)
+    inc.apply_batch(docs, 0)  # replay of the SAME batch id
+    twice = sorted(
+        (r["doc_id"], r["token"], r["tf"]) for r in inc.postings(spark).collect()
+    )
+    assert twice == once
+    assert inc.stats(spark) == (n_once, avgdl_once)
