@@ -60,6 +60,13 @@ HEADLINE = [
     "mine_hard_negatives",
     "label_rebalance",
     "events_json_extract",
+    # round-5 additions
+    "late_interaction_maxsim",
+    "significant_terms",
+    "rank_eval_metrics",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q16",
 ]
 
 

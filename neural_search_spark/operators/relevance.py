@@ -1,0 +1,162 @@
+"""Relevance analytics: significant terms over a result set, and
+search-quality evaluation metrics (nDCG / MRR / recall).
+
+Parity-plus surface. The reference delegates aggregations over hybrid
+results to OpenSearch core (`search/query/HybridAggregationProcessor.
+java:45`); `significant_terms` is the core aggregation most tied to
+retrieval (foreground-vs-background term skew, JLH heuristic), and
+rank-eval mirrors OpenSearch core's `_rank_eval` endpoint — both
+re-expressed as single lazy DataFrame plans.
+
+Scale notes:
+- significant_terms: foreground ids are top-k output (tiny) →
+  broadcast; background doc-frequencies are an aggregation over the
+  postings layout (an ingest-time artifact that can be precomputed and
+  kept as a table — the same lifecycle as the BM25 stats tables).
+- rank_eval: rankings are (n_queries × k) rows — small by
+  construction; every metric is a conditional aggregation over one
+  window-ranked frame, one shuffle on query_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine
+
+
+def significant_terms(
+    doc_tokens: DataFrame,
+    fg_ids: DataFrame,
+    n_docs_df: DataFrame,
+    min_fg_df: int = 3,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """JLH-scored significant terms of a foreground doc set.
+
+    ``doc_tokens``: distinct (doc_id, token) pairs (the postings
+    layout); ``fg_ids``: small frame of foreground doc ids (e.g. a
+    top-k result list); ``n_docs_df``: 1-row frame ``(n_docs bigint)``
+    so the corpus size stays in-plan (no driver count).
+
+    JLH (OpenSearch significant_terms default heuristic):
+    ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` over doc
+    frequencies.
+    """
+    pairs = doc_tokens.select(id_col, "token")
+    bg = pairs.groupBy("token").agg(F.count("*").alias("bg_df"))
+    fg = (
+        pairs.join(F.broadcast(fg_ids.select(id_col)), id_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    n_fg_df = fg_ids.agg(F.count("*").alias("n_fg"))
+    joined = (
+        fg.join(bg, "token")
+        .crossJoin(F.broadcast(n_fg_df))
+        .crossJoin(F.broadcast(n_docs_df))
+    )
+    fg_rate = F.col("fg_df").cast("double") / F.col("n_fg").cast("double")
+    bg_rate = F.col("bg_df").cast("double") / F.col("n_docs").cast("double")
+    scored = joined.where(F.col("fg_df") >= min_fg_df).select(
+        "token",
+        "fg_df",
+        "bg_df",
+        ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("score"),
+    )
+    # only over-represented terms are significant (OpenSearch drops
+    # terms whose heuristic score is not positive)
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "token")
+        .limit(top_n)
+    )
+
+
+def rank_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    depth: int = 50,
+    ndcg_at: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """Ranking-quality metrics per query: nDCG@n, MRR, recall@depth.
+
+    ``queries``: (query_id, query_vec, qlabel) — one row per eval
+    query; ``corpus``: (doc_id, embedding, label). A doc is relevant
+    iff its label equals the query's label (binary qrels); the query's
+    own doc is excluded from the ranking.
+
+    One plan: broadcast the tiny query frame, score the corpus once,
+    window-rank to ``depth``, then every metric is a conditional
+    aggregation per query_id:
+      dcg   = Σ_{rank≤n, rel} 1/log2(rank+1)
+      idcg  = Σ_{i=1..min(n_rel,n)} 1/log2(i+1)   (ideal: all gains 1)
+      mrr   = 1/min(rank of relevant), 0 if none in window
+      recall= |rel ∩ top-depth| / n_rel
+    """
+    q = F.broadcast(queries.select(query_id, query_vec, qlabel_col))
+    scored = corpus.crossJoin(q).where(F.col(id_col) != F.col(query_id))
+    scored = scored.select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec))).alias("sim"),
+        (F.col(label_col) == F.col(qlabel_col)).cast("int").alias("rel"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(id_col))
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= depth
+    )
+    # total relevant per query (corpus-wide, not window-limited)
+    totals = (
+        corpus.crossJoin(q.select(query_id, qlabel_col))
+        .where(
+            (F.col(label_col) == F.col(qlabel_col))
+            & (F.col(id_col) != F.col(query_id))
+        )
+        .groupBy(query_id)
+        .agg(F.count("*").alias("n_rel"))
+    )
+    per_q = top.groupBy(query_id).agg(
+        F.sum(
+            F.when(
+                (F.col("rank") <= ndcg_at) & (F.col("rel") == 1),
+                F.lit(1.0) / F.log2(F.col("rank") + F.lit(1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum("rel").alias("rel_found"),
+    )
+    joined = per_q.join(totals, query_id, "left").na.fill({"n_rel": 0})
+    ideal_n = F.least(F.col("n_rel"), F.lit(ndcg_at))
+    idcg = F.when(
+        ideal_n >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), ideal_n),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i + F.lit(1)),
+        ),
+    )
+    return joined.select(
+        F.col(query_id),
+        F.round(
+            F.when(idcg.isNotNull(), F.col("dcg") / idcg).otherwise(F.lit(0.0)), 4
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 4
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("rel_found").cast("double") / F.col("n_rel").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("recall"),
+    ).orderBy(query_id)

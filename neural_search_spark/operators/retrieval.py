@@ -246,3 +246,47 @@ def chunk_max_topk(
         k,
         id_col=id_col,
     )
+
+
+def late_interaction_topk(
+    corpus: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = DEFAULT_K,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) retrieval.
+
+    ``corpus`` holds one row per (doc, token-vector); the query is a
+    small bag of vectors. score(doc) = Σ_q max_{t∈doc} cosine(q, t).
+
+    Extends the reference's multi-vector surface: the `semantic` field
+    stores per-chunk vectors scored with ScoreMode.Max
+    (`query/NeuralQueryBuilder.java:767-841` — max over ONE query
+    vector); MaxSim generalizes to a bag of query vectors with
+    sum-of-maxes, the late-interaction model of ColBERT
+    (Khattab & Zaharia, SIGIR 2020).
+
+    Scale shape: the query vectors ride in the plan as literals
+    (inference hoisting — no join, no broadcast), each per-(doc,q) max
+    is a conditional aggregation column, so the whole operator is ONE
+    map-side-combined shuffle on doc_id followed by
+    TakeOrderedAndProject. No (corpus × query) row blowup is ever
+    materialized: the similarity columns are computed inside one
+    projection over the token-vector scan.
+    """
+    v = V.as_double(F.col(vec_col))
+    sims = corpus.select(
+        F.col(id_col),
+        *[
+            V.cosine(v, V.lit_vector(q)).alias(f"_s{i}")
+            for i, q in enumerate(query_vecs)
+        ],
+    )
+    agg = sims.groupBy(id_col).agg(
+        *[F.max(F.col(f"_s{i}")).alias(f"_m{i}") for i in range(len(query_vecs))]
+    )
+    score = F.col("_m0")
+    for i in range(1, len(query_vecs)):
+        score = score + F.col(f"_m{i}")
+    return _topk(agg.select(F.col(id_col), score.alias("score")), k, id_col=id_col)
