@@ -39,16 +39,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default. Read nanos as long (legacy conf,
-    runtime-settable) and convert to a microsecond timestamp column, in
-    the session's UTC frame so calendar functions match the oracle."""
+    """events.parquet `ts` arrives either as TIMESTAMP(NANOS) (older
+    generators — Spark rejects it unless read as long) or as plain
+    micros (which Spark 4 infers as TIMESTAMP_NTZ). Normalize both to
+    a session-UTC TIMESTAMP so epoch arithmetic (`cast double`,
+    `unix_timestamp`) and calendar functions behave identically to the
+    DuckDB oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # read micros timestamps as TIMESTAMP (LTZ), not TIMESTAMP_NTZ:
+    # NTZ forbids the cast-to-double epoch idiom used by temporal ops
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

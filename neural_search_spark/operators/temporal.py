@@ -33,6 +33,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_sec(df: DataFrame, colname: str):
+    """Fractional epoch seconds from a numeric or timestamp column.
+    TIMESTAMP casts to double directly; TIMESTAMP_NTZ forbids that
+    cast (Spark 4), so route it through TIMESTAMP first (session-TZ
+    reinterpretation — both join sides go through the same frame, so
+    the difference arithmetic is unaffected)."""
+    dt = df.schema[colname].dataType
+    c = F.col(colname)
+    if isinstance(dt, T.TimestampNTZType):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def asof_join(
@@ -111,8 +125,8 @@ def band_join(
     shuffle only on (keys, bucket). Timestamps are compared at
     microsecond precision (``double`` epoch)."""
     keys = [on] if isinstance(on, str) else list(on)
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    lsec = _epoch_sec(left, left_ts)
+    rsec = _epoch_sec(right, right_ts)
     l = left.withColumn("__lsec", lsec).withColumn(
         "__bucket",
         F.explode(
