@@ -67,6 +67,10 @@ HEADLINE = [
     "tpch_q2",
     "tpch_q9",
     "tpch_q16",
+    # round-6 additions
+    "pack_sequences",
+    "mix_sources",
+    "function_score_decay",
 ]
 
 

@@ -160,3 +160,33 @@ def rank_eval(
             4,
         ).alias("recall"),
     ).orderBy(query_id)
+
+
+def function_score_gauss(
+    df: DataFrame,
+    ts_col: str,
+    origin: str,
+    scale_s: float,
+    offset_s: float = 0.0,
+    decay: float = 0.5,
+    boost: Column | None = None,
+) -> DataFrame:
+    """function_score-style Gauss decay ranking: score =
+    decay^(((max(|ts−origin|−offset, 0))/scale)²) × boost.
+
+    OpenSearch's `gauss` decay semantics (score_function gauss:
+    exp(ln(decay)·(dist/scale)²) with an offset dead-zone) — the
+    recency-weighting every search UI applies; the reference plugin
+    passes such function_score clauses through as opaque filters
+    (`query/NeuralQueryBuilder.java:645-646`), here it is a native
+    scoring expression. Pure narrow map over the scan — whole-stage
+    codegen, no shuffle, predicate pushdown unaffected; ranking is
+    TakeOrderedAndProject when followed by a top-k.
+    """
+    dt = F.abs(
+        F.col(ts_col).cast("double") - F.lit(origin).cast("timestamp").cast("double")
+    )
+    shifted = F.greatest(dt - F.lit(float(offset_s)), F.lit(0.0))
+    g = F.pow(F.lit(float(decay)), F.pow(shifted / F.lit(float(scale_s)), F.lit(2.0)))
+    score = g if boost is None else g * boost
+    return df.withColumn("fs_score", score)

@@ -4918,3 +4918,174 @@ for _name, _fn in [
     ("tpch_q16", q_tpch_q16), ("tpch_q20", q_tpch_q20),
 ]:
     SPARK_QUERIES[_name] = _fn
+
+
+# ===========================================================================
+# Round-6 additions: training-example assembly, function_score decay,
+# and an exact SQL oracle for MMR (upgrading q3 from rows-only)
+# ===========================================================================
+
+from .operators import packing as PK  # noqa: E402
+
+PACK_BUDGET = 256
+PACK_BUCKETS = 8
+MIX_TARGETS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1}
+FS_ORIGIN = "2024-01-15 12:00:00"
+FS_SCALE_S = 604800.0   # 7 days
+FS_OFFSET_S = 86400.0   # 1-day dead zone
+FS_K = 20
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~256-token training sequences across 8
+    parallel packing streams (operators/packing.py::pack_sequences —
+    bucketed cumsum windows; no global window, no shuffle beyond the
+    one hash exchange on pack_bucket)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return PK.pack_sequences(
+        docs, T.token_count_ws(F.col("text")), budget=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    ).orderBy("doc_id")
+
+
+ORACLES["pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_SQL_NTOK}::BIGINT AS n_tokens,
+         doc_id % {PACK_BUCKETS} AS pack_bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, pack_bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                  / {float(PACK_BUDGET)}) AS BIGINT) AS seq_id
+FROM d ORDER BY doc_id
+"""
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted source mixture (operators/packing.py::
+    mix_sources): largest budget every target source can supply, then
+    per-source doc_id-ordered prefixes — realized share vs target per
+    source."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return PK.mix_sources(docs, T.token_count_ws(F.col("text")), MIX_TARGETS)
+
+
+_SQL_MIX_TGT = "VALUES " + ", ".join(
+    f"('{s}', {w})" for s, w in sorted(MIX_TARGETS.items())
+)
+
+ORACLES["mix_sources"] = f"""
+WITH tgt(source, target_w) AS ({_SQL_MIX_TGT}),
+d AS (
+  SELECT doc_id, source, target_w,
+         {_SQL_NTOK}::DOUBLE AS n_tokens
+  FROM documents JOIN tgt USING (source)
+),
+totals AS (
+  SELECT source, target_w, sum(n_tokens) AS tok_total
+  FROM d GROUP BY source, target_w
+),
+b AS (SELECT min(tok_total / target_w) AS budget FROM totals),
+kept AS (
+  SELECT * FROM (
+    SELECT d.*, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+  ) c CROSS JOIN b
+  WHERE c.cum <= b.budget * c.target_w
+),
+agg AS (
+  SELECT source, target_w, count(*) AS kept_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source, target_w
+)
+SELECT source, target_w, kept_docs, kept_tokens,
+       round(kept_tokens / (SELECT sum(kept_tokens)::DOUBLE FROM agg), 4) AS share
+FROM agg ORDER BY source
+"""
+
+
+def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-ranked events: Gauss time decay (7-day scale, 1-day
+    offset, decay 0.5 at scale — OpenSearch function_score `gauss`
+    semantics) × ln(1+value) magnitude boost, top-20. Narrow map +
+    TakeOrderedAndProject — zero shuffles (operators/relevance.py::
+    function_score_gauss)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    scored = REL.function_score_gauss(
+        ev, "ts", FS_ORIGIN, FS_SCALE_S, FS_OFFSET_S,
+        boost=F.log(F.lit(1.0) + F.col("value")),
+    )
+    return (
+        scored.select(
+            "event_id", "user_id", F.round("fs_score", 4).alias("fs_score")
+        )
+        .orderBy(F.col("fs_score").desc(), "event_id")
+        .limit(FS_K)
+    )
+
+
+ORACLES["function_score_decay"] = f"""
+SELECT event_id, user_id,
+       round(pow(0.5, pow(greatest(abs(epoch(ts) - epoch(TIMESTAMP '{FS_ORIGIN}'))
+                                   - {FS_OFFSET_S}, 0.0) / {FS_SCALE_S}, 2.0))
+             * ln(1.0 + value), 4) AS fs_score
+FROM events
+ORDER BY fs_score DESC, event_id
+LIMIT {FS_K}
+"""
+
+
+def _oracle_mmr(k: int = K, lam: float = 0.5, n_cand: int = 30) -> str:
+    """Exact SQL oracle for greedy MMR: the k-step argmax loop unrolled
+    into k chained CTEs (greedy selection is not relational, but a
+    FIXED iteration count is just k correlated top-1 picks). Mirrors
+    rerank.mmr_diversify: val = λ·rel − (1−λ)·max cosine to selected,
+    ties → min doc_id; candidates = fused hybrid top-`n_cand`."""
+    cos = (
+        "(list_dot_product(c.emb, s.emb) / "
+        "(sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(s.emb, s.emb))))"
+    )
+    parts = [f"""WITH {_oracle_hybrid_union()},
+n AS ({SQL_MINMAX_NORM}),
+wts(subquery_idx, w) AS (VALUES (0, {HYBRID_WEIGHTS[0]}), (1, {HYBRID_WEIGHTS[1]})),
+fused AS (
+  SELECT n.doc_id, sum(wts.w * n.norm_score) / sum(wts.w) AS score
+  FROM n JOIN wts USING (subquery_idx)
+  GROUP BY n.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT f.doc_id, f.score, e.embedding::DOUBLE[] AS emb
+  FROM (SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id LIMIT {n_cand}) f
+  JOIN embeddings e ON e.vec_id = f.doc_id
+),
+pick1 AS (SELECT doc_id, score, emb FROM cand ORDER BY score DESC, doc_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM pick1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+pick{i} AS (
+  SELECT c.doc_id, c.score, c.emb FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+  ORDER BY {lam} * c.score
+           - {1.0 - lam} * (SELECT max({cos}) FROM sel{i - 1} s) DESC,
+           c.doc_id
+  LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    finals = " UNION ALL ".join(
+        f"SELECT doc_id, {i - 1} AS rank FROM pick{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"\nSELECT doc_id, rank FROM ({finals}) ORDER BY rank")
+    return "".join(parts)
+
+
+ORACLES["q3_mmr_diversify"] = _oracle_mmr()
+
+for _name, _fn in [
+    ("pack_sequences", q_pack_sequences),
+    ("mix_sources", q_mix_sources),
+    ("function_score_decay", q_function_score_decay),
+]:
+    SPARK_QUERIES[_name] = _fn
