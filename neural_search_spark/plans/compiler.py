@@ -359,6 +359,66 @@ class Engine:
             }
             return self.search(translated, pipeline, size, from_)
 
+        if qtype == "function_score":
+            # function_score wrapper (OpenSearch core semantics; the
+            # reference forwards such clauses opaquely,
+            # `query/NeuralQueryBuilder.java:645-646`): rescore the
+            # inner query's top-`window` candidates with decay /
+            # field-value functions — the same two-phase over-fetch
+            # discipline as R10, so the corpus is never re-scanned.
+            inner = body["query"]
+            window = int(body.get("window", 10 * size))
+            base = self.search(inner, None, size=window).select("doc_id", "score")
+            # base is ≤window rows — broadcast it onto the documents
+            # table so field fetch is a broadcast-hash join, not a shuffle
+            joined = F.broadcast(base).join(self.documents(), "doc_id")
+            fcols = []
+            for fn in body.get("functions", []):
+                w = F.lit(float(fn.get("weight", 1.0)))
+                if "gauss" in fn:
+                    g = fn["gauss"]
+                    dist = F.abs(
+                        F.col(g["field"]).cast("double") - F.lit(float(g["origin"]))
+                    )
+                    shifted = F.greatest(
+                        dist - F.lit(float(g.get("offset", 0.0))), F.lit(0.0)
+                    )
+                    val = F.pow(
+                        F.lit(float(g.get("decay", 0.5))),
+                        F.pow(shifted / F.lit(float(g["scale"])), F.lit(2.0)),
+                    )
+                elif "field_value_factor" in fn:
+                    fv = fn["field_value_factor"]
+                    raw = F.col(fv["field"]).cast("double") * F.lit(
+                        float(fv.get("factor", 1.0))
+                    )
+                    mod = fv.get("modifier", "none")
+                    val = {
+                        "none": raw,
+                        "log1p": F.log(F.lit(1.0) + raw),
+                        "sqrt": F.sqrt(raw),
+                    }[mod]
+                else:
+                    val = F.lit(1.0)
+                fcols.append(val * w)
+            if not fcols:
+                fcols = [F.lit(1.0)]
+            score_mode = body.get("score_mode", "multiply")
+            fscore = fcols[0]
+            for c in fcols[1:]:
+                fscore = (fscore * c) if score_mode == "multiply" else (fscore + c)
+            boost_mode = body.get("boost_mode", "multiply")
+            combined = {
+                "multiply": F.col("score") * fscore,
+                "sum": F.col("score") + fscore,
+                "replace": fscore,
+            }[boost_mode]
+            return (
+                joined.select("doc_id", combined.alias("score"))
+                .orderBy(F.col("score").desc(), "doc_id")
+                .limit(size)
+            )
+
         if qtype == "hybrid":
             subs_spec = body["queries"]
             depth = body.get("pagination_depth", from_ + size)

@@ -341,3 +341,46 @@ def test_structured_filter_in_hybrid_pushdown(engine):
     docs = engine.documents()
     ok = {r["doc_id"] for r in docs.where("n_chars >= 300").collect()}
     assert set(ids) <= ok
+
+
+def test_function_score_field_value_factor(engine):
+    base = engine.search({"neural": {"query_text": "spark join"}}, size=10)
+    out = engine.search(
+        {"function_score": {
+            "query": {"neural": {"query_text": "spark join"}},
+            "functions": [
+                {"field_value_factor": {"field": "n_chars", "modifier": "log1p"}}
+            ],
+            "window": 10,
+        }},
+        size=10,
+    )
+    brows = {r["doc_id"]: r["score"] for r in base.collect()}
+    orows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert set(orows) == set(brows)
+    docs = {r["doc_id"]: r["n_chars"] for r in engine.documents().collect()}
+    import math
+    for d, s in orows.items():
+        expect = brows[d] * math.log1p(float(docs[d]))
+        assert abs(s - expect) < 1e-6
+
+
+def test_function_score_gauss_and_boost_mode_replace(engine):
+    out = engine.search(
+        {"function_score": {
+            "query": {"neural": {"query_text": "spark join"}},
+            "functions": [
+                {"gauss": {"field": "n_chars", "origin": 300.0, "scale": 100.0}}
+            ],
+            "boost_mode": "replace",
+            "window": 20,
+        }},
+        size=5,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    # replace-mode score is the decay alone: in (0, 1], peaked at
+    # origin → returned docs are the window's closest to 300 chars
+    assert all(0.0 < r["score"] <= 1.0 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
