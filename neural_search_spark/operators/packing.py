@@ -130,3 +130,38 @@ def mix_sources(
         )
         .orderBy("source")
     )
+
+
+def shuffle_deterministic(
+    docs: DataFrame,
+    salt: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: each row
+    gets an md5-derived key; consumers read buckets in order and rows
+    within a bucket by ``pos``.
+
+    At 100 TB a true random sort is a full range-partition sort; this
+    is the cheaper standard construction — hash rows into
+    ``n_buckets`` pseudo-random buckets (the shuffle granularity) and
+    order within buckets by the hash value via a PARTITIONED window
+    (never a global one). Same salt → same permutation on any engine,
+    cluster size, or run; changing the salt is a fresh epoch
+    permutation. Epoch-reshuffling = one narrow map + one hash
+    exchange, no global coordination.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = docs.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long").alias("__hk"),
+        (F.conv(F.substring(h, 5, 2), 16, 10).cast("long") % n_buckets).alias(
+            "shuffle_bucket"
+        ),
+    )
+    w = Window.partitionBy("shuffle_bucket").orderBy("__hk", id_col)
+    return d.select(
+        id_col,
+        "shuffle_bucket",
+        F.row_number().over(w).alias("pos"),
+    )

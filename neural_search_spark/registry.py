@@ -5140,3 +5140,30 @@ def _ordered(d: dict) -> dict:
 
 SPARK_QUERIES = _ordered(SPARK_QUERIES)
 ORACLES = _ordered(ORACLES)
+
+
+SHUFFLE_SALT = "epoch0:"
+
+
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle (operators/packing.py::
+    shuffle_deterministic): md5 keys → 256 pseudo-random buckets →
+    within-bucket rank via a partitioned window. Same salt = same
+    permutation on every engine and cluster size."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return PK.shuffle_deterministic(docs, SHUFFLE_SALT).orderBy("doc_id")
+
+
+ORACLES["shuffle_deterministic"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS hk,
+         CAST(('0x' || substring(md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), 5, 2)) AS BIGINT) % 256 AS shuffle_bucket
+  FROM documents
+)
+SELECT doc_id, shuffle_bucket,
+       CAST(row_number() OVER (PARTITION BY shuffle_bucket ORDER BY hk, doc_id) AS INT) AS pos
+FROM d ORDER BY doc_id
+"""
+
+SPARK_QUERIES["shuffle_deterministic"] = q_shuffle_deterministic

@@ -102,3 +102,20 @@ def test_function_score_gauss_no_shuffle(spark):
         df, "ts", "2024-01-15 12:00:00", 100.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_deterministic_reproducible_and_partitioned(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = PK.shuffle_deterministic(df, "epoch0:", n_buckets=16).collect()
+    b = PK.shuffle_deterministic(df, "epoch0:", n_buckets=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = PK.shuffle_deterministic(df, "epoch1:", n_buckets=16).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # per-bucket positions are a contiguous 1..n ranking
+    per = {}
+    for r in a:
+        per.setdefault(r["shuffle_bucket"], []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    plan = PK.shuffle_deterministic(df, "s:")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
