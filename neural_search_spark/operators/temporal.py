@@ -145,3 +145,105 @@ def band_join(
         F.abs(F.col("__lsec") - F.col("__rsec")) <= band
     )
     return joined.drop("__bucket", "__lsec", "__rsec", *[f"__r_{k}" for k in keys])
+
+
+def asof_join_bucketed(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    carry: Sequence[str],
+    tiebreak: str,
+    bucket_seconds: float,
+    allow_exact: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """`asof_join` for hot keys: identical semantics, but the big
+    window partitions by (key, time-bucket) instead of key alone, so a
+    pathologically hot key (one user with millions of events) spreads
+    across ⌈span/bucket_seconds⌉ tasks instead of one straggler — the
+    skew case AQE cannot split (window partitions are atomic).
+
+    Two-pass plan:
+      1. within-bucket fill-forward — the `asof_join` union+window on
+         (keys, bucket): linear, parallel across buckets;
+      2. cross-bucket carry — per (keys, bucket) keep only the LAST
+         build row's carry (max_by), then fill forward over the
+         bucket sequence: a frame of (#keys × #non-empty buckets)
+         rows, orders of magnitude smaller than the data;
+      3. probe rows without a within-bucket match take the carry-in
+         of their bucket.
+
+    Choose `bucket_seconds` so a hot key's per-bucket row count fits a
+    task comfortably; for uniform keys plain `asof_join` does one
+    fewer (tiny) shuffle.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = list(probe.columns)
+
+    carry_struct = F.struct(*[F.col(c) for c in carry]).alias("__carry")
+    bucket = lambda col: F.floor(_epoch_sec_col(col) / F.lit(float(bucket_seconds)))  # noqa: E731
+
+    b = build.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.col(tiebreak).cast("double").alias("__tb"),
+        carry_struct,
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}")
+          for c in probe_cols],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    u = b.unionByName(p).withColumn("__bkt", bucket(F.col("__ts")))
+
+    side_order = F.col("__side") if allow_exact else -F.col("__side")
+    w_in = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(F.col("__ts"), side_order, F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u = u.withColumn("__m_in", F.last("__carry", ignorenulls=True).over(w_in))
+
+    # cross-bucket carry: last build carry per (keys, bucket), filled
+    # forward over strictly-earlier buckets. Tiny frame — safe window.
+    last_per_bucket = (
+        u.filter(F.col("__side") == 0)
+        .groupBy(*keys, "__bkt")
+        .agg(F.max_by("__carry", F.struct("__ts", "__tb")).alias("__last"))
+    )
+    all_buckets = u.select(*keys, "__bkt").distinct()
+    w_cross = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        all_buckets.join(last_per_bucket, keys + ["__bkt"], "left")
+        .withColumn("__m_prev", F.last("__last", ignorenulls=True).over(w_cross))
+        .select(*keys, "__bkt", "__m_prev")
+    )
+
+    matched = (
+        u.filter(F.col("__side") == 1)
+        .join(carry_in, keys + ["__bkt"], "left")
+        .withColumn("__m", F.coalesce("__m_in", "__m_prev"))
+    )
+    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
+    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
+    return matched.select(*out_cols)
+
+
+def _epoch_sec_col(col):
+    """Epoch seconds for an arbitrary Column (type resolved lazily:
+    try the timestamp route first via try-variants is unavailable for
+    columns, so cast through timestamp only when needed at plan time
+    is not possible — instead rely on the input being TIMESTAMP or
+    numeric; TIMESTAMP_NTZ inputs are normalized by catalog)."""
+    return col.cast("double")

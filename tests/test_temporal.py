@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from neural_search_spark.operators import temporal as TJ
 from neural_search_spark.operators.temporal import asof_join
 
 
@@ -99,3 +100,58 @@ def test_band_join_no_nested_loop(spark):
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def _rand_events(spark, n_users=5, n=400, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, rnd.randrange(n_users), float(rnd.randrange(0, 10_000)),
+                     rnd.random()))
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts double, value double")
+
+
+def test_asof_join_bucketed_equiv_random(spark):
+    ev = _rand_events(spark)
+    probe = ev.where("event_id % 3 = 0").select("event_id", "user_id", "ts", "value")
+    build = ev.where("event_id % 3 != 0").select(
+        "user_id", "ts", F.col("event_id").alias("bid"), F.col("value").alias("bval")
+    )
+    for exact in (True, False):
+        a = TJ.asof_join(probe, build, on="user_id", ts="ts",
+                         carry=["bid", "bval"], tiebreak="bid", allow_exact=exact)
+        b = TJ.asof_join_bucketed(probe, build, on="user_id", ts="ts",
+                                  carry=["bid", "bval"], tiebreak="bid",
+                                  bucket_seconds=500.0, allow_exact=exact)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
+
+
+def test_asof_join_bucketed_cross_bucket_carry(spark):
+    # build only in bucket 0; probes in later empty buckets must still
+    # see the carry from bucket 0 (and pre-build probes stay null)
+    probe = spark.createDataFrame(
+        [(1, 1, 50.0), (2, 1, 5000.0), (3, 1, 9000.0), (4, 1, 10.0)],
+        "event_id long, user_id long, ts double")
+    build = spark.createDataFrame(
+        [(1, 20.0, 100), (1, 30.0, 101)], "user_id long, ts double, bid long")
+    out = TJ.asof_join_bucketed(probe, build, on="user_id", ts="ts",
+                                carry=["bid"], tiebreak="bid",
+                                bucket_seconds=100.0)
+    got = {r["event_id"]: r["asof_bid"] for r in out.collect()}
+    assert got == {1: 101, 2: 101, 3: 101, 4: None}
+
+
+def test_asof_join_bucketed_window_is_bucket_partitioned(spark):
+    ev = _rand_events(spark, n_users=1, n=100)
+    probe = ev.select("event_id", "user_id", "ts")
+    build = ev.select("user_id", "ts", F.col("event_id").alias("bid"))
+    plan = TJ.asof_join_bucketed(
+        probe, build, on="user_id", ts="ts", carry=["bid"],
+        tiebreak="bid", bucket_seconds=100.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    # the big within-bucket window must partition by (user_id, __bkt)
+    assert "__bkt" in plan
