@@ -285,3 +285,50 @@ def lsh_multitable_neardup(
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.col("cos").alias("cosine"))
     )
+
+
+def lsh_topk(
+    embs: DataFrame,
+    qv: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-time SRP-LSH top-k: hash the query into its bucket per
+    table on the DRIVER (planes are deterministic md5 literals), scan
+    only rows whose bucket matches in ANY table, exact-cosine the
+    candidates, top-k.
+
+    The bucket predicate is a pure column expression over the scan —
+    candidate generation is a filter (no shuffle, no index lookup
+    structure), pruning ~(1 − (1 − 2^-n_planes)^n_tables) of the
+    corpus; at 100 TB, persisting the bucket ids as table columns
+    (sources/layout.py discipline) turns the filter into partition
+    pruning. Recall follows the multi-table OR-amplification of
+    `lsh_multitable_neardup`."""
+    dim = len(qv)
+    v = as_double(F.col(vec_col))
+    cond = None
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, seed=f"srp{t}")
+        qbits = "".join(
+            "1" if sum(q * p for q, p in zip(qv, plane)) >= 0.0 else "0"
+            for plane in planes
+        )
+        bits = [
+            F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+        eq = F.concat(*bits) == F.lit(qbits)
+        cond = eq if cond is None else (cond | eq)
+    return (
+        embs.where(cond)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.round(cosine(v, lit_vector(qv)), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

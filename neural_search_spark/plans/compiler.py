@@ -330,6 +330,12 @@ class Engine:
             books = PQ.train_codebooks(embs, k=int(params.get("codebook_k", 64)))
             codes = PQ.encode_pq(embs, books)
             return PQ.pq_adc_topk(codes, embs, books, qv, k=k, shortlist=shortlist)
+        if method == "lsh":
+            return ANN.lsh_topk(
+                embs, qv, k=k,
+                n_planes=int(params.get("n_planes", 4)),
+                n_tables=int(params.get("n_tables", 4)),
+            )
         raise ValueError(f"unsupported dense ANN method: {method}")
 
     # -- entry point -------------------------------------------------------

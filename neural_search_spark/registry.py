@@ -5167,3 +5167,45 @@ FROM d ORDER BY doc_id
 """
 
 SPARK_QUERIES["shuffle_deterministic"] = q_shuffle_deterministic
+
+
+LSH_TOPK_TABLES = 4
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time SRP-LSH top-k (operators/ann.py::lsh_topk): the query
+    hashes to one bucket per table on the driver; candidate generation
+    is a pure filter over the scan (OR of 4 bucket equalities — at
+    scale, partition pruning over a bucket-laid-out table), exact
+    cosine on survivors only."""
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    qv = _qvec(spark, sf_dir)
+    return ANN.lsh_topk(embs, qv, k=K, n_planes=SRP_PLANES,
+                        n_tables=LSH_TOPK_TABLES)
+
+
+def _srp_bits_sql(vec_expr: str, t: int) -> str:
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, {_plane_sql_literal(p)}) >= 0.0"
+        " THEN '1' ELSE '0' END"
+        for p in ANN._srp_planes(SRP_DIM, SRP_PLANES, seed=f"srp{t}")
+    )
+    return f"concat({bits})"
+
+
+_LSH_TOPK_MATCH = " OR ".join(
+    f"({_srp_bits_sql('embedding::DOUBLE[]', t)} = {_srp_bits_sql('qe', t)})"
+    for t in range(LSH_TOPK_TABLES)
+)
+
+ORACLES["ann_lsh_topk"] = f"""
+WITH q AS {SQL_QVEC},
+c AS (SELECT e.vec_id, e.embedding, q.qe FROM embeddings e, q)
+SELECT vec_id AS doc_id,
+       round({_sql_cos('embedding::DOUBLE[]', 'qe')}, 4) AS score
+FROM c
+WHERE {_LSH_TOPK_MATCH}
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+SPARK_QUERIES["ann_lsh_topk"] = q_ann_lsh_topk

@@ -384,3 +384,15 @@ def test_function_score_gauss_and_boost_mode_replace(engine):
     assert all(0.0 < r["score"] <= 1.0 for r in rows)
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_method(engine):
+    out = engine.search(
+        {"neural": {"query_text": "spark join",
+                    "method": {"name": "lsh", "n_planes": 4, "n_tables": 4}}},
+        size=10,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
