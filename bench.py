@@ -71,6 +71,8 @@ HEADLINE = [
     "pack_sequences",
     "mix_sources",
     "function_score_decay",
+    "shuffle_deterministic",
+    "ann_lsh_topk",
 ]
 
 
