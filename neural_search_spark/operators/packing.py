@@ -118,18 +118,20 @@ def mix_sources(
     out = kept.groupBy("source", "target_w").agg(
         F.count("*").alias("kept_docs"), F.sum("n_tokens").alias("kept_tokens")
     )
-    grand = out.agg(F.sum("kept_tokens").alias("grand")).select("grand")
-    return (
-        out.crossJoin(F.broadcast(grand))
-        .select(
-            "source",
-            "target_w",
-            "kept_docs",
-            F.col("kept_tokens").cast("long").alias("kept_tokens"),
-            F.round(F.col("kept_tokens") / F.col("grand"), 4).alias("share"),
-        )
-        .orderBy("source")
-    )
+    # grand total via an unpartitioned window over the ALREADY-AGGREGATED
+    # |sources|-row frame: one SinglePartition exchange of a bounded
+    # frame, instead of a crossJoin(agg(out)) that would execute the
+    # whole corpus subtree a second time.
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return out.select(
+        "source",
+        "target_w",
+        "kept_docs",
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        F.round(F.col("kept_tokens") / F.sum("kept_tokens").over(w_all), 4).alias(
+            "share"
+        ),
+    ).orderBy("source")
 
 
 def shuffle_deterministic(

@@ -18,8 +18,10 @@ implementation here is the union + fill-forward pattern:
 
 One hash shuffle on the join keys, linear work per partition, and the
 sort is per-key — the same plan shape survives a 1000-executor
-cluster. Skewed keys (one user with millions of events) can be
-pre-split with operators/skew.py helpers.
+cluster. For a pathologically hot key (a window partition AQE cannot
+split), `asof_join_bucketed` re-keys the window by (key, time-bucket)
+with a tiny cross-bucket carry pass; `operators/skew.py` covers the
+equi-join case.
 
 Determinism: ties are totally ordered by (ts, side, tiebreak), so the
 matched build row is "max ts, then max tiebreak" — reproducible across
@@ -49,6 +51,47 @@ def _epoch_sec(df: DataFrame, colname: str):
     return c.cast("double")
 
 
+def _tag_union(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    ts: str,
+    carry: Sequence[str],
+    tiebreak: str,
+) -> tuple[DataFrame, list[str]]:
+    """Union of build rows (side 0, carry struct) and probe rows
+    (side 1, original columns prefixed ``__p_``) — the shared input
+    frame of both as-of variants."""
+    probe_cols = list(probe.columns)
+    carry_struct = F.struct(*[F.col(c) for c in carry]).alias("__carry")
+    b = build.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.col(tiebreak).cast("double").alias("__tb"),
+        carry_struct,
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}")
+          for c in probe_cols],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    return b.unionByName(p), probe_cols
+
+
+def _project_out(
+    matched: DataFrame, probe_cols: list[str], carry: Sequence[str], prefix: str
+) -> DataFrame:
+    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
+    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
+    return matched.select(*out_cols)
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,
@@ -68,26 +111,7 @@ def asof_join(
     equal-``ts`` build rows (e.g. an event id); the max wins.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    probe_cols = list(probe.columns)
-
-    carry_struct = F.struct(*[F.col(c) for c in carry]).alias("__carry")
-    b = build.select(
-        *keys,
-        F.col(ts).alias("__ts"),
-        F.col(tiebreak).cast("double").alias("__tb"),
-        carry_struct,
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}")
-          for c in probe_cols],
-    )
-    p = probe.select(
-        *keys,
-        F.col(ts).alias("__ts"),
-        F.lit(None).cast("double").alias("__tb"),
-        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
-        F.lit(1).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
-    )
+    u, probe_cols = _tag_union(probe, build, keys, ts, carry, tiebreak)
     # allow_exact: build rows at equal ts sort BEFORE probe rows (side
     # 0 < 1) and land inside the ..1 PRECEDING frame; otherwise probe
     # rows sort first and equal-ts build rows are excluded.
@@ -98,13 +122,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     matched = (
-        b.unionByName(p)
-        .withColumn("__m", F.last("__carry", ignorenulls=True).over(w))
+        u.withColumn("__m", F.last("__carry", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
-    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
-    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
-    return matched.select(*out_cols)
+    return _project_out(matched, probe_cols, carry, prefix)
 
 
 def band_join(
@@ -179,29 +200,10 @@ def asof_join_bucketed(
     fewer (tiny) shuffle.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    probe_cols = list(probe.columns)
-
-    carry_struct = F.struct(*[F.col(c) for c in carry]).alias("__carry")
-    bucket = lambda col: F.floor(_epoch_sec_col(col) / F.lit(float(bucket_seconds)))  # noqa: E731
-
-    b = build.select(
-        *keys,
-        F.col(ts).alias("__ts"),
-        F.col(tiebreak).cast("double").alias("__tb"),
-        carry_struct,
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}")
-          for c in probe_cols],
+    u, probe_cols = _tag_union(probe, build, keys, ts, carry, tiebreak)
+    u = u.withColumn(
+        "__bkt", F.floor(_epoch_sec(u, "__ts") / F.lit(float(bucket_seconds)))
     )
-    p = probe.select(
-        *keys,
-        F.col(ts).alias("__ts"),
-        F.lit(None).cast("double").alias("__tb"),
-        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
-        F.lit(1).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
-    )
-    u = b.unionByName(p).withColumn("__bkt", bucket(F.col("__ts")))
 
     side_order = F.col("__side") if allow_exact else -F.col("__side")
     w_in = (
@@ -235,15 +237,4 @@ def asof_join_bucketed(
         .join(carry_in, keys + ["__bkt"], "left")
         .withColumn("__m", F.coalesce("__m_in", "__m_prev"))
     )
-    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
-    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carry]
-    return matched.select(*out_cols)
-
-
-def _epoch_sec_col(col):
-    """Epoch seconds for an arbitrary Column (type resolved lazily:
-    try the timestamp route first via try-variants is unavailable for
-    columns, so cast through timestamp only when needed at plan time
-    is not possible — instead rely on the input being TIMESTAMP or
-    numeric; TIMESTAMP_NTZ inputs are normalized by catalog)."""
-    return col.cast("double")
+    return _project_out(matched, probe_cols, carry, prefix)

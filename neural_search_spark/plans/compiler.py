@@ -410,22 +410,27 @@ class Engine:
             if not fcols:
                 fcols = [F.lit(1.0)]
             score_mode = body.get("score_mode", "multiply")
+            if score_mode not in ("multiply", "sum"):
+                raise ValueError(f"unsupported score_mode: {score_mode}")
             fscore = fcols[0]
             for c in fcols[1:]:
                 fscore = (fscore * c) if score_mode == "multiply" else (fscore + c)
             boost_mode = body.get("boost_mode", "multiply")
+            if boost_mode not in ("multiply", "sum", "replace"):
+                raise ValueError(f"unsupported boost_mode: {boost_mode}")
             combined = {
                 "multiply": F.col("score") * fscore,
                 "sum": F.col("score") + fscore,
                 "replace": fscore,
             }[boost_mode]
-            return (
+            # fall through to the shared pipeline post-processors
+            # (mmr/rerank/highlight/fetch_source) like every query type
+            result = (
                 joined.select("doc_id", combined.alias("score"))
                 .orderBy(F.col("score").desc(), "doc_id")
                 .limit(size)
             )
-
-        if qtype == "hybrid":
+        elif qtype == "hybrid":
             subs_spec = body["queries"]
             depth = body.get("pagination_depth", from_ + size)
             hybrid_filter = (

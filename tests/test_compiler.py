@@ -396,3 +396,35 @@ def test_ann_lsh_method(engine):
     assert 0 < len(rows) <= 10
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_function_score_composes_with_pipeline(engine):
+    out = engine.search(
+        {"function_score": {
+            "query": {"neural": {"query_text": "spark join"}},
+            "functions": [
+                {"field_value_factor": {"field": "n_chars", "modifier": "sqrt"}}
+            ],
+            "window": 10,
+        }},
+        pipeline={"highlight": {"query_text": "spark join"}},
+        size=5,
+    )
+    assert "highlighted" in out.columns
+    assert out.count() == 5
+
+
+def test_function_score_rejects_unknown_modes(engine):
+    import pytest as _pytest
+
+    for bad in (
+        {"score_mode": "avg"},
+        {"boost_mode": "max"},
+    ):
+        spec = {"function_score": {
+            "query": {"neural": {"query_text": "spark join"}},
+            "functions": [{"weight": 2.0}],
+            **bad,
+        }}
+        with _pytest.raises(ValueError):
+            engine.search(spec, size=3)

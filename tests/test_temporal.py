@@ -155,3 +155,18 @@ def test_asof_join_bucketed_window_is_bucket_partitioned(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # the big within-bucket window must partition by (user_id, __bkt)
     assert "__bkt" in plan
+
+
+def test_asof_join_bucketed_timestamp_ntz(spark):
+    # parquet micros timestamps read as TIMESTAMP_NTZ must not crash
+    # the bucket computation (regression: cast NTZ→double is illegal)
+    probe = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    build = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 7)], "user_id long, ts string, bid long"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "bid")
+    out = TJ.asof_join_bucketed(probe, build, on="user_id", ts="ts",
+                                carry=["bid"], tiebreak="bid",
+                                bucket_seconds=3600.0)
+    assert out.collect()[0]["asof_bid"] == 7
