@@ -73,6 +73,7 @@ HEADLINE = [
     "function_score_decay",
     "shuffle_deterministic",
     "ann_lsh_topk",
+    "percolate_match",
 ]
 
 

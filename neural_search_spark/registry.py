@@ -5209,3 +5209,50 @@ ORDER BY score DESC, doc_id LIMIT {K}
 """
 
 SPARK_QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+
+
+# --- percolator (reverse search) ------------------------------------------
+
+from .streaming import percolate as PERC  # noqa: E402
+
+PERC_QUERY_DOC_IDS = [3, 7, 11]
+PERC_MIN_SCORE = 12.0
+
+
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator: registered queries (token maps of three corpus docs,
+    sparse R3 semantics) match the whole documents table —
+    (query_id, doc_id, score ≥ min_score). Queries broadcast; the only
+    shuffle is the per-batch (query_id, doc_id) partial agg
+    (streaming/percolate.py)."""
+    rows = [
+        (d, _query_tokens_tf(spark, sf_dir, d), PERC_MIN_SCORE)
+        for d in PERC_QUERY_DOC_IDS
+    ]
+    queries = spark.createDataFrame(
+        rows, "query_id long, tokens map<string,double>, min_score double"
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        PERC.percolate_batch(docs, queries)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
+_PERC_Q_UNION = " UNION ALL ".join(
+    f"SELECT {d} AS query_id, token, weight AS w FROM post WHERE doc_id = {d}"
+    for d in PERC_QUERY_DOC_IDS
+)
+
+ORACLES["percolate_match"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+q AS ({_PERC_Q_UNION})
+SELECT q.query_id, p.doc_id, round(sum(p.weight * q.w), 4) AS score
+FROM post p JOIN q USING (token)
+GROUP BY q.query_id, p.doc_id
+HAVING sum(p.weight * q.w) >= {PERC_MIN_SCORE}
+ORDER BY query_id, doc_id
+"""
+
+SPARK_QUERIES["percolate_match"] = q_percolate_match
