@@ -105,9 +105,10 @@ def main() -> None:
     registry._positional(spark, sf_dir).count()
 
     # each query: one untimed warmup run (first-execution JIT/codegen of
-    # that plan shape + broadcast build), then the timed steady-state
-    # run — the number comparable to a warmed server answering query N.
-    # Cold (first-run) times are reported alongside.
+    # that plan shape + broadcast build), then TWO timed steady-state
+    # runs, keeping the min — single-run wall clock on a busy local[32]
+    # box swings ±30%, and the min is the number comparable to a warmed
+    # server answering query N. Cold (first-run) times alongside.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -115,9 +116,12 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
