@@ -74,6 +74,7 @@ HEADLINE = [
     "shuffle_deterministic",
     "ann_lsh_topk",
     "percolate_match",
+    "percolate_dense",
 ]
 
 

@@ -5256,3 +5256,44 @@ ORDER BY query_id, doc_id
 """
 
 SPARK_QUERIES["percolate_match"] = q_percolate_match
+
+
+PERC_DENSE_QUERY_IDS = [5, 42]
+PERC_DENSE_MIN = 0.45
+
+
+def q_percolate_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense percolator: registered query embeddings (two stored
+    vectors) match the embeddings table at cosine ≥ 0.45 — the R1
+    scoring inverted; broadcast query set, no corpus shuffle."""
+    rows = [
+        (v, _qvec(spark, sf_dir, v), PERC_DENSE_MIN) for v in PERC_DENSE_QUERY_IDS
+    ]
+    queries = spark.createDataFrame(
+        rows, "query_id long, qvec array<double>, min_score double"
+    )
+    embs = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return (
+        PERC.percolate_dense_batch(embs, queries)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
+_PERC_DENSE_Q = " UNION ALL ".join(
+    f"SELECT {v} AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {v}"
+    for v in PERC_DENSE_QUERY_IDS
+)
+
+ORACLES["percolate_dense"] = f"""
+WITH q AS ({_PERC_DENSE_Q})
+SELECT q.query_id, e.vec_id AS doc_id,
+       round({_sql_cos('e.embedding::DOUBLE[]', 'q.qv')}, 4) AS score
+FROM embeddings e CROSS JOIN q
+WHERE {_sql_cos('e.embedding::DOUBLE[]', 'q.qv')} >= {PERC_DENSE_MIN}
+ORDER BY query_id, doc_id
+"""
+
+SPARK_QUERIES["percolate_dense"] = q_percolate_dense

@@ -82,3 +82,31 @@ def percolate_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def percolate_dense_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dense percolation: registered queries are embeddings; a doc
+    matches when cosine ≥ the query's min_score (the `neural` R1
+    scoring turned inside-out). `queries` = (query_id, qvec
+    array<float>, min_score).
+
+    Same inverted plan as the sparse variant: the query set broadcasts
+    (a cross join against a bounded frame — O(batch × |queries|)
+    narrow work, no shuffle of the batch), cosine stays JVM-side."""
+    from ..functions.vector import as_double, cosine
+
+    q = queries.select(
+        "query_id", F.col("qvec").alias("__qv"), "min_score"
+    )
+    return (
+        docs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))))
+        .where(F.col("score") >= F.col("min_score"))
+        .select("query_id", id_col, "score")
+    )

@@ -68,3 +68,21 @@ def test_percolate_stream_matches_batches(spark, tmp_path):
     assert sorted((r["query_id"], r["doc_id"]) for r in got) == sorted(
         [(1, d) for d in range(0, 10, 2)] + [(2, d) for d in range(0, 10, 2)]
     )
+
+
+def test_percolate_dense_batch(spark):
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "doc_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0], 0.6)],
+        "query_id long, qvec array<double>, min_score double",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 4)
+        for r in PERC.percolate_dense_batch(docs, queries).collect()
+    }
+    # doc1 cos=1.0 ✓, doc2 cos=0.0 ✗, doc3 cos=0.7071 ✓
+    assert set(got) == {(100, 1), (100, 3)}
+    assert abs(got[(100, 3)] - 0.7071) < 1e-3
