@@ -75,6 +75,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "percolate_match",
     "percolate_dense",
+    "fuzzy_match",
+    "prefix_suggest",
 ]
 
 

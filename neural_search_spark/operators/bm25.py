@@ -169,3 +169,60 @@ def phrase_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def fuzzy_topk(
+    postings: DataFrame,
+    term: str,
+    max_dist: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OpenSearch `fuzzy` query: expand the term to every vocabulary
+    token within Levenshtein distance ≤ `max_dist`, score docs by
+    Σ tf·(max_dist+1−dist) (closer edits weigh more), top-k.
+
+    Plan shape: the expansion runs over the DISTINCT token dictionary
+    (orders of magnitude smaller than postings; at scale a persisted
+    layout table), the surviving ≤dozens of (token, dist) rows
+    broadcast-join the postings — the same inverted-index access
+    discipline as `sparse_topk_postings`. Levenshtein stays JVM-side
+    (`F.levenshtein` is a codegen'd built-in)."""
+    lev = F.levenshtein(F.col("token"), F.lit(term))
+    expansions = (
+        postings.select("token").distinct()
+        # cheap length pre-filter before the O(len²) edit distance
+        .where(F.abs(F.length("token") - F.lit(len(term))) <= max_dist)
+        .select("token", lev.alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )
+    return (
+        postings.join(F.broadcast(expansions), "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("weight") * (F.lit(float(max_dist + 1)) - F.col("dist"))
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )
+
+
+def prefix_suggest(
+    postings: DataFrame,
+    prefix: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Autocomplete suggester: the top-k vocabulary completions of
+    `prefix` ranked by document frequency (then term). One pass over
+    postings with a startswith filter (at scale: a range scan over a
+    token-sorted dictionary layout), count-distinct docs per token."""
+    return (
+        postings.where(F.col("token").startswith(prefix))
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(k)
+    )

@@ -5297,3 +5297,55 @@ ORDER BY query_id, doc_id
 """
 
 SPARK_QUERIES["percolate_dense"] = q_percolate_dense
+
+
+# --- fuzzy + suggest (lexical surface) ------------------------------------
+
+FUZZY_TERM = "spak"   # 1 edit from 'spark'
+FUZZY_MAX_DIST = 2
+SUGGEST_PREFIX = "sp"
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch `fuzzy` query: dictionary expansion within edit
+    distance ≤ 2 of a misspelled term, tf-weighted by closeness
+    (operators/bm25.py::fuzzy_topk — dictionary scan + broadcast
+    postings join)."""
+    return (
+        B.fuzzy_topk(_postings(spark, sf_dir), FUZZY_TERM, FUZZY_MAX_DIST, k=K)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+ORACLES["fuzzy_match"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+exp AS (
+  SELECT token, levenshtein(token, '{FUZZY_TERM}') AS dist
+  FROM (SELECT DISTINCT token FROM post)
+  WHERE abs(length(token) - {len(FUZZY_TERM)}) <= {FUZZY_MAX_DIST}
+    AND levenshtein(token, '{FUZZY_TERM}') <= {FUZZY_MAX_DIST}
+)
+SELECT p.doc_id, round(sum(p.weight * ({FUZZY_MAX_DIST + 1}.0 - e.dist)), 4) AS score
+FROM post p JOIN exp e USING (token)
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def q_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete suggester: top completions of a prefix by document
+    frequency (operators/bm25.py::prefix_suggest)."""
+    return B.prefix_suggest(_postings(spark, sf_dir), SUGGEST_PREFIX, k=K)
+
+
+ORACLES["prefix_suggest"] = f"""
+WITH post AS ({SQL_TF_POSTINGS})
+SELECT token, count(DISTINCT doc_id) AS doc_freq
+FROM post
+WHERE token LIKE '{SUGGEST_PREFIX}%'
+GROUP BY token
+ORDER BY doc_freq DESC, token LIMIT {K}
+"""
+
+SPARK_QUERIES["fuzzy_match"] = q_fuzzy_match
+SPARK_QUERIES["prefix_suggest"] = q_prefix_suggest

@@ -126,3 +126,26 @@ def test_agentic_context_exposed(spark, sf_dir):
     ctx = eng.last_agent_context
     assert ctx["question"].startswith("exact")
     assert "match" in ctx["dsl_query"]
+
+
+def test_fuzzy_topk_expansion_and_weighting(spark):
+    from neural_search_spark.operators import bm25 as B
+
+    post = spark.createDataFrame(
+        [(1, "spark", 2.0), (1, "spak", 1.0), (2, "spork", 3.0), (3, "zzz", 9.0)],
+        "doc_id long, token string, weight double",
+    )
+    out = {r["doc_id"]: r["score"] for r in B.fuzzy_topk(post, "spak", 2).collect()}
+    # dists: spak=0 (w 3), spark=1 (w 2), spork=2 (w 1); zzz excluded
+    assert out == {1: 2.0 * 2 + 1.0 * 3, 2: 3.0 * 1}
+
+
+def test_prefix_suggest_ranks_by_doc_freq(spark):
+    from neural_search_spark.operators import bm25 as B
+
+    post = spark.createDataFrame(
+        [(1, "spark", 1.0), (2, "spark", 1.0), (1, "spot", 1.0), (2, "zebra", 1.0)],
+        "doc_id long, token string, weight double",
+    )
+    rows = B.prefix_suggest(post, "sp", k=5).collect()
+    assert [(r["token"], r["doc_freq"]) for r in rows] == [("spark", 2), ("spot", 1)]
