@@ -77,6 +77,7 @@ HEADLINE = [
     "percolate_dense",
     "fuzzy_match",
     "prefix_suggest",
+    "more_like_this",
 ]
 
 

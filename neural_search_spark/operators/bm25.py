@@ -226,3 +226,41 @@ def prefix_suggest(
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(k)
     )
+
+
+def more_like_this_topk(
+    postings: DataFrame,
+    like_doc_id: int,
+    max_terms: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OpenSearch `more_like_this`: select the source doc's
+    `max_terms` highest tf·idf terms, score every other doc by
+    Σ tf·idf over that term set, top-k.
+
+    Plan shape: document frequencies come from one distinct-count agg
+    over postings (an ingest-time stats table at scale, like the BM25
+    frames); the selected term set is ≤`max_terms` rows → broadcast
+    joins the postings; one partial-agg groupBy(doc). The corpus is
+    touched once, through the inverted access path."""
+    n_docs = postings.select(id_col).distinct().count()
+    dfs = postings.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    src_terms = (
+        postings.where(F.col(id_col) == like_doc_id)
+        .join(dfs, "token")
+        .select("token", (F.col("weight") * idf).alias("tfidf"), idf.alias("idf"))
+        .orderBy(F.col("tfidf").desc(), "token")
+        .limit(max_terms)
+    )
+    return (
+        postings.where(F.col(id_col) != like_doc_id)
+        .join(F.broadcast(src_terms), "token")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("idf")).alias("score"))
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

@@ -5349,3 +5349,38 @@ ORDER BY doc_freq DESC, token LIMIT {K}
 
 SPARK_QUERIES["fuzzy_match"] = q_fuzzy_match
 SPARK_QUERIES["prefix_suggest"] = q_prefix_suggest
+
+
+MLT_DOC_ID = 13
+MLT_MAX_TERMS = 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: top-tf·idf terms of doc 13 → Σ tf·idf scoring
+    over the corpus (operators/bm25.py::more_like_this_topk)."""
+    return (
+        B.more_like_this_topk(_postings(spark, sf_dir), MLT_DOC_ID,
+                              MLT_MAX_TERMS, k=K)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+ORACLES["more_like_this"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM post),
+dfs AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM post GROUP BY token),
+src AS (
+  SELECT p.token, ln(n.n_docs / d.df) AS idf,
+         p.weight * ln(n.n_docs / d.df) AS tfidf
+  FROM post p JOIN dfs d USING (token) CROSS JOIN n
+  WHERE p.doc_id = {MLT_DOC_ID}
+  ORDER BY tfidf DESC, token LIMIT {MLT_MAX_TERMS}
+)
+SELECT p.doc_id, round(sum(p.weight * s.idf), 4) AS score
+FROM post p JOIN src s USING (token)
+WHERE p.doc_id != {MLT_DOC_ID}
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+SPARK_QUERIES["more_like_this"] = q_more_like_this

@@ -149,3 +149,20 @@ def test_prefix_suggest_ranks_by_doc_freq(spark):
     )
     rows = B.prefix_suggest(post, "sp", k=5).collect()
     assert [(r["token"], r["doc_freq"]) for r in rows] == [("spark", 2), ("spot", 1)]
+
+
+def test_more_like_this_excludes_source_and_ranks(spark):
+    from neural_search_spark.operators import bm25 as B
+
+    # doc 1 is the source; doc 2 shares its rare term, doc 3 only a
+    # common one → 2 must outrank 3, and 1 must not appear
+    post = spark.createDataFrame(
+        [(1, "rare", 2.0), (1, "common", 1.0),
+         (2, "rare", 1.0), (2, "common", 1.0),
+         (3, "common", 5.0), (4, "other", 1.0)],
+        "doc_id long, token string, weight double",
+    )
+    rows = B.more_like_this_topk(post, 1, max_terms=5, k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 1 not in ids
+    assert ids[0] == 2
