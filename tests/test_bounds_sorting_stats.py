@@ -154,15 +154,20 @@ def test_prefix_suggest_ranks_by_doc_freq(spark):
 def test_more_like_this_excludes_source_and_ranks(spark):
     from neural_search_spark.operators import bm25 as B
 
-    # doc 1 is the source; doc 2 shares its rare term, doc 3 only a
-    # common one → 2 must outrank 3, and 1 must not appear
+    # doc 1 is the source; doc 2 shares its rare term (idf ln2=.693),
+    # doc 3 only the common one (idf ln(4/3)=.288 × tf 2 = .575 <
+    # doc 2's .981) → 2 outranks 3, and the source never appears
     post = spark.createDataFrame(
         [(1, "rare", 2.0), (1, "common", 1.0),
          (2, "rare", 1.0), (2, "common", 1.0),
-         (3, "common", 5.0), (4, "other", 1.0)],
+         (3, "common", 2.0), (4, "other", 1.0)],
         "doc_id long, token string, weight double",
     )
     rows = B.more_like_this_topk(post, 1, max_terms=5, k=10).collect()
     ids = [r["doc_id"] for r in rows]
     assert 1 not in ids
     assert ids[0] == 2
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    import math
+    assert abs(scores[2] - (math.log(2.0) + math.log(4 / 3))) < 1e-9
+    assert abs(scores[3] - 2 * math.log(4 / 3)) < 1e-9
