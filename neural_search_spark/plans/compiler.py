@@ -293,6 +293,17 @@ class Engine:
                 self.positional_index(), self.bm25_index(), body["query"], k=k,
                 candidate_ids=candidate_ids,
             )
+        if qtype == "fuzzy":
+            post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
+            return B.fuzzy_topk(
+                post, body["value"], max_dist=int(body.get("fuzziness", 2)), k=k,
+            )
+        if qtype == "more_like_this":
+            post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
+            return B.more_like_this_topk(
+                post, int(body["like"]),
+                max_terms=int(body.get("max_query_terms", 10)), k=k,
+            )
         raise ValueError(f"unsupported query type: {qtype}")
 
     # -- dense ANN method dispatch ----------------------------------------

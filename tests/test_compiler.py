@@ -428,3 +428,12 @@ def test_function_score_rejects_unknown_modes(engine):
         }}
         with _pytest.raises(ValueError):
             engine.search(spec, size=3)
+
+
+def test_fuzzy_and_mlt_query_types(engine):
+    fz = engine.search({"fuzzy": {"value": "spak", "fuzziness": 2}}, size=5)
+    rows = fz.collect()
+    assert 0 < len(rows) <= 5
+    mlt = engine.search({"more_like_this": {"like": 13}}, size=5)
+    ids = [r["doc_id"] for r in mlt.collect()]
+    assert ids and 13 not in ids
