@@ -78,6 +78,7 @@ HEADLINE = [
     "fuzzy_match",
     "prefix_suggest",
     "more_like_this",
+    "bool_scored",
 ]
 
 

@@ -376,7 +376,68 @@ class Engine:
             }
             return self.search(translated, pipeline, size, from_)
 
-        if qtype == "function_score":
+        if qtype == "bool":
+            # scored bool (OpenSearch core): score = Σ must scores +
+            # Σ matching should scores; `filter` and `must_not` are
+            # structured non-scoring clauses. Clause lists are
+            # top-`depth` frames (k·depth rows), so every join below
+            # is tiny; the non-scoring clauses become ONE semi join
+            # against the filtered documents scan (predicate pushdown).
+            depth = int(body.get("pagination_depth", max(from_ + size, 50)))
+            musts = [
+                self._compile_sub(s, depth).select("doc_id", "score")
+                for s in body.get("must", [])
+            ]
+            shoulds = [
+                self._compile_sub(s, depth).select("doc_id", "score")
+                for s in body.get("should", [])
+            ]
+            if not musts and not shoulds:
+                raise ValueError("bool query requires a scored must/should clause")
+            if musts:
+                base = musts[0]
+                for i, m in enumerate(musts[1:], 1):
+                    m2 = m.withColumnRenamed("score", f"__m{i}")
+                    base = (
+                        base.join(m2, "doc_id")
+                        .withColumn("score", F.col("score") + F.col(f"__m{i}"))
+                        .drop(f"__m{i}")
+                    )
+                for j, sh in enumerate(shoulds):
+                    s2 = sh.withColumnRenamed("score", f"__h{j}")
+                    base = (
+                        base.join(s2, "doc_id", "left")
+                        .withColumn(
+                            "score",
+                            F.col("score")
+                            + F.coalesce(F.col(f"__h{j}"), F.lit(0.0)),
+                        )
+                        .drop(f"__h{j}")
+                    )
+            else:
+                # should-only: any clause matches; scores sum
+                from functools import reduce
+
+                base = (
+                    reduce(lambda a, b: a.unionByName(b), shoulds)
+                    .groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"))
+                )
+            clauses = []
+            if body.get("filter"):
+                clauses.append(f"({compile_filter(body['filter'])})")
+            for mn in body.get("must_not", []):
+                clauses.append(f"NOT ({compile_filter(mn)})")
+            if clauses:
+                allowed = self.documents().where(
+                    F.expr(" AND ".join(clauses))
+                ).select("doc_id")
+                base = base.join(allowed, "doc_id", "left_semi")
+            result = base.orderBy(F.col("score").desc(), "doc_id")
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(size)
+        elif qtype == "function_score":
             # function_score wrapper (OpenSearch core semantics; the
             # reference forwards such clauses opaquely,
             # `query/NeuralQueryBuilder.java:645-646`): rescore the

@@ -5384,3 +5384,43 @@ ORDER BY score DESC, doc_id LIMIT {K}
 """
 
 SPARK_QUERIES["more_like_this"] = q_more_like_this
+
+
+# --- scored bool query ------------------------------------------------------
+
+BOOL_MUSTNOT_SOURCE = "src3"
+BOOL_MIN_CHARS = 150
+
+
+def q_bool_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored bool (OpenSearch core semantics): must dense + should
+    sparse + non-scoring must_not(term)/filter(range) clauses —
+    score = must + matching-should sums over top-depth candidate
+    lists (plans/compiler.py bool branch)."""
+    from .plans.compiler import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.search(
+        {"bool": {
+            "must": [{"neural": {"vector": _qvec(spark, sf_dir)}}],
+            "should": [{"neural_sparse": {
+                "query_tokens": _query_tokens_tf(spark, sf_dir)}}],
+            "must_not": [{"term": {"source": BOOL_MUSTNOT_SOURCE}}],
+            "filter": {"range": {"n_chars": {"gte": BOOL_MIN_CHARS}}},
+            "pagination_depth": HYBRID_DEPTH,
+        }},
+        size=K,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["bool_scored"] = f"""
+WITH {_oracle_hybrid_union()}
+SELECT d.doc_id, round(d.score + coalesce(s.score, 0.0), 4) AS score
+FROM dense_top d
+LEFT JOIN sparse_top s USING (doc_id)
+JOIN documents doc USING (doc_id)
+WHERE doc.source != '{BOOL_MUSTNOT_SOURCE}' AND doc.n_chars >= {BOOL_MIN_CHARS}
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+SPARK_QUERIES["bool_scored"] = q_bool_scored

@@ -437,3 +437,48 @@ def test_fuzzy_and_mlt_query_types(engine):
     mlt = engine.search({"more_like_this": {"like": 13}}, size=5)
     ids = [r["doc_id"] for r in mlt.collect()]
     assert ids and 13 not in ids
+
+
+def test_bool_scored_must_should_and_exclusions(spark, sf_dir, engine):
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    qt = registry._query_tokens_tf(spark, sf_dir)
+    out = engine.search(
+        {"bool": {
+            "must": [{"neural": {"vector": qv}}],
+            "should": [{"neural_sparse": {"query_tokens": qt}}],
+            "must_not": [{"term": {"source": "src3"}}],
+            "filter": {"range": {"n_chars": {"gte": 150}}},
+            "pagination_depth": 50,
+        }},
+        size=10,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    docs = {r["doc_id"]: r for r in engine.documents().collect()}
+    for r in rows:
+        assert docs[r["doc_id"]]["source"] != "src3"
+        assert docs[r["doc_id"]]["n_chars"] >= 150
+    # must+should: score ≥ the dense-only score for the same doc
+    dense = {r["doc_id"]: r["score"]
+             for r in engine.search({"neural": {"vector": qv}}, size=50).collect()}
+    for r in rows:
+        assert r["score"] >= dense[r["doc_id"]] - 1e-9
+
+
+def test_bool_should_only_unions(engine):
+    out = engine.search(
+        {"bool": {"should": [
+            {"neural": {"query_text": "spark join"}},
+            {"match": {"field": "text", "query": "window batch"}},
+        ], "pagination_depth": 20}},
+        size=15,
+    )
+    rows = out.collect()
+    assert len(rows) == 15
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bool_requires_scored_clause(engine):
+    with pytest.raises(ValueError, match="scored must/should"):
+        engine.search({"bool": {"filter": {"term": {"lang": "en"}}}})
