@@ -5118,11 +5118,13 @@ PRIORITY_50 = [
     "f8_prune_topk",
     # dedup suite
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_simhash_neardup", "dedup_ngram_jaccard", "emb_neardup_cosine",
+    "dedup_simhash_neardup", "emb_neardup_cosine",
     # ANN suite
     "ann_ivf_topk", "ann_pq_topk", "ann_lsh_neardup",
     # text analysis
-    "text_lang_id", "text_quality", "text_token_count",
+    "text_lang_id", "text_quality",
+    # scored bool + percolator (round-6 query surface)
+    "bool_scored", "percolate_match",
     # temporal / events
     "events_windowed_agg", "events_asof_join", "events_band_join",
     # relational breadth (adapted TPC-H)
@@ -5424,3 +5426,10 @@ ORDER BY score DESC, doc_id LIMIT {K}
 """
 
 SPARK_QUERIES["bool_scored"] = q_bool_scored
+
+
+# re-apply the priority ordering now that every query is registered
+# (queries added after the first _ordered() call would otherwise sit
+# outside the driver's 50-entry correctness window by accident)
+SPARK_QUERIES = _ordered(SPARK_QUERIES)
+ORACLES = _ordered(ORACLES)

@@ -119,3 +119,53 @@ def test_shuffle_deterministic_reproducible_and_partitioned(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     plan = PK.shuffle_deterministic(df, "s:")._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_properties_random(spark):
+    """Start-fit invariants on random inputs: deterministic, seq ids
+    contiguous-monotone per bucket, every closed sequence reaches the
+    budget, overflow bounded by one document."""
+    import random
+
+    rnd = random.Random(123)
+    budget = 50
+    rows = [(i, rnd.randrange(1, 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = PK.pack_sequences(df, F.col("n"), budget=budget, n_buckets=4).collect()
+    again = PK.pack_sequences(df, F.col("n"), budget=budget, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    per = {}
+    for r in sorted(out, key=lambda r: (r["pack_bucket"], r["doc_id"])):
+        per.setdefault(r["pack_bucket"], []).append(r)
+    for rows_b in per.values():
+        seqs = [r["seq_id"] for r in rows_b]
+        assert seqs == sorted(seqs)           # monotone in doc order
+        assert seqs[0] == 0
+        # exact start-fit recurrence: seq = floor(cum_start / budget),
+        # so consecutive seq ids never jump by more than
+        # ceil(max_doc/budget) and the span covered by each closed bin
+        # ends at or past its boundary
+        cum = 0
+        for r in rows_b:
+            assert r["seq_id"] == cum // budget
+            cum += r["n_tokens"]
+
+
+def test_mix_sources_never_exceeds_budget_share(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(f"s{j}", j * 1000 + i, rnd.randrange(1, 30))
+            for j in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long")
+    targets = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+    out = {r["source"]: r for r in PK.mix_sources(df, F.col("n"), targets).collect()}
+    totals = {}
+    for s, _d, n in rows:
+        totals[s] = totals.get(s, 0) + n
+    budget = min(totals[s] / w for s, w in targets.items())
+    for s, w in targets.items():
+        assert out[s]["kept_tokens"] <= budget * w + 1e-9  # prefix never over
+    # the binding source is kept whole
+    binding = min(targets, key=lambda s: totals[s] / targets[s])
+    assert out[binding]["kept_tokens"] == totals[binding]
