@@ -79,6 +79,8 @@ HEADLINE = [
     "prefix_suggest",
     "more_like_this",
     "bool_scored",
+    "text_unigram_nll",
+    "text_source_kl",
 ]
 
 

@@ -5433,3 +5433,99 @@ SPARK_QUERIES["bool_scored"] = q_bool_scored
 # outside the driver's 50-entry correctness window by accident)
 SPARK_QUERIES = _ordered(SPARK_QUERIES)
 ORACLES = _ordered(ORACLES)
+
+
+# --- corpus LM statistics: unigram NLL + per-source KL divergence ----------
+
+
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram negative log-likelihood (the perplexity-filter
+    primitive of CCNet-style pipelines): train the unigram LM on the
+    corpus itself (token MLE probs from postings — one agg over the
+    ingest-time stats table), score each doc by Σ tf·(−ln p)/len.
+    Plan: probs frame ≈ vocab-size, broadcast onto postings, one
+    groupBy(doc) — inverted access, no corpus self-join."""
+    post = _postings(spark, sf_dir)
+    total = post.agg(F.sum("weight").alias("t")).first()["t"]
+    probs = post.groupBy("token").agg(
+        (F.sum("weight") / F.lit(float(total))).alias("p")
+    )
+    return (
+        post.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("weight") * -F.log("p")) / F.sum("weight"), 4
+            ).alias("nll")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["text_unigram_nll"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+t AS (SELECT sum(weight) AS total FROM post),
+probs AS (
+  SELECT token, sum(weight) / (SELECT total FROM t) AS p
+  FROM post GROUP BY token
+)
+SELECT p.doc_id,
+       round(sum(p.weight * -ln(pr.p)) / sum(p.weight), 4) AS nll
+FROM post p JOIN probs pr USING (token)
+GROUP BY p.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source ‖ corpus) over token distributions —
+    dataset drift/contamination detection. Two aggs over postings
+    joined on token (both bounded by vocab size); add-free because the
+    source support is a subset of the corpus support."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "source")
+    post = _postings(spark, sf_dir).join(F.broadcast(docs), "doc_id")
+    corpus_tot = post.agg(F.sum("weight")).first()[0]
+    corpus_p = post.groupBy("token").agg(
+        (F.sum("weight") / F.lit(float(corpus_tot))).alias("q")
+    )
+    src_tot = post.groupBy("source").agg(F.sum("weight").alias("st"))
+    src_p = (
+        post.groupBy("source", "token")
+        .agg(F.sum("weight").alias("sw"))
+        .join(F.broadcast(src_tot), "source")
+        .select("source", "token", (F.col("sw") / F.col("st")).alias("p"))
+    )
+    return (
+        src_p.join(F.broadcast(corpus_p), "token")
+        .groupBy("source")
+        .agg(F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 4).alias("kl"))
+        .orderBy("source")
+    )
+
+
+ORACLES["text_source_kl"] = f"""
+WITH post AS (
+  SELECT p.doc_id, p.token, p.weight, d.source
+  FROM ({SQL_TF_POSTINGS}) p JOIN documents d USING (doc_id)
+),
+ct AS (SELECT sum(weight) AS total FROM post),
+cq AS (SELECT token, sum(weight) / (SELECT total FROM ct) AS q FROM post GROUP BY token),
+st AS (SELECT source, sum(weight) AS stot FROM post GROUP BY source),
+sp AS (
+  SELECT p.source, p.token, sum(p.weight) / any_value(s.stot) AS p
+  FROM post p JOIN st s USING (source)
+  GROUP BY p.source, p.token
+)
+SELECT sp.source, round(sum(sp.p * ln(sp.p / cq.q)), 4) AS kl
+FROM sp JOIN cq USING (token)
+GROUP BY sp.source
+ORDER BY source
+"""
+
+SPARK_QUERIES["text_unigram_nll"] = q_text_unigram_nll
+SPARK_QUERIES["text_source_kl"] = q_text_source_kl
+
+# final ordering refresh (keep late registrations inside the window
+# logic; PRIORITY_50 membership is unchanged)
+SPARK_QUERIES = _ordered(SPARK_QUERIES)
+ORACLES = _ordered(ORACLES)
