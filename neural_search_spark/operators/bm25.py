@@ -177,10 +177,13 @@ def fuzzy_topk(
     max_dist: int = 2,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """OpenSearch `fuzzy` query: expand the term to every vocabulary
     token within Levenshtein distance ≤ `max_dist`, score docs by
     Σ tf·(max_dist+1−dist) (closer edits weigh more), top-k.
+    `candidate_ids` restricts the scored docs (hybrid filter
+    pushdown, P2); the expansion dictionary stays corpus-wide.
 
     Plan shape: the expansion runs over the DISTINCT token dictionary
     (orders of magnitude smaller than postings; at scale a persisted
@@ -196,8 +199,13 @@ def fuzzy_topk(
         .select("token", lev.alias("dist"))
         .where(F.col("dist") <= max_dist)
     )
+    scored = postings
+    if candidate_ids is not None:
+        scored = scored.join(
+            F.broadcast(candidate_ids.select(id_col)), id_col, "left_semi"
+        )
     return (
-        postings.join(F.broadcast(expansions), "token")
+        scored.join(F.broadcast(expansions), "token")
         .groupBy(id_col)
         .agg(
             F.sum(
@@ -234,21 +242,29 @@ def more_like_this_topk(
     max_terms: int = 10,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """OpenSearch `more_like_this`: select the source doc's
     `max_terms` highest tf·idf terms, score every other doc by
-    Σ tf·idf over that term set, top-k.
+    Σ tf·idf over that term set, top-k. `candidate_ids` restricts the
+    SCORED docs (hybrid filter pushdown, P2); term selection and idf
+    stay corpus-wide, like Lucene filtered queries.
 
     Plan shape: document frequencies come from one distinct-count agg
     over postings (an ingest-time stats table at scale, like the BM25
-    frames); the selected term set is ≤`max_terms` rows → broadcast
-    joins the postings; one partial-agg groupBy(doc). The corpus is
-    touched once, through the inverted access path."""
-    n_docs = postings.select(id_col).distinct().count()
-    dfs = postings.groupBy("token").agg(
-        F.countDistinct(id_col).alias("df")
+    frames); the corpus doc count is a 1-row aggregate cross-joined
+    into the idf expression (the whole query stays ONE lazy plan — no
+    eager driver action); the selected term set is ≤`max_terms` rows →
+    broadcast joins the postings; one partial-agg groupBy(doc)."""
+    n = postings.select(id_col).distinct().agg(
+        F.count("*").cast("double").alias("__n_docs")
     )
-    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    dfs = (
+        postings.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n))
+    )
+    idf = F.log(F.col("__n_docs") / F.col("df"))
     src_terms = (
         postings.where(F.col(id_col) == like_doc_id)
         .join(dfs, "token")
@@ -256,9 +272,13 @@ def more_like_this_topk(
         .orderBy(F.col("tfidf").desc(), "token")
         .limit(max_terms)
     )
+    scored = postings.where(F.col(id_col) != like_doc_id)
+    if candidate_ids is not None:
+        scored = scored.join(
+            F.broadcast(candidate_ids.select(id_col)), id_col, "left_semi"
+        )
     return (
-        postings.where(F.col(id_col) != like_doc_id)
-        .join(F.broadcast(src_terms), "token")
+        scored.join(F.broadcast(src_terms), "token")
         .groupBy(id_col)
         .agg(F.sum(F.col("weight") * F.col("idf")).alias("score"))
         .orderBy(F.col("score").desc(), id_col)

@@ -297,12 +297,14 @@ class Engine:
             post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
             return B.fuzzy_topk(
                 post, body["value"], max_dist=int(body.get("fuzziness", 2)), k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "more_like_this":
             post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
             return B.more_like_this_topk(
                 post, int(body["like"]),
                 max_terms=int(body.get("max_query_terms", 10)), k=k,
+                candidate_ids=candidate_ids,
             )
         raise ValueError(f"unsupported query type: {qtype}")
 
@@ -384,13 +386,21 @@ class Engine:
             # is tiny; the non-scoring clauses become ONE semi join
             # against the filtered documents scan (predicate pushdown).
             depth = int(body.get("pagination_depth", max(from_ + size, 50)))
+
+            def _clauses(spec) -> list:
+                # OpenSearch accepts a single object OR an array for
+                # every bool slot (filters may also be raw SQL strings)
+                if spec is None:
+                    return []
+                return [spec] if isinstance(spec, (dict, str)) else list(spec)
+
             musts = [
                 self._compile_sub(s, depth).select("doc_id", "score")
-                for s in body.get("must", [])
+                for s in _clauses(body.get("must"))
             ]
             shoulds = [
                 self._compile_sub(s, depth).select("doc_id", "score")
-                for s in body.get("should", [])
+                for s in _clauses(body.get("should"))
             ]
             if not musts and not shoulds:
                 raise ValueError("bool query requires a scored must/should clause")
@@ -424,9 +434,9 @@ class Engine:
                     .agg(F.sum("score").alias("score"))
                 )
             clauses = []
-            if body.get("filter"):
-                clauses.append(f"({compile_filter(body['filter'])})")
-            for mn in body.get("must_not", []):
+            for fl in _clauses(body.get("filter")):
+                clauses.append(f"({compile_filter(fl)})")
+            for mn in _clauses(body.get("must_not")):
                 clauses.append(f"NOT ({compile_filter(mn)})")
             if clauses:
                 allowed = self.documents().where(
@@ -436,7 +446,9 @@ class Engine:
             result = base.orderBy(F.col("score").desc(), "doc_id")
             if from_:
                 result = result.offset(from_)
-            result = result.limit(size)
+            # keep the MMR over-fetch window alive (the shared mmr
+            # stage below re-selects `size` diversified rows)
+            result = result.limit(max(size, mmr_cand or 0))
         elif qtype == "function_score":
             # function_score wrapper (OpenSearch core semantics; the
             # reference forwards such clauses opaquely,

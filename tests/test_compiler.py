@@ -482,3 +482,54 @@ def test_bool_should_only_unions(engine):
 def test_bool_requires_scored_clause(engine):
     with pytest.raises(ValueError, match="scored must/should"):
         engine.search({"bool": {"filter": {"term": {"lang": "en"}}}})
+
+
+def test_fuzzy_in_hybrid_respects_filter(engine):
+    out = engine.search(
+        {"hybrid": {
+            "queries": [
+                {"fuzzy": {"value": "spak"}},
+                {"neural": {"query_text": "spark join"}},
+            ],
+            "filter": {"term": {"lang": "en"}},
+            "pagination_depth": 30,
+        }},
+    )
+    en = {r["doc_id"] for r in engine.documents().where("lang = 'en'").collect()}
+    assert set(r["doc_id"] for r in out.collect()) <= en
+
+
+def test_bool_mmr_overfetch_diversifies(engine):
+    base = engine.search(
+        {"bool": {"should": [{"neural": {"query_text": "spark join"}}],
+                  "pagination_depth": 40}},
+        size=5,
+    )
+    div = engine.search(
+        {"bool": {"should": [{"neural": {"query_text": "spark join"}}],
+                  "pagination_depth": 40}},
+        pipeline={"mmr": {"candidates": 30, "lambda": 0.2}},
+        size=5,
+    )
+    b, d = [r["doc_id"] for r in base.collect()], [r["doc_id"] for r in div.collect()]
+    assert len(d) == 5
+    # with a 30-candidate window and strong diversity pressure the
+    # picked set must differ from the plain top-5 (not just reorder)
+    assert set(d) != set(b)
+
+
+def test_bool_accepts_object_form_clauses(engine):
+    out = engine.search(
+        {"bool": {
+            "must": {"neural": {"query_text": "spark join"}},
+            "filter": [{"term": {"lang": "en"}},
+                       {"range": {"n_chars": {"gte": 100}}}],
+        }},
+        size=5,
+    )
+    rows = out.collect()
+    assert rows
+    docs = {r["doc_id"]: r for r in engine.documents().collect()}
+    for r in rows:
+        assert docs[r["doc_id"]]["lang"] == "en"
+        assert docs[r["doc_id"]]["n_chars"] >= 100
