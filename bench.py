@@ -81,6 +81,7 @@ HEADLINE = [
     "bool_scored",
     "text_unigram_nll",
     "text_source_kl",
+    "next_word_suggest",
 ]
 
 

@@ -5140,8 +5140,6 @@ def _ordered(d: dict) -> dict:
     return head | {k: v for k, v in d.items() if k not in head}
 
 
-SPARK_QUERIES = _ordered(SPARK_QUERIES)
-ORACLES = _ordered(ORACLES)
 
 
 SHUFFLE_SALT = "epoch0:"
@@ -5526,7 +5524,58 @@ ORDER BY source
 SPARK_QUERIES["text_unigram_nll"] = q_text_unigram_nll
 SPARK_QUERIES["text_source_kl"] = q_text_source_kl
 
+
+
+# --- next-word completion (search-as-you-type) -----------------------------
+
+SUGGEST_CONTEXT = "spark"
+
+
+def q_next_word_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type completion: given the typed token, rank the
+    words that follow it in the corpus by bigram count (then term).
+    One explode + one filtered agg — at scale the bigram table is an
+    ingest-time artifact (the same lifecycle as postings/BM25 stats)
+    and this becomes a point lookup on its w1 key."""
+    d = catalog.table(spark, sf_dir, "documents")
+    toks = S.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    return (
+        bigrams.where(F.col("w1") == SUGGEST_CONTEXT)
+        .groupBy("w2")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w2").alias("completion"), "cnt")
+        .orderBy(F.col("cnt").desc(), "completion")
+        .limit(K)
+    )
+
+
+ORACLES["next_word_suggest"] = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(l))) t(i)
+)
+SELECT w2 AS completion, count(*) AS cnt
+FROM bg WHERE w1 = '{SUGGEST_CONTEXT}'
+GROUP BY w2
+ORDER BY cnt DESC, completion LIMIT {K}
+"""
+
+SPARK_QUERIES["next_word_suggest"] = q_next_word_suggest
+
 # apply the contract ordering ONCE, after every registration — the
-# driver's correctness gate samples the first 50 entries in dict order
+# driver's correctness gate samples the first 50 entries in dict
+# order, and PRIORITY_50 pins a full-family spread there
 SPARK_QUERIES = _ordered(SPARK_QUERIES)
 ORACLES = _ordered(ORACLES)
