@@ -86,6 +86,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    # STDOUT CONTRACT: exactly one JSON document. The JVM (and any
+    # library chatter) writes to fd 1 directly, which Python-level
+    # redirection can't intercept — so save the real stdout fd, point
+    # fd 1 at stderr for the whole run, and write the JSON to the
+    # saved fd at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("neural-search-spark-bench")
@@ -132,19 +141,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_cold": cold,
+            "cold_total": round(sum(cold.values()), 3),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    spark.stop()  # flush JVM chatter before emitting the one stdout line
+    os.write(real_stdout, (payload + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

@@ -31,15 +31,29 @@ def tokens(text_col: Column) -> Column:
     return F.filter(F.split(text_col, TOKEN_SPLIT), lambda t: t != "")
 
 
-def tf_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def tf_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str | None = None,
+) -> DataFrame:
     """Explode text into (id, token, weight=term-frequency) postings.
 
     TF weights are the deterministic stand-in for a learned sparse
     encoder (`processor/SparseEncodingProcessor.java:55-100`); weights
-    are integral so downstream dot products are exact.
+    are integral so downstream dot products are exact. `analyzer`
+    (functions/analyzers.py registry) swaps the tokenizer — None keeps
+    the whitespace default (R4's "analyzer with no payload" path,
+    `query/NeuralSparseQueryBuilder.java:509-552`).
     """
+    if analyzer is None:
+        toks = tokens(F.col(text_col))
+    else:
+        from .analyzers import analyze
+
+        toks = analyze(F.col(text_col), analyzer)
     return (
-        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(id_col, F.explode(toks).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").cast("double").alias("weight"))
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -77,6 +79,157 @@ def embed_text_image_py(text: str | None, image: bytes | None) -> list[float]:
         acc += _token_vec(digest, "mm:image")
     n = math.sqrt(float(acc @ acc))
     return [float(x) for x in (acc / n if n > 0 else acc)]
+
+
+# ---------------------------------------------------------------------------
+# Model registry: the real-model injection point.
+#
+# The reference's entire model layer is a live ML client
+# (`ml/MLCommonsClientAccessor.java:110-175` + retry
+# `util/RetryUtil.java`); here a model is an executor-side object with
+# ONE method — encode(texts, content_type) -> ndarray[n, dim] — loaded
+# lazily ONCE PER PYTHON WORKER (process-local cache below) and fed
+# Arrow batches re-chunked to the model's batch_size. Swapping the
+# deterministic stub for a real sentence-transformer is
+# `register_model(...)` + `default_model_id` — zero query-code changes
+# (proved in tests/test_model_registry.py with a real-shaped fake).
+#
+# Scale notes baked into the design:
+# - WEIGHTS travel once per executor: either cloudpickled inside the
+#   loader closure (small models) or via `spark.sparkContext.broadcast`
+#   captured by the loader (the test exercises this path) — never once
+#   per row or per batch.
+# - BATCHING: Arrow hands the UDF large Series; the wrapper re-chunks
+#   to `batch_size` so the model sees bounded batches (GPU memory /
+#   sequence-length padding control). Pair with
+#   `spark.sql.execution.arrow.maxRecordsPerBatch` to bound the outer
+#   batch.
+# - GPU scheduling: one model instance per worker process; cap
+#   `spark.executor.cores`-to-GPU fan-in with
+#   `spark.task.resource.gpu.amount` — the loader runs under whatever
+#   resource profile the stage carries.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelSpec:
+    """A registered model: `loader()` runs on the executor (lazily,
+    once per worker) and returns an object with
+    `encode(texts: list[str], content_type: str) -> ndarray[n, dim]`."""
+
+    model_id: str
+    loader: Callable[[], object]
+    dim: int = DIM
+    batch_size: int = 64
+
+
+class _StubDenseModel:
+    """The deterministic md5 stub wearing the real-model interface —
+    encode() must agree with embed_text_py exactly (golden tests)."""
+
+    def encode(self, texts: list[str], content_type: str = "PASSAGE") -> np.ndarray:
+        return np.asarray(
+            [embed_text_py(t, content_type) for t in texts], dtype=np.float64
+        )
+
+
+MODEL_REGISTRY: dict[str, ModelSpec] = {
+    "stub-dense": ModelSpec("stub-dense", _StubDenseModel, DIM, 64),
+}
+
+# process-local instance cache: on an executor this is per python
+# worker — the "load once, serve every batch" contract
+_MODEL_INSTANCES: dict[str, object] = {}
+
+
+def register_model(
+    model_id: str,
+    loader: Callable[[], object],
+    dim: int = DIM,
+    batch_size: int = 64,
+) -> None:
+    MODEL_REGISTRY[model_id] = ModelSpec(model_id, loader, dim, batch_size)
+    _MODEL_INSTANCES.pop(model_id, None)
+
+
+def _model_instance(spec: ModelSpec) -> object:
+    if spec.model_id not in _MODEL_INSTANCES:
+        _MODEL_INSTANCES[spec.model_id] = spec.loader()
+    return _MODEL_INSTANCES[spec.model_id]
+
+
+def encode_query(model_id: str, text: str, content_type: str = "QUERY") -> list[float]:
+    """Driver-side single-query inference through the registry — the
+    coordinator-rewrite hoisting (`NeuralQueryBuilder.java:887-932`)
+    with a pluggable model."""
+    spec = MODEL_REGISTRY[model_id]
+    vec = _model_instance(spec).encode([text or ""], content_type)[0]
+    return [float(x) for x in vec]
+
+
+def dense_embed_model_udf(model_id: str, content_type: str = "PASSAGE"):
+    """F1 through the registry: iterator-form pandas UDF so the model
+    loads once per worker, then streams Arrow batches re-chunked to the
+    model's batch_size. The stub and any real encoder run through this
+    same wrapper."""
+    spec = MODEL_REGISTRY[model_id]
+    loader, bs = spec.loader, spec.batch_size
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader() if model_id not in _MODEL_INSTANCES else _MODEL_INSTANCES[model_id]
+        _MODEL_INSTANCES[model_id] = model
+        for texts in it:
+            out: list[list[float]] = []
+            vals = texts.fillna("").tolist()
+            for start in range(0, len(vals), bs):
+                vecs = model.encode(vals[start : start + bs], content_type)
+                out.extend([[float(x) for x in v] for v in vecs])
+            yield pd.Series(out)
+
+    return _embed
+
+
+def sentence_transformer_loader(model_path: str, device: str = "cpu") -> Callable[[], object]:
+    """Loader factory for an actual sentence-transformers encoder —
+    the documented real-model path (this container has no torch, so it
+    raises a clear ImportError at LOAD time, on the executor, not at
+    registration):
+
+        models.register_model(
+            "e5-small",
+            models.sentence_transformer_loader("/mnt/models/e5-small-v2"),
+            dim=384, batch_size=64,
+        )
+        engine = Engine(spark, sf_dir, default_model_id="e5-small")
+
+    Ship weights to executors via a cluster filesystem path or
+    `SparkContext.addFile`; QUERY/PASSAGE asymmetry maps to the e5
+    prompt prefixes."""
+
+    def _load() -> object:
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as e:  # pragma: no cover - no torch in container
+            raise ImportError(
+                "sentence-transformers not installed; register a custom "
+                "loader (see tests/test_model_registry.py for the shape)"
+            ) from e
+
+        st = SentenceTransformer(model_path, device=device)
+
+        class _Wrap:
+            def encode(self, texts: list[str], content_type: str) -> np.ndarray:
+                prefix = "query: " if content_type == "QUERY" else "passage: "
+                return st.encode(
+                    [prefix + (t or "") for t in texts],
+                    convert_to_numpy=True,
+                    normalize_embeddings=True,
+                )
+
+        return _Wrap()
+
+    return _load
 
 
 def dense_embed_udf(content_type: str = "PASSAGE"):

@@ -33,15 +33,33 @@ class BM25Index:
     postings: DataFrame  # (doc_id, token, tf double)
     doclen: DataFrame  # (doc_id, dl double)
     stats: tuple[int, float]  # (N, avgdl)
+    analyzer: str | None = None  # analyzers.py name; None = whitespace default
 
 
-def build_bm25(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
-    postings = tf_postings(docs, id_col, text_col).withColumnRenamed("weight", "tf")
-    doclen = docs.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl")
+def build_bm25(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str | None = None,
+) -> BM25Index:
+    """`analyzer` selects a functions/analyzers.py tokenizer for the
+    postings AND is recorded on the index so query tokenization always
+    matches document tokenization (Lucene's index-analyzer contract)."""
+    postings = tf_postings(docs, id_col, text_col, analyzer=analyzer).withColumnRenamed(
+        "weight", "tf"
     )
+    if analyzer is None:
+        toks = tokens(F.col(text_col))
+    else:
+        from ..functions.analyzers import analyze
+
+        toks = analyze(F.col(text_col), analyzer)
+    doclen = docs.select(F.col(id_col), F.size(toks).cast("double").alias("dl"))
     n, avgdl = doclen.agg(F.count("*"), F.avg("dl")).first()
-    return BM25Index(postings=postings, doclen=doclen, stats=(int(n), float(avgdl)))
+    return BM25Index(
+        postings=postings, doclen=doclen, stats=(int(n), float(avgdl)),
+        analyzer=analyzer,
+    )
 
 
 def bm25_topk(
@@ -57,7 +75,12 @@ def bm25_topk(
     (hybrid filter pushdown, P2) — corpus stats stay corpus-wide, as in
     Lucene filtered queries."""
     n, avgdl = index.stats
-    qtokens = sorted({t for t in query.lower().split() if t})
+    if index.analyzer is None:
+        qtokens = sorted({t for t in query.lower().split() if t})
+    else:
+        from ..functions.analyzers import analyze_py
+
+        qtokens = sorted(set(analyze_py(query, index.analyzer)))
     spark = index.postings.sparkSession
     from .retrieval import token_frame
 

@@ -399,6 +399,93 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): the
+    adversarial-depth companion to `connected_components`. Alternating
+    large-star (hang every larger neighbor onto the neighborhood min)
+    and small-star (contract the smaller neighbors) rounds converge in
+    O(log n) iterations regardless of graph DIAMETER — label
+    propagation is O(diameter), which a million-node chain turns into a
+    million rounds; this turns it into ~20. Same per-round plan shape
+    (one shuffle join + one groupBy), so it scales identically.
+
+    Returns (node, component) with component = min reachable id —
+    bit-identical to `connected_components` (property-tested). Pass a
+    list as `rounds_out` to observe the iteration count.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        d = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        hang = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        keep = mins.select("u", F.col("m").alias("v"))
+        return hang.union(keep).where(F.col("u") != F.col("v")).distinct()
+
+    rounds = 0
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        rounds += 1
+        # fixpoint check over the (small) pair frame: any edge present
+        # in exactly one of {old, new}? Two anti joins, both tiny next
+        # to the corpus that produced the pairs.
+        changed = (
+            new_edges.join(edges, ["u", "v"], "left_anti")
+            .union(edges.join(new_edges, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # at the fixpoint every component is a star rooted at its min node
+    sym = _sym(edges)
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+
+
 def dedup_cluster_assignment(
     docs: DataFrame,
     n: int = 3,

@@ -229,14 +229,24 @@ class CurationPipeline:
         return out
 
     def survival_report(self, docs: DataFrame) -> list[tuple[str, int]]:
-        """Eager diagnostic: rows surviving after each stage (runs one
-        count per stage — use on samples, not the full corpus)."""
-        report = [("input", docs.count())]
+        """Eager diagnostic: rows surviving after each stage, in ONE
+        Spark action — every stage prefix is projected to a literal
+        stage tag, unioned, and counted with a single groupBy, so the
+        whole N-stage report is one job (safe to call casually; the
+        prefixes still each execute once inside that job)."""
+        tagged = docs.select(F.lit("s000:input").alias("_stage"))
         out = docs
-        for name, fn in self._stages:
+        labels = ["s000:input"]
+        for i, (name, fn) in enumerate(self._stages, 1):
             out = fn(out)
-            report.append((name, out.count()))
-        return report
+            label = f"s{i:03d}:{name}"
+            labels.append(label)
+            tagged = tagged.unionByName(out.select(F.lit(label).alias("_stage")))
+        counts = {
+            r["_stage"]: r["n"]
+            for r in tagged.groupBy("_stage").agg(F.count("*").alias("n")).collect()
+        }
+        return [(lb.split(":", 1)[1], int(counts.get(lb, 0))) for lb in labels]
 
 
 def streaming_curate(

@@ -61,6 +61,36 @@ def percolate_batch(
     )
 
 
+def percolate_batch_partitioned(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spill path for a registered-query set TOO LARGE to broadcast
+    (beyond ~10⁵–10⁶ queries the exploded (query_id, token, w) frame
+    outgrows executor broadcast memory): the exploded query postings
+    become a token-keyed INVERTED INDEX that is shuffle-joined against
+    the batch postings on token — both sides hash-partition on the
+    join key, so each task matches one token shard; no single executor
+    ever holds the full query set. Identical output to
+    `percolate_batch` (equivalence-tested); at steady state the query
+    index is written bucketed by token so only the batch side shuffles.
+    """
+    post = tf_postings(docs, id_col=id_col, text_col=text_col)
+    q = explode_queries(queries)
+    return (
+        post.join(q.hint("shuffle_hash"), "token")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("weight") * F.col("w")).alias("score"),
+            F.first("min_score").alias("_ms"),
+        )
+        .where(F.col("score") >= F.col("_ms"))
+        .select("query_id", id_col, "score")
+    )
+
+
 def percolate_stream(
     stream_docs: DataFrame,
     queries: DataFrame,

@@ -100,6 +100,63 @@ def test_agentic_translation_rules(engine):
     assert len(out.collect()) == 10
 
 
+def test_agentic_golden_translations():
+    """Golden outputs for the full rule table — the translator contract
+    (`processor/AgenticQueryTranslatorProcessor.java:97-150`): NL in,
+    exact DSL dict out, covering every target query type."""
+    assert _agentic_translate("find documents similar to spark streaming") == {
+        "neural": {"query_text": "find documents spark streaming"}
+    }
+    assert _agentic_translate("exact keyword search for spark") == {
+        "match": {"field": "text", "query": "search spark"}
+    }
+    assert _agentic_translate("sparse expansion search for spark joins") == {
+        "neural_sparse": {"query_text": "search spark joins"}
+    }
+    assert _agentic_translate("spark streaming without kafka") == {
+        "bool": {
+            "must": {"match": {"field": "text", "query": "spark streaming"}},
+            "must_not": "text LIKE '%kafka%'",
+        }
+    }
+    assert _agentic_translate("what about spark windows") == {
+        "hybrid": {
+            "queries": [
+                {"neural": {"query_text": "what about spark windows"}},
+                {"match": {"field": "text", "query": "what about spark windows"}},
+            ]
+        }
+    }
+
+
+def test_agentic_pluggable_translator(spark, sf_dir):
+    """Engine accepts a user-supplied agent (the real-LLM injection
+    point); the produced DSL executes and the agent context records it."""
+    calls = []
+
+    def my_agent(q):
+        calls.append(q)
+        return {"match": {"field": "text", "query": "spark"}}
+
+    eng = Engine(spark, sf_dir, agent_translate=my_agent)
+    out = eng.search({"agentic": {"query_text": "anything at all"}}, size=5)
+    assert len(out.collect()) == 5
+    assert calls == ["anything at all"]
+    assert eng.last_agent_context["dsl_query"] == {
+        "match": {"field": "text", "query": "spark"}
+    }
+
+
+def test_agentic_bool_translation_executes(engine):
+    out = engine.search(
+        {"agentic": {"query_text": "spark streaming without kafka"}}, size=5
+    )
+    rows = out.collect()
+    assert rows
+    docs = {r["doc_id"]: r["text"] for r in engine.documents().collect()}
+    assert all("kafka" not in docs[r["doc_id"]] for r in rows)
+
+
 def test_fetch_source_joins_full_rows(engine):
     out = engine.search(
         {"hybrid": {"queries": [{"neural": {"query_text": "spark"}}, {"neural_sparse": {"query_text": "spark join"}}]}},
@@ -146,6 +203,40 @@ def test_neural_method_pq_respects_filter(engine):
     )
     en = {r["doc_id"] for r in engine.documents().where("lang = 'en'").collect()}
     assert set(_ids(out)) <= en
+
+
+def test_ann_artifacts_cached_across_queries(spark, sf_dir, monkeypatch):
+    """ivf/pq artifacts are ingest-time, built ONCE per corpus: the
+    second search must hit the module cache — zero codebook training,
+    zero centroid collects (the scale contract; the reference trains at
+    segment build, `sparse/query/SparseAnnQueryBuilder.java` only reads)."""
+    from neural_search_spark.operators import pq as PQ
+    from neural_search_spark.plans import compiler as C
+
+    C.clear_ann_caches()
+    trains = []
+    real_train = PQ.train_codebooks
+    monkeypatch.setattr(
+        PQ, "train_codebooks", lambda *a, **kw: trains.append(1) or real_train(*a, **kw)
+    )
+    eng = Engine(spark, sf_dir)
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    spec = {"neural": {"vector": qv, "k": 5, "method": {"name": "pq"}}}
+    first = _ids(eng.search(spec))
+    assert trains == [1]
+    assert _ids(eng.search(spec)) == first        # cache hit, same answer
+    assert trains == [1]                          # ...with no re-training
+    # even a filtered query reuses the same index artifacts
+    eng.search({"neural": {"vector": qv, "k": 5, "method": {"name": "pq"},
+                           "filter": "lang = 'en'"}}).collect()
+    assert trains == [1]
+    # ivf centroids likewise collected once
+    ispec = {"neural": {"vector": qv, "k": 5, "method": {"name": "ivf"}}}
+    eng.search(ispec).collect()
+    assert (sf_dir, 16) in C._IVF_CENTROID_CACHE
+    cached = C._IVF_CENTROID_CACHE[(sf_dir, 16)]
+    eng.search(ispec).collect()
+    assert C._IVF_CENTROID_CACHE[(sf_dir, 16)] is cached
 
 
 def test_neural_method_unknown_raises(engine):
@@ -479,9 +570,25 @@ def test_bool_should_only_unions(engine):
     assert scores == sorted(scores, reverse=True)
 
 
-def test_bool_requires_scored_clause(engine):
-    with pytest.raises(ValueError, match="scored must/should"):
-        engine.search({"bool": {"filter": {"term": {"lang": "en"}}}})
+def test_bool_filter_only_constant_score(engine):
+    """Filter-only bool = constant-score matching (OpenSearch scores a
+    filter-context-only bool 0.0) — previously a ValueError, now parity."""
+    out = engine.search({"bool": {"filter": {"term": {"lang": "en"}}}}, size=7)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(r["score"] == 0.0 for r in rows)
+    en = {r["doc_id"] for r in engine.documents().where("lang = 'en'").collect()}
+    assert {r["doc_id"] for r in rows} <= en
+    # must_not-only is also accepted
+    neg = engine.search(
+        {"bool": {"must_not": {"term": {"lang": "en"}}}}, size=5
+    ).collect()
+    assert neg and all(r["doc_id"] not in en for r in neg)
+
+
+def test_bool_empty_rejected(engine):
+    with pytest.raises(ValueError, match="bool query requires"):
+        engine.search({"bool": {}})
 
 
 def test_fuzzy_in_hybrid_respects_filter(engine):

@@ -88,3 +88,49 @@ def test_cc_random_graphs_match_union_find(spark):
         expect = {x: find(x) for x in touched}
         got = _components(spark, [(int(a), int(b)) for a, b in edges])
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+# -- large-star/small-star variant (adversarial-depth graphs) -------------
+
+def _components_star(spark, edges, rounds_out=None):
+    prs = spark.createDataFrame(edges, "a long, b long")
+    cc = DD.connected_components_star(prs, rounds_out=rounds_out)
+    return {r["node"]: r["component"] for r in cc.collect()}
+
+
+def test_cc_star_matches_label_propagation(spark):
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2)))
+             for _ in range(rng.randint(5, 60))}
+        )
+        edges = [(int(a), int(b)) for a, b in edges]
+        plain = _components(spark, edges)
+        star = _components_star(spark, edges)
+        assert star == plain, f"trial {trial}"
+
+
+def test_cc_star_chain_rounds_logarithmic(spark):
+    """The adversarial fixture label propagation is worst at: one long
+    chain (diameter = n). Star contraction must converge in O(log n)
+    rounds — Kiveris et al. bound; we allow 2·log2(n)+2."""
+    import math
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    rounds: list = []
+    got = _components_star(spark, edges, rounds_out=rounds)
+    assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= 2 * math.log2(n) + 2, f"took {rounds[0]} rounds"
+
+
+def test_cc_star_two_clusters_and_cycle(spark):
+    assert _components_star(spark, [(1, 2), (2, 3), (4, 5)]) == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 4
+    }
+    got = _components_star(spark, [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8)])
+    assert set(got.values()) == {1} and len(got) == 5

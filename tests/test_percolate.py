@@ -86,3 +86,21 @@ def test_percolate_dense_batch(spark):
     # doc1 cos=1.0 ✓, doc2 cos=0.0 ✗, doc3 cos=0.7071 ✓
     assert set(got) == {(100, 1), (100, 3)}
     assert abs(got[(100, 3)] - 0.7071) < 1e-3
+
+
+def test_percolate_partitioned_equivalence(spark, sf_dir):
+    """The shuffle-join spill path (query set too big to broadcast)
+    must produce exactly the broadcast path's matches, and its plan
+    must NOT broadcast the query side."""
+    from neural_search_spark import catalog
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    qs = _queries(spark)
+    bc = PERC.percolate_batch(docs, qs)
+    pt = PERC.percolate_batch_partitioned(docs, qs)
+    assert (
+        bc.exceptAll(pt).count() == 0 and pt.exceptAll(bc).count() == 0
+    ), "partitioned percolation diverges from broadcast path"
+    plan = pt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan

@@ -87,6 +87,21 @@ def test_survival_report_monotone(spark, sf_dir):
     assert counts[-1] > 0
 
 
+def test_survival_report_single_pass_equivalence(spark, sf_dir):
+    """The one-action report must equal per-stage .count()s (the old
+    eager implementation), including with repeated stage names."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    pipe = CurationPipeline().quality(0.3).split("cd").split("88")
+    report = pipe.survival_report(docs)
+    expected = [("input", docs.count())]
+    out = docs
+    for name, fn in pipe._stages:
+        out = fn(out)
+        expected.append((name, out.count()))
+    assert report == expected
+    assert [n for n, _ in report] == ["input", "quality", "split", "split"]
+
+
 def test_normalize_stage(spark):
     docs = spark.createDataFrame(
         [(1, "Hello,  WORLD!! 123")], "doc_id long, text string"
