@@ -82,6 +82,12 @@ HEADLINE = [
     "text_unigram_nll",
     "text_source_kl",
     "next_word_suggest",
+    # round-7 additions
+    "emb_neardup_cosine",
+    "bm25_match_folded",
+    "dsl_agg_terms",
+    "dsl_agg_over_match",
+    "text_pii_redact",
 ]
 
 
@@ -120,6 +126,7 @@ def main() -> None:
     _books, _codes = registry._pq_index(spark, sf_dir)
     _codes.count()
     registry._positional(spark, sf_dir).count()
+    registry._bm25_fold(spark, sf_dir).doclen.count()
 
     # each query: one untimed warmup run (first-execution JIT/codegen of
     # that plan shape + broadcast build), then TWO timed steady-state

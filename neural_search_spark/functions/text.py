@@ -84,3 +84,31 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+
+
+# -- PII detection / redaction (training-data hygiene) ----------------------
+# Regexes deliberately restricted to syntax Java regex and RE2 (the
+# DuckDB oracle engine) interpret identically: no lookaround, no
+# backrefs. Redaction order matters — emails first (they contain
+# digits/dots), then IPs, then phones.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side regexp_extract_all, no UDF)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text_col, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace every PII span with a typed placeholder — the standard
+    pre-training scrub (emails → [EMAIL], IPv4 → [IP], intl phones →
+    [PHONE]). Pure codegen string expressions; one projection pass."""
+    out = F.regexp_replace(text_col, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")

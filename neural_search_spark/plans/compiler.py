@@ -138,6 +138,14 @@ def compile_filter(spec) -> str:
     raise ValueError(f"unsupported filter type: {kind}")
 
 
+def _clause_list(spec) -> list:
+    """OpenSearch accepts a single object OR an array for every bool
+    slot (filters may also be raw SQL strings)."""
+    if spec is None:
+        return []
+    return [spec] if isinstance(spec, (dict, str)) else list(spec)
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
@@ -362,6 +370,130 @@ class Engine:
             )
         raise ValueError(f"unsupported query type: {qtype}")
 
+    # -- aggregations (OpenSearch `aggs` body) -----------------------------
+    def search_aggs(
+        self,
+        query: dict[str, Any],
+        aggs: dict[str, dict],
+        depth: int = 100,
+    ) -> dict[str, DataFrame]:
+        """Aggregations alongside a query — OpenSearch search bodies
+        carry `aggs` next to `query`; the reference forwards hybrid
+        hits into core aggregators
+        (`search/query/HybridAggregationProcessor.java:45`).
+
+        Filter-context queries (bool with only filter/must_not)
+        aggregate over ALL matches — the frame is the filtered scan
+        itself: no sort, no limit, pure predicate pushdown, exactly
+        the 100 TB shape. Scored queries aggregate over the
+        top-`depth` hit window (a k-row broadcast onto documents),
+        mirroring that OpenSearch aggregates what the collector saw.
+        """
+        (qtype, body), = query.items()
+        if (
+            qtype == "bool"
+            and not body.get("must")
+            and not body.get("should")
+            and (body.get("filter") is not None or body.get("must_not") is not None)
+        ):
+            preds = [f"({compile_filter(f)})" for f in _clause_list(body.get("filter"))]
+            preds += [
+                f"NOT ({compile_filter(m)})"
+                for m in _clause_list(body.get("must_not"))
+            ]
+            joined = self.documents().where(F.expr(" AND ".join(preds)))
+        else:
+            hits = self.search(query, size=depth).select("doc_id")
+            joined = F.broadcast(hits).join(self.documents(), "doc_id")
+        return {name: self._compile_agg(joined, spec) for name, spec in aggs.items()}
+
+    _METRIC_FNS = {
+        "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+        "value_count": F.count, "cardinality": F.count_distinct,
+    }
+
+    def _metric_col(self, name: str, spec: dict):
+        (kind, body), = spec.items()
+        if kind not in self._METRIC_FNS:
+            raise ValueError(f"unsupported metric agg: {kind}")
+        c = F.col(body["field"])
+        if kind in ("avg", "sum", "min", "max"):
+            c = c.cast("double")
+            return F.round(self._METRIC_FNS[kind](c), 4).alias(name)
+        return self._METRIC_FNS[kind](c).alias(name)
+
+    def _compile_agg(self, df: DataFrame, spec: dict) -> DataFrame:
+        spec = dict(spec)
+        sub = spec.pop("aggs", None)
+        (kind, body), = spec.items()
+        if kind == "terms":
+            size = int(body.get("size", 10))
+            metrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (sub or {}).items():
+                metrics.append(self._metric_col(mname, mspec))
+            return (
+                df.groupBy(F.col(body["field"]).alias("key"))
+                .agg(*metrics)
+                .orderBy(F.col("doc_count").desc(), "key")
+                .limit(size)
+            )
+        if kind == "histogram":
+            interval = float(body["interval"])
+            c = F.col(body["field"]).cast("double")
+            bucket = (F.floor(c / interval) * interval).alias("bucket")
+            metrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (sub or {}).items():
+                metrics.append(self._metric_col(mname, mspec))
+            return df.groupBy(bucket).agg(*metrics).orderBy("bucket")
+        if kind == "date_histogram":
+            interval = body.get("calendar_interval", "day")
+            bucket = F.date_trunc(interval, F.col(body["field"])).alias("bucket")
+            return (
+                df.groupBy(bucket)
+                .agg(F.count("*").alias("doc_count"))
+                .orderBy("bucket")
+            )
+        if kind == "range":
+            # one pass: every range is a conditional sum in a single
+            # agg row, unpivoted to (key, doc_count) — no per-range scan
+            c = F.col(body["field"]).cast("double")
+            conds = []
+            for r in body["ranges"]:
+                lo, hi = r.get("from"), r.get("to")
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (c >= float(lo))
+                if hi is not None:
+                    cond = cond & (c < float(hi))
+                key = r.get("key") or (
+                    f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+                )
+                conds.append((key, cond))
+            wide = df.agg(
+                *[
+                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"__r{i}")
+                    for i, (_, cond) in enumerate(conds)
+                ]
+            )
+            stack = ", ".join(
+                f"'{key}', __r{i}" for i, (key, _) in enumerate(conds)
+            )
+            return wide.selectExpr(
+                f"stack({len(conds)}, {stack}) as (key, doc_count)"
+            )
+        if kind == "stats":
+            c = F.col(body["field"]).cast("double")
+            return df.agg(
+                F.count(c).alias("count"),
+                F.round(F.min(c), 4).alias("min"),
+                F.round(F.max(c), 4).alias("max"),
+                F.round(F.avg(c), 4).alias("avg"),
+                F.round(F.sum(c), 4).alias("sum"),
+            )
+        if kind in self._METRIC_FNS:
+            return df.agg(self._metric_col("value", {kind: body}))
+        raise ValueError(f"unsupported aggregation type: {kind}")
+
     # -- dense ANN method dispatch ----------------------------------------
     def _ann_topk(
         self,
@@ -466,12 +598,7 @@ class Engine:
             # against the filtered documents scan (predicate pushdown).
             depth = int(body.get("pagination_depth", max(from_ + size, 50)))
 
-            def _clauses(spec) -> list:
-                # OpenSearch accepts a single object OR an array for
-                # every bool slot (filters may also be raw SQL strings)
-                if spec is None:
-                    return []
-                return [spec] if isinstance(spec, (dict, str)) else list(spec)
+            _clauses = _clause_list
 
             musts = [
                 self._compile_sub(s, depth).select("doc_id", "score")

@@ -5215,6 +5215,9 @@ PRIORITY_50 = [
     # changed this round: flagship near-dup swapped to bucketed LSH +
     # its exact small-scale verifier
     "emb_neardup_cosine", "emb_neardup_exact", "bm25_match_folded",
+    # new this round: DSL aggregations + PII scrub
+    "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
+    "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -5710,6 +5713,237 @@ ORDER BY cnt DESC, completion LIMIT {K}
 """
 
 SPARK_QUERIES["next_word_suggest"] = q_next_word_suggest
+
+
+# ---------------------------------------------------------------------------
+# DSL aggregations (`aggs` in the search body) — the reference forwards
+# hybrid hits into core aggregators
+# (`search/query/HybridAggregationProcessor.java:45`); compiler support
+# lives in plans/compiler.py::Engine.search_aggs/_compile_agg.
+# ---------------------------------------------------------------------------
+
+AGG_MIN_CHARS = 150
+AGG_HIST_INTERVAL = 100.0
+
+
+def _agg_engine(spark: SparkSession, sf_dir: str):
+    from .plans.compiler import Engine
+
+    return Engine(spark, sf_dir)
+
+
+def q_dsl_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms agg (+ avg sub-metric) over a filter-context bool: the
+    aggregation runs over ALL matches on the filtered scan — no sort,
+    no limit, predicate pushdown intact."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"by_source": {"terms": {"field": "source", "size": 20},
+                       "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    )
+    return out["by_source"]
+
+
+ORACLES["dsl_agg_terms"] = """
+SELECT source AS key, count(*) AS doc_count,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars
+FROM documents WHERE lang = 'en'
+GROUP BY source
+ORDER BY doc_count DESC, key LIMIT 20
+"""
+
+
+def q_dsl_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": AGG_MIN_CHARS}}}}},
+        {"chars": {"stats": {"field": "n_chars"}}},
+    )
+    return out["chars"]
+
+
+ORACLES["dsl_agg_stats"] = f"""
+SELECT count(n_chars) AS "count",
+       round(min(n_chars::DOUBLE), 4) AS "min",
+       round(max(n_chars::DOUBLE), 4) AS "max",
+       round(avg(n_chars::DOUBLE), 4) AS "avg",
+       round(sum(n_chars::DOUBLE), 4) AS "sum"
+FROM documents WHERE n_chars >= {AGG_MIN_CHARS}
+"""
+
+
+def q_dsl_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range agg: every bucket is a conditional sum in ONE pass over
+    the matched frame (single agg row unpivoted via stack)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"must_not": {"term": {"lang": "de"}}}},
+        {"char_ranges": {"range": {"field": "n_chars", "ranges": [
+            {"to": 200, "key": "short"},
+            {"from": 200, "to": 500, "key": "medium"},
+            {"from": 500, "key": "long"},
+        ]}}},
+    )
+    return out["char_ranges"]
+
+
+ORACLES["dsl_agg_range"] = """
+WITH m AS (SELECT n_chars::DOUBLE AS c FROM documents WHERE NOT (lang = 'de'))
+SELECT 'short' AS key,
+       sum(CASE WHEN c < 200 THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM m
+UNION ALL
+SELECT 'medium',
+       sum(CASE WHEN c >= 200 AND c < 500 THEN 1 ELSE 0 END)::BIGINT FROM m
+UNION ALL
+SELECT 'long', sum(CASE WHEN c >= 500 THEN 1 ELSE 0 END)::BIGINT FROM m
+"""
+
+
+def q_dsl_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"hist": {"histogram": {"field": "n_chars", "interval": AGG_HIST_INTERVAL},
+                  "aggs": {"uniq_sources": {"cardinality": {"field": "source"}}}}},
+    )
+    return out["hist"]
+
+
+ORACLES["dsl_agg_histogram"] = f"""
+SELECT floor(n_chars::DOUBLE / {AGG_HIST_INTERVAL}) * {AGG_HIST_INTERVAL} AS bucket,
+       count(*) AS doc_count,
+       count(DISTINCT source) AS uniq_sources
+FROM documents WHERE lang = 'en'
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_dsl_agg_over_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggs over a SCORED query's top-depth hit window: terms on lang
+    over the BM25 top-10 (depth-limited, like the OpenSearch collector)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"match": {"field": "text", "query": BM25_QUERY}},
+        {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+        depth=K,
+    )
+    return out["by_lang"]
+
+
+ORACLES["dsl_agg_over_match"] = f"""
+WITH hits AS ({ORACLES["bm25_match"]})
+SELECT d.lang AS key, count(*) AS doc_count
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, key LIMIT 10
+"""
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-data hygiene): per-doc
+    email/phone/IPv4 match counts and the typed-placeholder-redacted
+    text, all JVM-side regex (functions/text.py). The corpus carries no
+    PII, so deterministic synthetic PII is injected per doc_id residue
+    on BOTH engines — the redaction itself is what's hash-verified."""
+    d = catalog.table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call +1 555-010-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    df = d.select("doc_id", aug.alias("text"))
+    c = T.pii_counts(F.col("text"))
+    return df.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ips"].alias("n_ips"),
+        ((c["n_emails"] + c["n_phones"] + c["n_ips"]) > 0).alias("has_pii"),
+        T.pii_redact(F.col("text")).alias("text_redacted"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG_SQL = """
+  text ||
+  CASE WHEN doc_id % 7 = 0
+       THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0
+       THEN ' call +1 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       ELSE '' END ||
+  CASE WHEN doc_id % 13 = 0
+       THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       ELSE '' END
+"""
+_PII_EMAIL_SQL = T.PII_EMAIL_RE
+_PII_IP_SQL = T.PII_IPV4_RE
+_PII_PHONE_SQL = T.PII_PHONE_RE
+ORACLES["text_pii_redact"] = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_IP_SQL}')) AS n_ips,
+       (len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))
+        + len(regexp_extract_all(text, '{_PII_PHONE_SQL}'))
+        + len(regexp_extract_all(text, '{_PII_IP_SQL}'))) > 0 AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+           '{_PII_IP_SQL}', '[IP]', 'g'),
+         '{_PII_PHONE_SQL}', '[PHONE]', 'g') AS text_redacted
+FROM aug ORDER BY doc_id
+"""
+SPARK_QUERIES["text_pii_redact"] = q_text_pii_redact
+
+
+MM_FRAME_N = 4
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: N evenly-spaced byte-range
+    'frames' per payload, one row each (operators/multimodal.py::
+    frame_sample — the row/partition shape of a real video frame
+    extractor; payload here is the utf-8 text stand-in, so the oracle
+    can mirror the byte slicing as string slicing)."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.media_table_from_text(docs)
+    fr = MM.frame_sample(media, n_frames=MM_FRAME_N)
+    return fr.select(
+        "doc_id", "frame_idx",
+        F.decode(F.col("frame_bytes"), "utf-8").alias("frame_str"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+ORACLES["mm_frame_sample"] = f"""
+WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}),
+f AS (SELECT doc_id, unnest(range(0, {MM_FRAME_N})) AS frame_idx, text FROM m)
+SELECT doc_id, frame_idx,
+       substring(text,
+                 floor(frame_idx * length(text) / {MM_FRAME_N}.0)::INT + 1,
+                 16) AS frame_str
+FROM f ORDER BY doc_id, frame_idx
+"""
+SPARK_QUERIES["mm_frame_sample"] = q_mm_frame_sample
+
+
+SPARK_QUERIES["dsl_agg_terms"] = q_dsl_agg_terms
+SPARK_QUERIES["dsl_agg_stats"] = q_dsl_agg_stats
+SPARK_QUERIES["dsl_agg_range"] = q_dsl_agg_range
+SPARK_QUERIES["dsl_agg_histogram"] = q_dsl_agg_histogram
+SPARK_QUERIES["dsl_agg_over_match"] = q_dsl_agg_over_match
 
 # apply the contract ordering ONCE, after every registration — the
 # driver's correctness gate samples the first 50 entries in dict

@@ -640,3 +640,87 @@ def test_bool_accepts_object_form_clauses(engine):
     for r in rows:
         assert docs[r["doc_id"]]["lang"] == "en"
         assert docs[r["doc_id"]]["n_chars"] >= 100
+
+
+# -- aggregations (`aggs` search body) ------------------------------------
+
+def test_search_aggs_terms_with_submetric(engine):
+    out = engine.search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"by_source": {"terms": {"field": "source", "size": 5},
+                       "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    )["by_source"]
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert set(out.columns) == {"key", "doc_count", "avg_chars"}
+    counts = [r["doc_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # cross-check one bucket against a direct groupBy
+    direct = {
+        r["source"]: r["n"]
+        for r in engine.documents().where("lang = 'en'")
+        .groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert direct[r["key"]] == r["doc_count"]
+
+
+def test_search_aggs_filter_context_no_topk_plan(engine):
+    """Filter-context aggs must aggregate the SCAN, not a sorted
+    top-k window: no TakeOrdered / global sort in the plan."""
+    out = engine.search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"chars": {"stats": {"field": "n_chars"}}},
+    )["chars"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    row = out.first()
+    assert row["count"] > 0 and row["min"] <= row["avg"] <= row["max"]
+
+
+def test_search_aggs_range_single_pass(engine):
+    out = engine.search_aggs(
+        {"bool": {"filter": "n_chars >= 0"}},
+        {"r": {"range": {"field": "n_chars", "ranges": [
+            {"to": 200, "key": "short"}, {"from": 200, "key": "rest"}]}}},
+    )["r"]
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    total = engine.documents().count()
+    assert got["short"] + got["rest"] == total
+
+
+def test_search_aggs_scored_window(engine):
+    out = engine.search_aggs(
+        {"match": {"field": "text", "query": "spark join"}},
+        {"by_lang": {"terms": {"field": "lang"}}},
+        depth=10,
+    )["by_lang"]
+    assert sum(r["doc_count"] for r in out.collect()) == 10
+
+
+def test_search_aggs_date_histogram(spark, sf_dir, engine, tmp_path):
+    """date_histogram buckets by date_trunc — exercised on a frame with
+    a timestamp column (documents carry none)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, dt.datetime(2026, 1, 1 + i % 3, 10, 0, 0)) for i in range(9)],
+        "doc_id long, ts timestamp",
+    )
+    agg = engine._compile_agg(docs, {"date_histogram": {"field": "ts",
+                                                        "calendar_interval": "day"}})
+    rows = agg.collect()
+    assert [r["doc_count"] for r in rows] == [3, 3, 3]
+
+
+def test_search_aggs_unknown_kind_raises(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported aggregation"):
+        engine.search_aggs(
+            {"bool": {"filter": "n_chars >= 0"}},
+            {"x": {"percentiles": {"field": "n_chars"}}},
+        )
