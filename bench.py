@@ -127,6 +127,8 @@ def main() -> None:
     _codes.count()
     registry._positional(spark, sf_dir).count()
     registry._bm25_fold(spark, sf_dir).doclen.count()
+    registry._mlt_stats(spark, sf_dir)
+    registry._unigram_probs(spark, sf_dir)
 
     # each query: one untimed warmup run (first-execution JIT/codegen of
     # that plan shape + broadcast build), then TWO timed steady-state

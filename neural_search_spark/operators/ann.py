@@ -287,6 +287,99 @@ def lsh_multitable_neardup(
     )
 
 
+def lsh_multitable_neardup_blocked(
+    embs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`lsh_multitable_neardup` with BLOCK-LOCAL scoring: candidate
+    semantics are identical (OR over n_tables SRP hash tables,
+    equivalence-tested), but instead of materializing candidate pairs
+    and evaluating an interpreted 64-term fold per pair, each (table,
+    bucket) group scores ALL its within-bucket pairs in one vectorized
+    numpy pass via `applyInPandas` — the dominant cost drops from
+    per-pair expression interpretation to a dense rank-1-update loop.
+
+    Float parity with the SQL oracle is preserved by construction:
+    the pair score accumulates SEQUENTIALLY over dimensions
+    (S += u[:,i]⊗u[:,i], i in order), the same association as the
+    `aggregate(zip_with(...))` left fold and DuckDB's
+    list_dot_product; unit vectors divide element-wise after a
+    sequential sum of squares, mirroring `_SQL_UNIT`.
+
+    Scale shape: ONE shuffle (the groupBy on (table, bucket)); each
+    task holds one bucket's vectors — the block size is controlled by
+    n_planes exactly like the expression variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # all T×P hyperplane signs assembled as ONE SQL expression string:
+    # one parse server-side instead of thousands of py4j Column calls
+    # (the lsh_topk lesson — plan construction, not execution, is the
+    # driver-side cost of literal-heavy expressions)
+    def _arr(vec: list[float]) -> str:
+        return "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+
+    def _dot_sql(arr_sql: str) -> str:
+        return (
+            f"aggregate(zip_with(__v, {arr_sql}, (x, y) -> x * y),"
+            " 0.0D, (a, b) -> a + b)"
+        )
+
+    tables_sql = []
+    for t in range(n_tables):
+        bits = ", ".join(
+            f"CASE WHEN {_dot_sql(_arr(plane))} >= 0.0D THEN '1' ELSE '0' END"
+            for plane in _srp_planes(dim, n_planes, seed=f"srp{t}")
+        )
+        tables_sql.append(f"concat({bits})")
+    buckets_sql = "array(" + ", ".join(tables_sql) + ")"
+    laid = embs.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).select(
+        F.col(id_col),
+        "__v",
+        F.posexplode(F.expr(buckets_sql)).alias("table", "bucket"),
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        E = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        norm2 = np.zeros(n)
+        for i in range(E.shape[1]):  # sequential dims = the SQL fold
+            norm2 = norm2 + E[:, i] * E[:, i]
+        U = E / np.sqrt(norm2)[:, None]
+        S = np.zeros((n, n))
+        for i in range(U.shape[1]):
+            S = S + U[:, i, None] * U[None, :, i]
+        iu, ju = np.triu_indices(n, 1)
+        cos = S[iu, ju]
+        mask = cos >= threshold
+        if not mask.any():
+            return empty
+        a_ids, b_ids = ids[iu[mask]], ids[ju[mask]]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": cos[mask]})
+
+    return (
+        laid.groupBy("table", "bucket")
+        .applyInPandas(score_bucket, "a long, b long, cosine double")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def lsh_topk(
     embs: DataFrame,
     qv: list[float],

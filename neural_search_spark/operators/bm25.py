@@ -259,6 +259,20 @@ def prefix_suggest(
     )
 
 
+def mlt_stats(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(token, df, __n_docs): the document-frequency stats table
+    more_like_this scores against — an ingest-time artifact (build
+    once per corpus snapshot, persist, reuse across queries)."""
+    n = postings.select(id_col).distinct().agg(
+        F.count("*").cast("double").alias("__n_docs")
+    )
+    return (
+        postings.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n))
+    )
+
+
 def more_like_this_topk(
     postings: DataFrame,
     like_doc_id: int,
@@ -266,6 +280,7 @@ def more_like_this_topk(
     k: int = 10,
     id_col: str = "doc_id",
     candidate_ids: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """OpenSearch `more_like_this`: select the source doc's
     `max_terms` highest tf·idf terms, score every other doc by
@@ -278,15 +293,10 @@ def more_like_this_topk(
     frames); the corpus doc count is a 1-row aggregate cross-joined
     into the idf expression (the whole query stays ONE lazy plan — no
     eager driver action); the selected term set is ≤`max_terms` rows →
-    broadcast joins the postings; one partial-agg groupBy(doc)."""
-    n = postings.select(id_col).distinct().agg(
-        F.count("*").cast("double").alias("__n_docs")
-    )
-    dfs = (
-        postings.groupBy("token")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .crossJoin(F.broadcast(n))
-    )
+    broadcast joins the postings; one partial-agg groupBy(doc).
+    Pass a persisted `mlt_stats` frame as `stats` so repeated queries
+    skip the per-query df recount (ingest-time artifact reuse)."""
+    dfs = stats if stats is not None else mlt_stats(postings, id_col)
     idf = F.log(F.col("__n_docs") / F.col("df"))
     src_terms = (
         postings.where(F.col(id_col) == like_doc_id)

@@ -173,6 +173,7 @@ class Engine:
         self.agent_translate = agent_translate or _agentic_translate
         self._bm25 = None
         self._positional = None
+        self._mlt_stats = None
 
     # -- corpus ------------------------------------------------------------
     def corpus(self) -> DataFrame:
@@ -363,12 +364,67 @@ class Engine:
             )
         if qtype == "more_like_this":
             post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
+            if self._mlt_stats is None:
+                # df stats are an index artifact: built once per engine
+                self._mlt_stats = B.mlt_stats(post)
             return B.more_like_this_topk(
                 post, int(body["like"]),
                 max_terms=int(body.get("max_query_terms", 10)), k=k,
-                candidate_ids=candidate_ids,
+                candidate_ids=candidate_ids, stats=self._mlt_stats,
+            )
+        if qtype in ("wildcard", "prefix", "regexp"):
+            # constant-score term-level queries (OpenSearch core): the
+            # predicate pushes to the scan; score = 1.0, index order
+            # stands in as doc_id order. `*`/`?` wildcards → SQL LIKE.
+            field = body.get("field", "text")
+            val = body["value"]
+            if qtype == "prefix":
+                cond = F.col(field).startswith(val)
+            elif qtype == "wildcard":
+                pat = val.replace("%", r"\%").replace("_", r"\_")
+                pat = pat.replace("*", "%").replace("?", "_")
+                cond = F.col(field).like(pat)
+            else:
+                cond = F.col(field).rlike(val)
+            base = self.documents().where(cond)
+            if candidate_ids is not None:
+                base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
+            return (
+                base.select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy("doc_id")
+                .limit(k)
+            )
+        if qtype == "ids":
+            vals = [int(v) for v in body["values"]]
+            return (
+                self.documents()
+                .where(F.col("doc_id").isin(vals))
+                .select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy("doc_id")
+                .limit(k)
             )
         raise ValueError(f"unsupported query type: {qtype}")
+
+    def msearch(
+        self,
+        searches: list[tuple[dict[str, Any], dict[str, Any] | None]],
+        size: int = DEFAULT_K,
+    ) -> DataFrame:
+        """Multi-search: one frame with (search_idx, doc_id, score) —
+        the _msearch API collapsed into a single union plan, so Spark
+        schedules all sub-searches in one job instead of N round trips
+        (the per-QUERY batched analogue of batch_retrieval's per-VECTOR
+        batching)."""
+        frames = []
+        for i, (query, pipeline) in enumerate(searches):
+            hits = self.search(query, pipeline, size=size).select(
+                F.lit(i).alias("search_idx"), "doc_id", "score"
+            )
+            frames.append(hits)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     # -- aggregations (OpenSearch `aggs` body) -----------------------------
     def search_aggs(

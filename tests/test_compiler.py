@@ -724,3 +724,49 @@ def test_search_aggs_unknown_kind_raises(engine):
             {"bool": {"filter": "n_chars >= 0"}},
             {"x": {"percentiles": {"field": "n_chars"}}},
         )
+
+
+# -- term-level constant-score queries + msearch ---------------------------
+
+def test_wildcard_prefix_regexp_ids(engine):
+    docs = {r["doc_id"]: r for r in engine.documents().collect()}
+    w = engine.search({"wildcard": {"field": "text", "value": "*spark*join*"}}, size=20)
+    for r in w.collect():
+        t = docs[r["doc_id"]]["text"]
+        assert "spark" in t and t.index("spark") < t.rindex("join")
+        assert r["score"] == 1.0
+    p = engine.search({"prefix": {"field": "text", "value": "spark"}}, size=20)
+    assert all(docs[r["doc_id"]]["text"].startswith("spark") for r in p.collect())
+    rx = engine.search({"regexp": {"field": "source", "value": "^w.*"}}, size=5)
+    assert all(docs[r["doc_id"]]["source"].startswith("w") for r in rx.collect())
+    ids = engine.search({"ids": {"values": [3, 1, 7]}}, size=10)
+    assert [r["doc_id"] for r in ids.collect()] == [1, 3, 7]
+
+
+def test_wildcard_composes_in_hybrid(engine):
+    out = engine.search(
+        {"hybrid": {"queries": [
+            {"wildcard": {"field": "text", "value": "*spark*"}},
+            {"neural": {"query_text": "spark join"}},
+        ], "pagination_depth": 30}},
+        size=5,
+    )
+    assert len(out.collect()) == 5
+
+
+def test_msearch_one_plan(engine):
+    out = engine.msearch(
+        [
+            ({"match": {"field": "text", "query": "spark join"}}, None),
+            ({"neural": {"query_text": "window stream"}}, None),
+            ({"ids": {"values": [1, 2]}}, None),
+        ],
+        size=5,
+    )
+    rows = out.collect()
+    by_idx = {}
+    for r in rows:
+        by_idx.setdefault(r["search_idx"], []).append(r["doc_id"])
+    assert set(by_idx) == {0, 1, 2}
+    assert len(by_idx[0]) == 5 and len(by_idx[1]) == 5
+    assert sorted(by_idx[2]) == [1, 2]

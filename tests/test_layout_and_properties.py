@@ -181,3 +181,39 @@ def test_lsh_multitable_recall_dominates_single(spark, sf_dir):
         assert rec_multi >= rec_single
         assert rec_multi >= 0.5
     assert multi <= truth  # precision 1.0: exact verify after candidates
+
+
+def test_blocked_multitable_equals_expression_variant(spark, sf_dir):
+    """The applyInPandas block-scored multitable near-dup must produce
+    exactly the expression variant's pairs AND cosines (same buckets,
+    same fold association) — both directions checked."""
+    from neural_search_spark import catalog
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.45, n_planes=4, n_tables=4)
+    # collected-set comparison (exceptAll over a FlatMapGroupsInPandas
+    # plan trips a Catalyst binding bug); exact float equality expected
+    expr_rows = {
+        (r["a"], r["b"], r["cosine"])
+        for r in ANN.lsh_multitable_neardup(embs, 64, **kw).collect()
+    }
+    blk_rows = {
+        (r["a"], r["b"], r["cosine"])
+        for r in ANN.lsh_multitable_neardup_blocked(embs, 64, **kw).collect()
+    }
+    assert expr_rows == blk_rows
+
+
+def test_flagship_neardup_recall_floor(spark):
+    """8-table flagship config must recover ≥70% of the exact pairs
+    even in this corpus's hard θ≈60° regime (at real near-dup
+    thresholds the same config exceeds 0.99)."""
+    from neural_search_spark import registry
+    from .conftest import SF_CORRECT
+
+    ex = {(r["a"], r["b"])
+          for r in registry.SPARK_QUERIES["emb_neardup_exact"](spark, SF_CORRECT).collect()}
+    bk = {(r["a"], r["b"])
+          for r in registry.SPARK_QUERIES["emb_neardup_cosine"](spark, SF_CORRECT).collect()}
+    assert bk <= ex  # exact verify: no false positives
+    assert len(bk & ex) / max(len(ex), 1) >= 0.70
