@@ -158,11 +158,30 @@ def seismic_search(
     top_n: int = DEFAULT_TOP_N,
     heap_factor: float = DEFAULT_HEAP_FACTOR,
     id_col: str = "doc_id",
+    adaptive: bool = False,
+    probe: int | None = None,
 ) -> DataFrame:
-    """A5 cluster-skipping search (two-pass static threshold).
+    """A5 cluster-skipping search.
 
     Returns (doc_id, score) top-k where score is the exact quantized
     dot product over the forward index for surviving cluster members.
+
+    Two pruning modes, both one lazy plan (no driver collect):
+    - static (default): threshold = k-th cluster summary UPPER BOUND /
+      heap_factor — the original two-pass approximation.
+    - adaptive=True: the Spark analogue of the reference's running-heap
+      threshold (`sparse/query/SeismicBaseScorer.java:207-225`). The
+      heap's "k-th best so far" becomes a PROBE stage: exact-score the
+      members of the `probe` clusters with the highest summary bounds
+      (the docs the sequential scorer would visit first), take the
+      k-th exact score, and prune every cluster whose summary bound
+      falls below it / heap_factor. With UNPRUNED summaries the bound
+      is a true upper bound and heap_factor=1.0 is provably exact;
+      with the reference's 40%-mass summary pruning it is the same
+      heuristic the reference runs (empirically exact on the test
+      corpora — gated in tests/test_seismic.py). heap_factor > 1
+      keeps more clusters, < 1 prunes aggressively — same knob
+      direction as the static mode.
     """
     spark = index.postings_clustered.sparkSession
     # quantize the query like the reference's search-side ceiling
@@ -186,33 +205,67 @@ def seismic_search(
         lambda acc, x: acc + x,
     )
     scored_clusters = cand.select("token", "cluster_id", "members", sdot.alias("summary_dot"))
-    # static threshold = kth summary upper bound / heap_factor, computed
-    # INSIDE the plan as a 1-row broadcast frame (no driver collect →
-    # the whole search stays one lazy plan; an empty candidate set
-    # yields an empty cross join, i.e. an empty result, for free)
-    kth_df = (
-        scored_clusters.select("summary_dot")
-        .orderBy(F.col("summary_dot").desc())
-        .limit(k)
-        .agg((F.min("summary_dot") / F.lit(float(heap_factor))).alias("threshold"))
-        .where(F.col("threshold").isNotNull())
-    )
+
+    def exact_of(members_df: DataFrame) -> DataFrame:
+        return (
+            members_df.join(index.forward, id_col)
+            .join(
+                F.broadcast(q_df),
+                F.map_contains_key(F.col("vector"), F.col("token")),
+            )
+            .select(
+                id_col,
+                (F.col("qw") * F.element_at(F.col("vector"), F.col("token"))).alias("p"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("p").alias("score"))
+        )
+
+    if adaptive:
+        # probe = the clusters a sequential heap scorer would visit
+        # first (highest summary bounds), deduped per cluster
+        probe_n = probe if probe is not None else max(k, 4)
+        top_probe = (
+            scored_clusters.select("cluster_id", "members", "summary_dot")
+            .dropDuplicates(["cluster_id"])
+            .orderBy(F.col("summary_dot").desc(), "cluster_id")
+            .limit(probe_n)
+        )
+        probe_members = top_probe.select(F.explode("members").alias(id_col)).distinct()
+        kth_df = (
+            exact_of(probe_members)
+            .select("score")
+            .orderBy(F.col("score").desc())
+            .limit(k)
+            .agg((F.min("score") / F.lit(float(heap_factor))).alias("threshold"))
+            .where(F.col("threshold").isNotNull())
+        )
+    else:
+        # static threshold = kth summary upper bound / heap_factor,
+        # computed INSIDE the plan as a 1-row broadcast frame (no
+        # driver collect; an empty candidate set yields an empty cross
+        # join, i.e. an empty result, for free)
+        kth_df = (
+            scored_clusters.select("summary_dot")
+            .orderBy(F.col("summary_dot").desc())
+            .limit(k)
+            .agg((F.min("summary_dot") / F.lit(float(heap_factor))).alias("threshold"))
+            .where(F.col("threshold").isNotNull())
+        )
 
     # pass 2: exact scoring of surviving clusters' members
     survivors = scored_clusters.crossJoin(F.broadcast(kth_df)).where(
         F.col("summary_dot") >= F.col("threshold")
     )
     members = survivors.select(F.explode("members").alias(id_col)).distinct()
-    exact = (
-        members.join(index.forward, id_col)
-        .join(F.broadcast(q_df), F.map_contains_key(F.col("vector"), F.col("token")))
-        .select(
-            id_col,
-            (F.col("qw") * F.element_at(F.col("vector"), F.col("token"))).alias("p"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("p").alias("score"))
-    )
+    if adaptive:
+        # probed docs are already exact-scored candidates; keep them in
+        # the final set even if their cluster's bound fell under the
+        # threshold (the heap never evicts what it has already scored)
+        members = members.unionByName(
+            top_probe.select(F.explode("members").alias(id_col))
+        ).distinct()
+    exact = exact_of(members)
     return exact.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -234,6 +287,7 @@ def sparse_ann_topk(
     approximate_threshold: int = APPROXIMATE_THRESHOLD,
     top_n: int = DEFAULT_TOP_N,
     heap_factor: float = DEFAULT_HEAP_FACTOR,
+    adaptive: bool = False,
 ) -> DataFrame:
     """R7/R8: SEISMIC when the segment is big enough, exact otherwise.
 
@@ -250,5 +304,6 @@ def sparse_ann_topk(
     qmx = max(query_tokens.values()) or 1.0
     scaled = {t: w / qmx * QUANT_CEIL_SEARCH for t, w in query_tokens.items()}
     return seismic_search(
-        index, scaled, k=k, top_n=top_n, heap_factor=heap_factor, id_col=id_col
+        index, scaled, k=k, top_n=top_n, heap_factor=heap_factor, id_col=id_col,
+        adaptive=adaptive,
     )

@@ -334,6 +334,7 @@ class Engine:
                     ),
                     top_n=int(method.get("top_n", SE.DEFAULT_TOP_N)),
                     heap_factor=float(method.get("heap_factor", SE.DEFAULT_HEAP_FACTOR)),
+                    adaptive=bool(method.get("adaptive", False)),
                 )
             if body.get("two_phase"):
                 if candidate_ids is not None:

@@ -92,3 +92,50 @@ def test_exact_fallback_below_threshold(spark, scaled_postings, query_scaled):
     assert [r["doc_id"] for r in via_fallback.collect()] == [
         r["doc_id"] for r in exact.collect()
     ]
+
+
+def test_adaptive_threshold_matches_unpruned_scoring(spark, scaled_postings, query_scaled):
+    """Adaptive mode (probe-derived threshold, the running-heap
+    analogue of `sparse/query/SeismicBaseScorer.java:207-225`): at
+    heap_factor=1.0 the result must equal scoring EVERY candidate
+    cluster (threshold effectively disabled via a huge heap_factor)."""
+    idx = SE.build_seismic(scaled_postings)
+    full = [
+        (r["doc_id"], r["score"])
+        for r in SE.seismic_search(
+            idx, query_scaled, k=10, top_n=len(query_scaled), heap_factor=1e9
+        ).collect()
+    ]
+    adaptive = [
+        (r["doc_id"], r["score"])
+        for r in SE.seismic_search(
+            idx, query_scaled, k=10, top_n=len(query_scaled),
+            heap_factor=1.0, adaptive=True,
+        ).collect()
+    ]
+    assert adaptive == full
+
+
+def test_adaptive_recall_gate(spark, scaled_postings, query_scaled):
+    """Same ≥0.9 recall gate as the static mode, vs the unquantized
+    exact ranking."""
+    exact = {
+        r["doc_id"]
+        for r in sparse_topk_postings(scaled_postings, query_scaled, k=10).collect()
+    }
+    idx = SE.build_seismic(scaled_postings)
+    approx = {
+        r["doc_id"]
+        for r in SE.seismic_search(
+            idx, query_scaled, k=10, top_n=len(query_scaled),
+            heap_factor=2.0, adaptive=True,
+        ).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.9
+
+
+def test_sparse_ann_topk_adaptive_passthrough(spark, scaled_postings, query_scaled):
+    out = SE.sparse_ann_topk(
+        scaled_postings, query_scaled, k=10, approximate_threshold=1, adaptive=True
+    )
+    assert out.count() == 10
