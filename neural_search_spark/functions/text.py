@@ -27,6 +27,17 @@ def token_count_bpe_estimate(text_col: Column) -> Column:
     return F.ceil(F.length(text_col) / F.lit(4.0)).cast("long")
 
 
+def char_pairs(word_col: Column) -> Column:
+    """Adjacent character pairs of a word (the BPE merge-candidate
+    unit): ["sp","pa","ar","rk"] for "spark". Empty for 1-char words.
+    Pure codegen (sequence + substring), no UDF."""
+    n = F.length(word_col)
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1), lambda i: word_col.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_ratio(text_col: Column) -> Column:
     toks = tokens(F.lower(text_col))
     n = F.size(toks)

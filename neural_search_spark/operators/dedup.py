@@ -328,6 +328,127 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup: cluster the corpus by its
+    nearest centroid, then compare pairs ONLY within a cluster.
+
+    The cluster assignment turns the O(n²) pair scan into a
+    per-cluster equi-join (join key = cluster_id): two vectors meet
+    only if they land in the same cell, so total pair work is
+    Σ|cell|² ≪ n² for any reasonable k, and the join shuffles each
+    vector exactly once. This is the published SemDeDup recipe
+    (k-means cells + within-cell cosine) expressed as two DataFrame
+    ops; cross-cell near-dups are the recall gap, bounded by cell
+    granularity (raise k, or union over a second clustering, the same
+    OR-amplification trick as ann.lsh_multitable_neardup).
+    """
+    from .cluster import kmeans_assign
+
+    assigned = kmeans_assign(embs, centroids, id_col, vec_col)
+    unit = unit_vectors(embs, id_col, vec_col).join(assigned, id_col)
+    a = unit.select(
+        F.col(id_col).alias("a"), F.col("unit").alias("ua"), "cluster_id"
+    )
+    b = unit.select(
+        F.col(id_col).alias("b"), F.col("unit").alias("ub"), "cluster_id"
+    )
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("ua"), F.col("ub")))
+        .where(F.col("cos") >= threshold)
+        .select("cluster_id", "a", "b", F.col("cos").alias("cosine"))
+    )
+
+
+def semantic_dedup_keep(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivors of semantic dedup: drop every vector that has a
+    LOWER-id semantic near-dup in its cluster (min-id keeper, the same
+    policy as exact_dedup). One anti-join against the pair frame."""
+    pairs = semantic_dedup_pairs(embs, centroids, threshold, id_col, vec_col)
+    removed = pairs.select(F.col("b").alias(id_col)).distinct()
+    return embs.join(removed, id_col, "left_anti").select(id_col)
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-span removal (CCNet/Gopher-style paragraph dedup,
+    with fixed token windows standing in for paragraphs): split each
+    doc into non-overlapping `span_tokens`-token spans, count every
+    span's corpus-wide occurrences by hash, and rebuild each doc from
+    the spans that are globally UNIQUE (count == 1).
+
+    Returns (id, n_spans, n_dup_spans, kept_text). Two shuffles total:
+    one groupBy(span_hash) count over exploded spans (map-side
+    combinable) and one groupBy(doc) to reassemble — both O(corpus
+    tokens), no pairwise anything. At 100 TB the span-count frame is
+    the only wide state and it shrinks with every repeated span.
+    """
+    toks = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    # guard: sequence(0, -1) would DESCEND in Spark — zero-token docs
+    # must produce an empty span array, not [0, -1]
+    idxs = F.when(n_spans >= 1, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    ).where(F.col("span") != "")
+    counts = (
+        spans.groupBy(F.md5(F.col("span")).alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    joined = spans.withColumn("h", F.md5(F.col("span"))).join(counts, "h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("c") == 1,
+                                F.struct(F.col("span_idx"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("kept_text"),
+        )
+        .select(id_col, "n_spans", "n_dup_spans", "kept_text")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",

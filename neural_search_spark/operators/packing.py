@@ -71,6 +71,41 @@ def pack_sequences(
     )
 
 
+def cap_per_key(
+    docs: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap0:",
+) -> DataFrame:
+    """Frequency cap: keep at most ``cap`` docs per ``key_col`` value
+    (the per-domain quota of web-corpus curation — head domains
+    contribute millions of pages; a cap keeps the mixture flat).
+
+    Selection is a deterministic hash lottery: rank docs within a key
+    by md5(salt ‖ id) and keep rank ≤ cap — an unbiased uniform sample
+    of each key's docs, reproducible across engines/cluster sizes.
+
+    Scale: one hash-partitioned window on ``key_col``. Head-domain
+    skew makes single-key partitions large; the window only SORTS
+    within a key (no state across keys), and for the pathological
+    single-domain-dominates case the two-phase variant applies: count
+    per key, broadcast counts, keep docs with hash-rank estimated via
+    threshold = cap/count quantile, then exact-trim the overshoot —
+    same output, no full sort of the hot key. The window form is the
+    right default; the threshold form is ``operators/skew.py``'s
+    territory and only needed past ~10⁸ rows per key.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def mix_sources(
     docs: DataFrame,
     tokens_col: Column,

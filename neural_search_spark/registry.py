@@ -4043,7 +4043,9 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tok_tbl.groupBy("tok").agg(F.count("*").alias("c"))
     t_uni = uni.agg(F.sum("c").cast("double").alias("t_uni"))
     n = F.size(toks)
-    bigrams = d.select(
+    # guard: docs tokenizing to <2 tokens would give the slice a negative
+    # length (runtime error); they contribute no bigrams anyway
+    bigrams = d.where(n >= 2).select(
         F.explode(
             F.arrays_zip(
                 F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
@@ -5982,6 +5984,238 @@ SPARK_QUERIES["dsl_agg_stats"] = q_dsl_agg_stats
 SPARK_QUERIES["dsl_agg_range"] = q_dsl_agg_range
 SPARK_QUERIES["dsl_agg_histogram"] = q_dsl_agg_histogram
 SPARK_QUERIES["dsl_agg_over_match"] = q_dsl_agg_over_match
+
+# ---------------------------------------------------------------------------
+# Round-3 curation additions: distributed k-means (Lloyd's), SemDeDup-
+# style semantic dedup, repeated-span removal, per-domain frequency
+# cap, BPE merge-pair counting. Rotation: these enter the driver
+# window in round 4 (new-query rule in the schedule above).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+KMEANS_OUT_DIMS = 8
+EMB_DIM = 64
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/cluster.py): 2 rounds
+    from the deterministic first-K seeds; output = final per-cluster
+    sizes and first-8-dim centroid cells. Each round is one scan +
+    one k×64-cell aggregate; only centroids (KBs) touch the driver."""
+    from .functions.vector import as_double
+    from .operators import cluster as CL
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    seeds = _centroids(spark, sf_dir)[:KMEANS_K]
+    assigned, _cents = CL.kmeans_lloyd(embs, seeds, rounds=KMEANS_ROUNDS)
+    return (
+        embs.join(assigned, "vec_id")
+        .select(
+            "cluster_id",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .where(F.col("pos") < KMEANS_OUT_DIMS)
+        .groupBy("cluster_id", "pos")
+        .agg(F.round(F.avg("x"), 4).alias("centroid_v"), F.count("*").alias("n"))
+        .orderBy("cluster_id", "pos")
+    )
+
+
+def _sql_kmeans_assign(e: str, cents: str) -> str:
+    """One Lloyd assignment round as SQL (argmin L2, ties → low cid)."""
+    return f"""(
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT {e}.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY {e}.vec_id
+             ORDER BY list_distance({e}.ve, c.cvec), c.cid
+           ) AS rn
+    FROM {e} CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_kmeans_recompute(assign: str) -> str:
+    """Recompute quantized centroids from an assignment (mirrors
+    cluster.kmeans_lloyd's F.round(avg, 6) cells)."""
+    return f"""(
+  SELECT cluster_id AS cid, list(v ORDER BY pos) AS cvec FROM (
+    SELECT a.cluster_id, t.i AS pos, round(avg(e.ve[t.i + 1]), 6) AS v
+    FROM e JOIN {assign} a USING (vec_id), unnest(range(0, {EMB_DIM})) t(i)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+
+
+ORACLES["kmeans_clusters"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+s0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       FROM embeddings WHERE vec_id < {KMEANS_K}),
+a1 AS {_sql_kmeans_assign('e', 's0')},
+c1 AS {_sql_kmeans_recompute('a1')},
+a2 AS {_sql_kmeans_assign('e', 'c1')},
+c2 AS {_sql_kmeans_recompute('a2')},
+a3 AS {_sql_kmeans_assign('e', 'c2')}
+SELECT a.cluster_id, t.i AS pos,
+       round(avg(e.ve[t.i + 1]), 4) AS centroid_v, count(*) AS n
+FROM e JOIN a3 a USING (vec_id), unnest(range(0, {KMEANS_OUT_DIMS})) t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+SPARK_QUERIES["kmeans_clusters"] = q_kmeans_clusters
+
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD  # same θ as the near-dup family
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (dedup.py::
+    semantic_dedup_keep): k-means-cell assignment bounds the pair
+    scan to within-cell joins; min-id keeper per near-dup pair."""
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup_keep(
+        embs, _centroids(spark, sf_dir), threshold=SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+ORACLES["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < {IVF_NUM_CENTROIDS}),
+assign AS {_sql_kmeans_assign('e', 'cents')},
+un AS (
+  SELECT e.vec_id, a.cluster_id,
+         list_transform(e.ve, x -> x / sqrt(list_dot_product(e.ve, e.ve))) AS unit
+  FROM e JOIN assign a USING (vec_id)
+),
+removed AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM un a JOIN un b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.unit, b.unit) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+ORDER BY vec_id
+"""
+SPARK_QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
+SPAN_TOKENS = 3
+
+
+def q_dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (dedup.py::span_dedup): corpus-global
+    count of 3-token spans; each doc rebuilt from its globally-unique
+    spans. Two map-side-combinable shuffles, no pairwise work."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return DD.span_dedup(docs, span_tokens=SPAN_TOKENS).orderBy("doc_id")
+
+
+ORACLES["dedup_span_windows"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, t.i AS span_idx,
+         array_to_string(
+           list_slice(l, t.i * {SPAN_TOKENS} + 1,
+                      t.i * {SPAN_TOKENS} + {SPAN_TOKENS}), ' ') AS span
+  FROM toks,
+       unnest(range(0, cast(ceil(len(l) / {SPAN_TOKENS}.0) AS INT))) t(i)
+),
+s2 AS (SELECT * FROM spans WHERE span != ''),
+counts AS (SELECT md5(span) AS h, count(*) AS c FROM s2 GROUP BY 1),
+j AS (SELECT s.doc_id, s.span_idx, s.span, c.c
+      FROM s2 s JOIN counts c ON md5(s.span) = c.h)
+SELECT doc_id,
+       count(*) AS n_spans,
+       cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
+       coalesce(
+         array_to_string(list(span ORDER BY span_idx) FILTER (WHERE c = 1), ' '),
+         '') AS kept_text
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+SPARK_QUERIES["dedup_span_windows"] = q_dedup_span_windows
+
+
+DOMAIN_CAP = 15
+DOMAIN_CAP_SALT = "cap0:"
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (packing.py::cap_per_key): ≤15 docs
+    per source by deterministic hash lottery — the web-corpus quota
+    that keeps head domains from dominating the mixture."""
+    from .operators import packing as PK
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        PK.cap_per_key(docs, "source", DOMAIN_CAP, salt=DOMAIN_CAP_SALT)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLES["domain_cap_sample"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{DOMAIN_CAP_SALT}' || cast(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+ORDER BY source, doc_id
+"""
+SPARK_QUERIES["domain_cap_sample"] = q_domain_cap_sample
+
+
+BPE_TOP = 30
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round over the corpus vocabulary: word-frequency
+    table (one agg), then adjacent-char-pair counts weighted by word
+    frequency (functions/text.py::char_pairs — pure codegen). The top
+    pair is the next BPE merge; the whole tokenizer-training loop is
+    this query iterated with a merged vocab."""
+    d = catalog.table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(S.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    return (
+        words.select(F.explode(T.char_pairs(F.col("w"))).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+ORACLES["bpe_merge_pairs"] = f"""
+WITH w AS (
+  SELECT t AS w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS t
+    FROM documents
+  ) GROUP BY 1
+),
+p AS (
+  SELECT substring(w, t.i, 2) AS pair, wc
+  FROM w, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, cast(sum(wc) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+"""
+SPARK_QUERIES["bpe_merge_pairs"] = q_bpe_merge_pairs
+
 
 # apply the contract ordering ONCE, after every registration — the
 # driver's correctness gate samples the first 50 entries in dict
