@@ -190,6 +190,47 @@ def dense_embed_model_udf(model_id: str, content_type: str = "PASSAGE"):
     return _embed
 
 
+def numpy_checkpoint_loader(
+    npz_path: str, hash_dim: int = 1024
+) -> Callable[[], object]:
+    """Loader for an actual on-disk checkpoint runnable in THIS
+    container (numpy only): a hashed-bag-of-words linear encoder.
+    `npz_path` holds one array `W` of shape (hash_dim, out_dim) — the
+    projection — loaded ONCE per worker when the loader runs on the
+    executor (ship the file via a cluster filesystem or
+    `SparkContext.addFile`; the open happens at load time, executor-
+    side, exactly where torch weights would be mmapped).
+
+    encode: tokens → stable md5 hash-bucket counts (content_type
+    prefixes QUERY/PASSAGE flip one reserved bucket, preserving the
+    asymmetric-encoder contract) → x @ W → L2 normalize. Deterministic,
+    so golden tests can pin outputs while exercising the REAL
+    file→broadcast→batch path end-to-end."""
+
+    def _load() -> object:
+        import hashlib
+
+        W = np.load(npz_path)["W"]  # (hash_dim, out_dim)
+
+        class _NpzLinear:
+            def encode(self, texts: list[str], content_type: str = "PASSAGE") -> np.ndarray:
+                X = np.zeros((len(texts), hash_dim), dtype=np.float64)
+                for i, t in enumerate(texts):
+                    for tok in (t or "").lower().split():
+                        h = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:4], "big"
+                        )
+                        X[i, h % (hash_dim - 1)] += 1.0
+                    X[i, hash_dim - 1] = 1.0 if content_type == "QUERY" else 0.0
+                Y = X @ W
+                n = np.linalg.norm(Y, axis=1, keepdims=True)
+                return Y / np.where(n == 0.0, 1.0, n)
+
+        return _NpzLinear()
+
+    return _load
+
+
 def sentence_transformer_loader(model_path: str, device: str = "cpu") -> Callable[[], object]:
     """Loader factory for an actual sentence-transformers encoder —
     the documented real-model path (this container has no torch, so it

@@ -62,18 +62,19 @@ def build_bm25(
     )
 
 
-def bm25_topk(
+def bm25_scores(
     index: BM25Index,
     query: str,
-    k: int = 10,
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
     candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25. `candidate_ids` restricts scoring to allowed docs
-    (hybrid filter pushdown, P2) — corpus stats stay corpus-wide, as in
-    Lucene filtered queries."""
+    """(doc_id, score) for every doc matching ≥1 query token — the
+    scoring stage of bm25_topk without the top-k, reusable by
+    multi-field combiners. `candidate_ids` restricts scoring to
+    allowed docs (hybrid filter pushdown, P2) — corpus stats stay
+    corpus-wide, as in Lucene filtered queries."""
     n, avgdl = index.stats
     if index.analyzer is None:
         qtokens = sorted({t for t in query.lower().split() if t})
@@ -108,7 +109,65 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
     )
+    return scored
+
+
+def bm25_topk(
+    index: BM25Index,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    candidate_ids: DataFrame | None = None,
+) -> DataFrame:
+    scored = bm25_scores(index, query, id_col, k1, b, candidate_ids)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def multi_match_topk(
+    indexes: dict[str, tuple[BM25Index, float]],
+    query: str,
+    k: int = 10,
+    match_type: str = "best_fields",
+    id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
+) -> DataFrame:
+    """OpenSearch `multi_match`: one query string scored against
+    several fields, each field its own BM25 index (own postings, own
+    N/avgdl — the Lucene per-field statistics contract) and boost.
+
+    - best_fields: score = max over fields (dis-max, the default)
+    - most_fields: score = Σ over fields
+
+    Plan shape: per-field score frames hold only token-matching docs
+    (≪ corpus), outer-joined on doc_id — candidate-frame-sized
+    shuffles, never a corpus scan beyond each field's postings join.
+    """
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unsupported multi_match type: {match_type}")
+    combined = None
+    cols = []
+    for i, (fname, (idx, boost)) in enumerate(sorted(indexes.items())):
+        s = bm25_scores(idx, query, id_col, candidate_ids=candidate_ids).select(
+            id_col, (F.col("score") * F.lit(float(boost))).alias(f"__f{i}")
+        )
+        cols.append(f"__f{i}")
+        combined = s if combined is None else combined.join(s, id_col, "full_outer")
+    if combined is None:
+        raise ValueError("multi_match requires at least one field")
+    if match_type == "best_fields":
+        score = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+    else:
+        score = sum(
+            (F.coalesce(F.col(c), F.lit(0.0)) for c in cols[1:]),
+            F.coalesce(F.col(cols[0]), F.lit(0.0)),
+        )
+    return (
+        combined.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def build_positional(
@@ -255,6 +314,35 @@ def prefix_suggest(
         .groupBy("token")
         .agg(F.countDistinct(id_col).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(k)
+    )
+
+
+def term_suggest(
+    postings: DataFrame,
+    term: str,
+    max_dist: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Did-you-mean (OpenSearch term suggester): vocabulary terms
+    within `max_dist` edits of `term`, ranked (distance ASC, doc-freq
+    DESC, term ASC). The candidate scan is the VOCABULARY (one
+    map-side-combined agg over postings, |V| ≪ corpus — an ingest
+    artifact at scale, like the BM25 stats tables); `levenshtein` is a
+    JVM builtin, so the whole plan is one small agg + filter, no
+    Python. The input term itself is excluded (suggest = corrections)."""
+    vocab = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("freq")
+    )
+    dist = F.levenshtein(F.col("token"), F.lit(term))
+    return (
+        vocab.where((dist <= max_dist) & (F.col("token") != term))
+        .select(
+            F.col("token").alias("suggestion"),
+            dist.cast("int").alias("dist"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("freq").desc(), "suggestion")
         .limit(k)
     )
 

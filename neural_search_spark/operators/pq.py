@@ -186,6 +186,73 @@ def adc_lut(
     return lut
 
 
+def ivfpq_topk(
+    codes: DataFrame,
+    embs: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: cell-pruned integer-ADC scan → exact rescore → top-k.
+
+    The production composition of the two tiers (FAISS's IVFPQ; the
+    reference's dense path has neither — it delegates to HNSW,
+    `query/NeuralKNNQueryBuilder.java`): the coarse IVF quantizer
+    prunes the scan to `nprobe / ncells` of the corpus **before** any
+    per-row work, and within the probed cells only the 8-byte PQ codes
+    are read (integer LUT sums — exact under any association, so
+    reproducible across engines/partitionings). The wide float vectors
+    are joined for just the `shortlist` rescore rows.
+
+    `codes` must carry a `cluster_id` column next to `codes` —
+    at scale this is ONE table written partitioned by cluster_id
+    (partition pruning does the probe filter at the source), with the
+    PQ codes as its payload: ~9 B/row total for the whole corpus.
+
+    Cost model at 100 TB: brute force reads N·D floats; IVF alone reads
+    (nprobe/ncells)·N·D floats; IVF-PQ reads (nprobe/ncells)·N·M bytes
+    + shortlist·D floats — a further ~32× I/O cut on the probed slice.
+    """
+    import math
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    lut = adc_lut(codebooks, query_vec)
+    approx = F.lit(0).cast("long")
+    for mi, row in enumerate(lut):
+        approx = approx + F.element_at(
+            F.array(*[F.lit(d).cast("long") for d in row]),
+            F.element_at(F.col("codes"), mi + 1) + 1,
+        )
+    short = (
+        codes.where(F.col("cluster_id").isin(probe_ids))
+        .select(F.col(id_col), approx.alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    q = lit_vector([float(x) for x in query_vec])
+    rescored = short.join(embs.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("doc_id"),
+        cosine(as_double(F.col(vec_col)), q).alias("score"),
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
 def pq_adc_topk(
     codes: DataFrame,
     embs: DataFrame,

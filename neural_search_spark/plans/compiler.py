@@ -172,8 +172,11 @@ class Engine:
         # `processor/AgenticQueryTranslatorProcessor.java:97-150`
         self.agent_translate = agent_translate or _agentic_translate
         self._bm25 = None
+        self._field_bm25 = None
         self._positional = None
         self._mlt_stats = None
+        self._stored_dim = None
+        self._model_corpora = None
 
     # -- corpus ------------------------------------------------------------
     def corpus(self) -> DataFrame:
@@ -191,14 +194,105 @@ class Engine:
             self._bm25[analyzer] = B.build_bm25(self.documents(), analyzer=analyzer)
         return self._bm25[analyzer]
 
+    # derived text fields — the S3 mapping-transformer face of the DSL:
+    # a "field" a query addresses need not be a physical column; `title`
+    # is the leading-tokens projection of `text` (the ingest mapping
+    # would materialize it at scale; deriving it in-plan is equivalent
+    # and costs one extra scan of the already-read text column)
+    TITLE_TOKENS = 8
+
+    def field_frame(self, field: str) -> DataFrame:
+        docs = self.documents()
+        if field == "text":
+            return docs
+        if field == "title":
+            from ..functions import sparse as SP
+
+            toks = SP.tokens(F.col("text"))
+            return docs.select(
+                "doc_id",
+                F.array_join(F.slice(toks, 1, self.TITLE_TOKENS), " ").alias("text"),
+            )
+        raise ValueError(f"unknown field: {field!r} (have text, title)")
+
+    def field_index(self, field: str) -> B.BM25Index:
+        """Per-field BM25 index cache (Lucene's per-field statistics:
+        each field carries its own postings, doc lengths, N, avgdl)."""
+        if field == "text":
+            return self.bm25_index()
+        if self._field_bm25 is None:
+            self._field_bm25 = {}
+        if field not in self._field_bm25:
+            self._field_bm25[field] = B.build_bm25(self.field_frame(field))
+        return self._field_bm25[field]
+
     def positional_index(self) -> DataFrame:
         if self._positional is None:
             self._positional = B.build_positional(self.documents())
         return self._positional
 
+    def attach_index(self, bundle) -> None:
+        """Compile against persisted artifacts (sources/index_store.py)
+        instead of rebuilding from the corpus: BM25 postings/doclen/
+        stats come from the loaded tables (token-partitioned parquet),
+        and the IVF/PQ artifacts seed the module ANN caches — so the
+        first ANN query after a restart is as cheap as the Nth."""
+        if self._bm25 is None:
+            self._bm25 = {}
+        self._bm25[bundle.analyzer] = B.BM25Index(
+            postings=bundle.postings,
+            doclen=bundle.doclen,
+            stats=bundle.stats,
+            analyzer=bundle.analyzer,
+        )
+        if bundle.centroids:
+            _IVF_CENTROID_CACHE[(self.sf_dir, len(bundle.centroids))] = (
+                bundle.centroids
+            )
+        if bundle.pq_codebooks and bundle.pq_codes is not None:
+            _PQ_INDEX_CACHE[(self.sf_dir, len(bundle.pq_codebooks[0]))] = (
+                bundle.pq_codebooks,
+                bundle.pq_codes,
+            )
+
     # -- model resolution (Q9 enricher) -----------------------------------
     def _resolve_model(self, spec: dict) -> str:
         return spec.get("model_id") or self.default_model_id
+
+    def _corpus_dim(self) -> int:
+        """Dimensionality of the stored embedding column (the index's
+        ingest model's dim) — one 1-row action, cached."""
+        if self._stored_dim is None:
+            row = self.corpus().select(F.size("embedding").alias("d")).first()
+            self._stored_dim = int(row["d"])
+        return self._stored_dim
+
+    def model_corpus(self, model_id: str) -> DataFrame:
+        """Corpus whose embedding column lives in `model_id`'s vector
+        space. When the model's dim matches the index's stored dim the
+        stored column is that space (the reference's contract: the
+        field's ingest model == the query's model,
+        `query/NeuralQueryBuilder.java:645-646`). When a query swaps in
+        a DIFFERENT-dim model, comparing against the stored column is
+        meaningless (null/garbage cosines) — so the documents are
+        re-embedded through the model's pandas UDF, cached + persisted
+        per model_id. At scale that re-embed is an ingest job (F1), not
+        query work; the in-plan fallback keeps model migrations and
+        small corpora runnable without a separate pipeline, and the
+        cache bounds it to once per model per engine."""
+        spec = models.MODEL_REGISTRY[model_id]
+        if spec.dim == self._corpus_dim():
+            return self.corpus()
+        if self._model_corpora is None:
+            self._model_corpora = {}
+        if model_id not in self._model_corpora:
+            docs = self.documents()
+            embedded = docs.withColumn(
+                "embedding",
+                models.dense_embed_model_udf(model_id, "PASSAGE")(F.col("text")),
+            ).persist()
+            self._model_corpora[model_id] = embedded
+        return self._model_corpora[model_id]
 
     # -- sub-query compilation --------------------------------------------
     def _compile_sub(
@@ -219,6 +313,7 @@ class Engine:
             # the stub for a real encoder is a registration, not a
             # query-code change (`ml/MLCommonsClientAccessor.java:110`)
             model_id = self._resolve_model(body)
+            used_model = "vector" not in body
             if "vector" in body:
                 qv = [float(x) for x in body["vector"]]
             elif "query_image" in body:
@@ -235,16 +330,19 @@ class Engine:
             if hybrid_filter:
                 hf = F.expr(hybrid_filter)
                 flt = hf if flt is None else (flt & hf)
+            # corpus side must live in the query model's vector space
+            # (stored column when dims agree, model re-embed otherwise)
+            corp_base = self.model_corpus(model_id) if used_model else self.corpus()
             if body.get("max_distance") is not None:
                 return R.radial_search(
-                    self.corpus(), qv, max_distance=body["max_distance"]
+                    corp_base, qv, max_distance=body["max_distance"]
                 ).limit(k)
             if body.get("rescore"):
                 # kNN rescore context (`query/NeuralQueryBuilder.java:649-650`):
                 # cheap int-quantized phase 1 over the corpus, exact cosine
                 # only on the oversampled window
                 rs = body["rescore"] if isinstance(body["rescore"], dict) else {}
-                corp = self.corpus()
+                corp = corp_base
                 if flt is not None:
                     corp = corp.where(flt)
                 return R.dense_rescore_topk(
@@ -254,9 +352,17 @@ class Engine:
                 )
             method = (body.get("method") or {}).get("name", "brute")
             if method != "brute":
+                if used_model and len(qv) != self._corpus_dim():
+                    raise ValueError(
+                        f"model {model_id!r} (dim {len(qv)}) does not match the "
+                        f"index's stored embeddings (dim {self._corpus_dim()}); "
+                        "ANN artifacts are built per ingest model — re-ingest "
+                        "with this model (sources/index_store) or use brute/"
+                        "rescore search, which re-embeds in-plan"
+                    )
                 return self._ann_topk(method, body.get("method") or {}, qv, k, flt)
             return R.dense_topk(
-                self.corpus(),
+                corp_base,
                 qv,
                 k=k,
                 vec_col=body.get("field", "embedding"),
@@ -348,6 +454,21 @@ class Engine:
                 raise ValueError("match query requires 'query'")
             return B.bm25_topk(
                 self.bm25_index(body.get("analyzer")), body["query"], k=k,
+                candidate_ids=candidate_ids,
+            )
+        if qtype == "multi_match":
+            # OpenSearch core multi_match: per-field BM25 (each field
+            # its own postings + stats), boosts via `field^2` syntax,
+            # best_fields (dis-max) / most_fields (sum) combination
+            if "query" not in body:
+                raise ValueError("multi_match query requires 'query'")
+            idxs: dict[str, tuple] = {}
+            for fspec in body.get("fields", ["text"]):
+                fname, _, boost = str(fspec).partition("^")
+                idxs[fname] = (self.field_index(fname), float(boost or 1.0))
+            return B.multi_match_topk(
+                idxs, body["query"], k=k,
+                match_type=body.get("type", "best_fields"),
                 candidate_ids=candidate_ids,
             )
         if qtype == "match_phrase":

@@ -612,6 +612,39 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(out)
 
 
+IVFPQ_NPROBE = 6
+_IVFPQ_CACHE: dict[str, DataFrame] = {}
+
+
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, codes) — the single IVF-PQ index table; at
+    scale written partitioned by cluster_id (probe = partition pruning)
+    with 8-byte PQ codes as the only payload."""
+    if sf_dir not in _IVFPQ_CACHE:
+        _, codes = _pq_index(spark, sf_dir)
+        assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cluster_id")
+        _IVFPQ_CACHE[sf_dir] = codes.join(assigned, "vec_id").persist()
+    return _IVFPQ_CACHE[sf_dir]
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (operators/pq.py ivfpq_topk): coarse probe
+    prunes the scan to nprobe/ncells of the corpus, integer ADC over
+    the probed 8-byte codes, exact cosine rescore of the shortlist.
+    nprobe=6 of 16 cells keeps recall@10 = 1.0 on this corpus (gated
+    in tests); the shortlist is the same 50 as ann_pq_topk."""
+    from .operators import pq as PQ
+
+    books, _ = _pq_index(spark, sf_dir)
+    codes = _ivfpq_codes(spark, sf_dir)
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    out = PQ.ivfpq_topk(
+        codes, embs, books, _centroids(spark, sf_dir), _qvec(spark, sf_dir),
+        k=K, nprobe=IVFPQ_NPROBE, shortlist=PQ_SHORTLIST,
+    )
+    return _round4(out)
+
+
 def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = catalog.table(spark, sf_dir, "embeddings")
     return _round4(
@@ -2064,6 +2097,70 @@ SELECT doc_id, round(score, 4) AS score
 FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
 """
 
+# IVF-PQ oracle: the IVF probe/assign CTEs gate which vec_ids enter the
+# PQ shortlist ranking; everything downstream is the ann_pq_topk oracle
+# verbatim (integer LUT sum → shortlist → exact rescore).
+ORACLES["ann_ivfpq_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {IVF_NUM_CENTROIDS}
+),
+q AS {SQL_QVEC},
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_sql_cos('q.qe', 'c.cvec')} AS cs FROM cents c, q
+  ) ORDER BY cs DESC, cid LIMIT {IVFPQ_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding::DOUBLE[]', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {PQ_NUM_CENTROIDS}
+),
+vm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve, unnest(range({PQ_M})) AS m
+  FROM embeddings
+),
+dists AS (
+  SELECT v.vec_id, v.m, c.cid,
+         {' + '.join(f'(v.ve[v.m*8+{i}] - c.ce[v.m*8+{i}]) * (v.ve[v.m*8+{i}] - c.ce[v.m*8+{i}])' for i in range(1, 9))} AS dist
+  FROM vm v CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT m, cid, CAST(floor(dist * {PQ_ADC_SCALE} + 0.5) AS BIGINT) AS dq
+  FROM dists WHERE vec_id = {QUERY_VEC_ID}
+),
+approx AS (
+  SELECT c.vec_id, sum(l.dq) AS ad
+  FROM codes c
+  JOIN qlut l ON l.m = c.m AND l.cid = c.code
+  JOIN assign a ON a.vec_id = c.vec_id
+  WHERE a.cid IN (SELECT cid FROM probes)
+  GROUP BY c.vec_id
+),
+short AS (SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT {PQ_SHORTLIST}),
+rescored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.embedding::DOUBLE[]', 'q.qe')} AS score
+  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q
+)
+SELECT doc_id, round(score, 4) AS score
+FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
 ORACLES["ann_lsh_neardup"] = f"""
 WITH buckets AS (
   SELECT vec_id, concat({_SRP_BITS}) AS bucket FROM embeddings
@@ -2621,6 +2718,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_exact": q_emb_neardup_exact,
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_topk": q_ann_pq,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_lsh_neardup": q_ann_lsh_neardup,
     "ann_knn_join": q_ann_knn_join,
     "text_lang_id": q_text_lang_id,
@@ -5213,9 +5311,10 @@ for _name, _fn in [
 #   round 1  — flagship surface  (CORRECTNESS_r01.json, 50 graded)
 #   round 2  — rotation 2        (CORRECTNESS_r02.json, 50 graded;
 #                                 union r1+r2 = 66 distinct)
-#   round 3  — THIS WINDOW: every query whose code changed this round
-#              (emb_neardup_cosine → bucketed LSH path) + 54 of the 60
-#              oracle-backed queries never yet driver-graded (56 listed;
+#   round 3  — THIS WINDOW: every query whose code changed or was added
+#              this round (emb_neardup_cosine → bucketed LSH path; the
+#              kmeans/semdedup/span/domain-cap/BPE curation set) + the
+#              oracle-backed queries never yet driver-graded (61 listed;
 #              the driver caps at ~50, spillover heads the round-4 window)
 #   round 4+ — the ~12 oracle-backed remainders (batch_*, events_session*,
 #              events_sliding_window, r10_dense_rescore, tpch_q3/q6,
@@ -5225,6 +5324,11 @@ PRIORITY_50 = [
     # changed this round: flagship near-dup swapped to bucketed LSH +
     # its exact small-scale verifier
     "emb_neardup_cosine", "emb_neardup_exact", "bm25_match_folded",
+    # new this round: distributed curation operators + combined ANN tier
+    "kmeans_clusters", "semantic_dedup", "dedup_span_windows",
+    "domain_cap_sample", "bpe_merge_pairs", "ann_ivfpq_topk",
+    "bpe_token_count", "multi_match_best_fields", "multi_match_most_fields",
+    "term_suggest", "nb_lang_predict",
     # new this round: DSL aggregations + PII scrub
     "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
     "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
@@ -6215,6 +6319,317 @@ FROM p GROUP BY pair
 ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
 """
 SPARK_QUERIES["bpe_merge_pairs"] = q_bpe_merge_pairs
+
+
+# --- BPE tokenizer: train on the corpus, encode + count per doc ----------
+from .functions import bpe as BP  # noqa: E402
+
+BPE_MERGES = 6
+_BPE_MERGES_CACHE: dict[str, list[str]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Learned merge list — an ingest-time artifact (the tokenizer
+    model), cached like centroids/codebooks."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        d = catalog.table(spark, sf_dir, "documents")
+        words = (
+            d.select(F.explode(S.tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+        )
+        _BPE_MERGES_CACHE[sf_dir] = BP.train_merges(words, BPE_MERGES)
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword token counts per document: BPE merges learned from
+    the corpus's word-frequency table (functions/bpe.py — the corpus
+    is read once; each merge round aggregates the tiny vocab frame),
+    then applied as a chain of literal `replace` ops — whole-stage
+    codegen end-to-end, no Python in the scan. The oracle unrolls the
+    identical train+encode algebra into CTEs (the MMR-oracle trick)."""
+    merges = _bpe_merges(spark, sf_dir)
+    d = catalog.table(spark, sf_dir, "documents")
+    toks = S.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        BP.doc_token_count(toks, merges).cast("long").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Mechanically unroll the train loop: v{i} = vocab symbolization
+    after i merges, p{i} = weighted pair counts over v{i}, m{i} = that
+    round's argmax pair. Every count is an exact integer and the
+    argmax tie-break is (cnt DESC, pair ASC), so the learned merges
+    match neural_search_spark.functions.bpe.train_merges exactly."""
+    ctes = [
+        """w AS (
+  SELECT t AS w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS t
+    FROM documents
+  ) GROUP BY 1
+)""",
+        "v0 AS (SELECT w, wc, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM w)",
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+  SELECT lst[t.i] || ' ' || lst[t.i + 1] AS pair, wc
+  FROM (SELECT string_split(trim(sym), ' ') AS lst, wc FROM v{i}),
+       unnest(range(1, len(lst))) t(i)
+)""")
+        ctes.append(f"""m{i} AS (
+  SELECT pair FROM (SELECT pair, sum(wc) AS c FROM p{i} GROUP BY 1)
+  ORDER BY c DESC, pair LIMIT 1
+)""")
+        ctes.append(
+            f"v{i + 1} AS (SELECT w, wc, replace(sym, "
+            f"' ' || (SELECT pair FROM m{i}) || ' ', "
+            f"' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ') AS sym FROM v{i})"
+        )
+    ctes.append("""docwords AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t != '')) AS w
+  FROM documents
+)""")
+    ctes.append(f"""counts AS (
+  SELECT dw.doc_id, sum(len(string_split(trim(v.sym), ' '))) AS n
+  FROM docwords dw JOIN v{n_merges} v USING (w)
+  GROUP BY dw.doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
+FROM documents d LEFT JOIN counts c USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
+
+
+ORACLES["bpe_token_count"] = _bpe_oracle_sql(BPE_MERGES)
+SPARK_QUERIES["bpe_token_count"] = q_bpe_token_count
+
+
+# --- multi_match: one query, several fields (OpenSearch core) ------------
+# `title` is a derived field (leading 8 tokens of text — the S3 mapping
+# transformer's derived-field face); each field carries its OWN postings
+# and N/avgdl statistics, per Lucene's per-field contract.
+TITLE_TOKENS = 8
+TITLE_BOOST = 2.0
+_BM25_TITLE_CACHE: dict[str, B.BM25Index] = {}
+
+
+def _bm25_title(spark: SparkSession, sf_dir: str) -> B.BM25Index:
+    if sf_dir not in _BM25_TITLE_CACHE:
+        d = catalog.table(spark, sf_dir, "documents")
+        toks = S.tokens(F.col("text"))
+        title = d.select(
+            "doc_id", F.array_join(F.slice(toks, 1, TITLE_TOKENS), " ").alias("text")
+        )
+        _BM25_TITLE_CACHE[sf_dir] = B.build_bm25(title)
+    return _BM25_TITLE_CACHE[sf_dir]
+
+
+def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields (dis-max): score = max(bm25_text,
+    2·bm25_title). Per-field score frames hold only token-matching
+    docs; the combine is a full-outer join on candidate-sized frames
+    (operators/bm25.py multi_match_topk)."""
+    idxs = {
+        "text": (_bm25(spark, sf_dir), 1.0),
+        "title": (_bm25_title(spark, sf_dir), TITLE_BOOST),
+    }
+    return _round4(B.multi_match_topk(idxs, BM25_QUERY, k=K, match_type="best_fields"))
+
+
+def q_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match most_fields: score = Σ per-field boosted scores."""
+    idxs = {
+        "text": (_bm25(spark, sf_dir), 1.0),
+        "title": (_bm25_title(spark, sf_dir), TITLE_BOOST),
+    }
+    return _round4(B.multi_match_topk(idxs, BM25_QUERY, k=K, match_type="most_fields"))
+
+
+_SQL_MM_FIELDS = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+post_text AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS weight
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY doc_id, token
+),
+dl_text AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+st_text AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_text),
+df_text AS (
+  SELECT p.token, count(*)::DOUBLE AS df FROM post_text p JOIN q USING (token) GROUP BY p.token
+),
+sc_text AS (
+  SELECT p.doc_id,
+         sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (p.weight * (1.2 + 1.0))
+             / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM post_text p JOIN q USING (token)
+  JOIN df_text f ON f.token = p.token
+  JOIN dl_text d ON d.doc_id = p.doc_id
+  CROSS JOIN st_text s
+  GROUP BY p.doc_id
+),
+ttoks AS (SELECT doc_id, list_slice(tk, 1, {TITLE_TOKENS}) AS tk FROM toks),
+post_title AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS weight
+  FROM (SELECT doc_id, unnest(tk) AS token FROM ttoks) GROUP BY doc_id, token
+),
+dl_title AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM ttoks),
+st_title AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_title),
+df_title AS (
+  SELECT p.token, count(*)::DOUBLE AS df FROM post_title p JOIN q USING (token) GROUP BY p.token
+),
+sc_title AS (
+  SELECT p.doc_id,
+         {TITLE_BOOST} * sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (p.weight * (1.2 + 1.0))
+             / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM post_title p JOIN q USING (token)
+  JOIN df_title f ON f.token = p.token
+  JOIN dl_title d ON d.doc_id = p.doc_id
+  CROSS JOIN st_title s
+  GROUP BY p.doc_id
+),
+combined AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.score AS s_text, b.score AS s_title
+  FROM sc_text a FULL OUTER JOIN sc_title b ON a.doc_id = b.doc_id
+)"""
+
+ORACLES["multi_match_best_fields"] = f"""
+WITH {_SQL_MM_FIELDS}
+SELECT doc_id,
+       round(greatest(coalesce(s_text, -1e308), coalesce(s_title, -1e308)), 4) AS score
+FROM combined ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+ORACLES["multi_match_most_fields"] = f"""
+WITH {_SQL_MM_FIELDS}
+SELECT doc_id,
+       round(coalesce(s_text, 0.0) + coalesce(s_title, 0.0), 4) AS score
+FROM combined ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+SPARK_QUERIES["multi_match_best_fields"] = q_multi_match_best
+SPARK_QUERIES["multi_match_most_fields"] = q_multi_match_most
+
+
+# --- term suggester: did-you-mean over the corpus vocabulary -------------
+SUGGEST_TYPO = "strem"  # 1 edit from corpus word "stream"
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell correction (OpenSearch term suggester): vocabulary terms
+    within 2 edits of the typo, ranked (distance, doc-freq desc, term).
+    Candidate scan = the vocab agg (|V| ≪ corpus; ingest artifact at
+    scale); levenshtein is a JVM builtin — no Python anywhere."""
+    post = _bm25(spark, sf_dir).postings
+    return B.term_suggest(post, SUGGEST_TYPO, max_dist=2, k=K)
+
+
+# --- Naive Bayes language-ID: train + predict, both hash-checked --------
+from .operators import classify as NB  # noqa: E402
+
+_NB_CACHE: dict[str, object] = {}
+
+
+def _nb_model(spark: SparkSession, sf_dir: str):
+    """Trained NB tables — ingest artifacts (|V|·|C| rows), persisted."""
+    if sf_dir not in _NB_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        m = NB.nb_train(docs, "lang")
+        m.priors.persist().count()
+        m.likelihoods.persist().count()
+        _NB_CACHE[sf_dir] = m
+    return _NB_CACHE[sf_dir]
+
+
+def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained multinomial NB language-ID (operators/classify.py):
+    training is two counting aggregates; scoring is a broadcast join +
+    integer-quantized log sums, so scores AND the argmax are exact
+    cross-engine — the full train+predict pipeline hash-checks against
+    the DuckDB oracle, not just an accuracy gate."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    m = _nb_model(spark, sf_dir)
+    out = NB.nb_predict(docs, m)
+    return out.select("doc_id", "pred_cls", "score_q").orderBy("doc_id")
+
+
+ORACLES["nb_lang_predict"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+priors AS (
+  SELECT lang AS cls,
+         CAST(floor(ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)) * {NB.LOG_SCALE} + 0.5) AS BIGINT) AS prior_q
+  FROM documents GROUP BY lang
+),
+tokcnt AS (
+  SELECT lang AS cls, token, count(*) AS cnt
+  FROM (SELECT lang, unnest(tk) AS token FROM toks) GROUP BY 1, 2
+),
+totals AS (SELECT cls, sum(cnt) AS total FROM tokcnt GROUP BY cls),
+vocab AS (SELECT DISTINCT token FROM tokcnt),
+vsize AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+dense AS (
+  SELECT t.cls, w.token,
+         CAST(floor(ln((coalesce(c.cnt, 0) + 1.0) / (t.total + s.v)) * {NB.LOG_SCALE} + 0.5) AS BIGINT) AS llh_q
+  FROM totals t CROSS JOIN vocab w CROSS JOIN vsize s
+  LEFT JOIN tokcnt c ON c.cls = t.cls AND c.token = w.token
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1, 2
+),
+tok_scores AS (
+  SELECT f.doc_id, d.cls, sum(f.tf * d.llh_q) AS tok_q
+  FROM tf f JOIN dense d ON d.token = f.token
+  GROUP BY f.doc_id, d.cls
+),
+scored AS (
+  SELECT d.doc_id, p.cls,
+         p.prior_q + coalesce(ts.tok_q, 0) AS score_q
+  FROM documents d CROSS JOIN priors p
+  LEFT JOIN tok_scores ts ON ts.doc_id = d.doc_id AND ts.cls = p.cls
+),
+best AS (
+  SELECT doc_id, cls AS pred_cls, score_q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cls DESC) AS rn
+  FROM scored
+)
+SELECT doc_id, pred_cls, CAST(score_q AS BIGINT) AS score_q
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+SPARK_QUERIES["nb_lang_predict"] = q_nb_lang_predict
+
+
+ORACLES["term_suggest"] = f"""
+WITH vocab AS (
+  SELECT token, count(DISTINCT doc_id) AS freq
+  FROM ({SQL_TF_POSTINGS})
+  GROUP BY token
+)
+SELECT token AS suggestion,
+       CAST(levenshtein(token, '{SUGGEST_TYPO}') AS INT) AS dist,
+       CAST(freq AS BIGINT) AS freq
+FROM vocab
+WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
+ORDER BY dist, freq DESC, suggestion LIMIT {K}
+"""
+SPARK_QUERIES["term_suggest"] = q_term_suggest
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -770,3 +770,28 @@ def test_msearch_one_plan(engine):
     assert set(by_idx) == {0, 1, 2}
     assert len(by_idx[0]) == 5 and len(by_idx[1]) == 5
     assert sorted(by_idx[2]) == [1, 2]
+
+
+def test_multi_match_dispatch(spark, sf_dir, engine):
+    """multi_match compiles through per-field indexes and matches the
+    registry queries (best_fields dis-max / most_fields sum)."""
+    best = engine.search(
+        {"multi_match": {"query": registry.BM25_QUERY,
+                         "fields": ["text", "title^2"]}}
+    )
+    assert _ids(best) == _ids(registry.q_multi_match_best(spark, sf_dir))
+    most = engine.search(
+        {"multi_match": {"query": registry.BM25_QUERY,
+                         "fields": ["text", "title^2"],
+                         "type": "most_fields"}}
+    )
+    assert _ids(most) == _ids(registry.q_multi_match_most(spark, sf_dir))
+
+
+def test_multi_match_rejects_bad_type(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multi_match"):
+        engine.search(
+            {"multi_match": {"query": "x", "fields": ["text"], "type": "cross_fields"}}
+        )

@@ -122,3 +122,56 @@ def test_unknown_model_raises(spark, sf_dir):
     eng = Engine(spark, sf_dir, default_model_id="no-such-model")
     with pytest.raises(KeyError):
         eng.search({"neural": {"query_text": "x"}})
+
+
+def test_npz_checkpoint_end_to_end(spark, sf_dir, tmp_path):
+    """An actual on-disk checkpoint drives a DSL query with zero query-
+    code change: save W.npz → register numpy_checkpoint_loader → the
+    engine embeds the corpus and the query through the file-backed
+    model (file opens at load time, once per process — the torch-
+    weights lifecycle, runnable in this container)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "ckpt.npz")
+    np.savez(path, W=rng.standard_normal((1024, 32)))
+    models.register_model(
+        "npz-linear", models.numpy_checkpoint_loader(path), dim=32, batch_size=16
+    )
+    try:
+        eng = Engine(spark, sf_dir, default_model_id="npz-linear")
+        out = eng.search({"neural": {"query_text": "spark join window", "k": 5}})
+        rows = out.collect()
+        assert len(rows) == 5
+        assert rows[0]["score"] >= rows[-1]["score"]
+        # QUERY/PASSAGE asymmetry is live (reserved-bucket flip)
+        q = models.encode_query("npz-linear", "spark join", "QUERY")
+        p = models.encode_query("npz-linear", "spark join", "PASSAGE")
+        assert q != p
+        # determinism: same checkpoint, same outputs
+        q2 = models.encode_query("npz-linear", "spark join", "QUERY")
+        assert q == q2
+    finally:
+        models.MODEL_REGISTRY.pop("npz-linear", None)
+        models._MODEL_INSTANCES.pop("npz-linear", None)
+
+
+def test_mismatched_dim_ann_raises(spark, sf_dir, real_model):
+    """ANN artifacts are per-ingest-model: a 32-dim query model against
+    the 64-dim stored index must fail loudly on method: ivf — not
+    return garbage cosines."""
+    eng = Engine(spark, sf_dir, default_model_id=real_model)
+    with pytest.raises(ValueError, match="does not match the index"):
+        eng.search(
+            {"neural": {"query_text": "x", "method": {"name": "ivf"}}}
+        )
+
+
+def test_mismatched_dim_brute_reembeds(spark, sf_dir, real_model):
+    """Brute search with a different-dim model re-embeds the corpus in
+    the model's space: scores are real numbers, not nulls."""
+    eng = Engine(spark, sf_dir, default_model_id=real_model)
+    rows = eng.search({"neural": {"query_text": "spark join", "k": 5}}).collect()
+    assert len(rows) == 5
+    assert all(r["score"] is not None for r in rows)
+    assert rows[0]["score"] >= rows[-1]["score"]

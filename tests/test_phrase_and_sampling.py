@@ -109,3 +109,21 @@ def test_pmi_matches_direct(spark):
         want = round(math.log(c * t_uni * t_uni / (t_bi * uni[a] * uni[b])), 4)
         assert got[(a, b)][0] == c
         assert abs(got[(a, b)][1] - want) < 1e-9
+
+
+def test_term_suggest_ranking(spark):
+    """dist ASC, then doc-freq DESC, then term ASC; input term excluded."""
+    from neural_search_spark.operators import bm25 as B
+
+    post = spark.createDataFrame(
+        [(1, "stream", 1.0), (2, "stream", 1.0), (1, "steam", 1.0),
+         (3, "strem", 1.0), (4, "dream", 1.0), (5, "zzzzzz", 1.0)],
+        "doc_id int, token string, tf double",
+    )
+    rows = B.term_suggest(post, "strem", max_dist=2, k=10).collect()
+    # stream: 1 edit (insert 'a'), freq 2; steam: 2 edits, freq 1;
+    # dream: 3 edits → excluded; zzzzzz: excluded; 'strem' itself excluded
+    assert [(r["suggestion"], r["dist"], r["freq"]) for r in rows] == [
+        ("stream", 1, 2),
+        ("steam", 2, 1),
+    ]

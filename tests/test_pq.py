@@ -54,3 +54,44 @@ def test_pq_oracle_smoke(spark):
     df = registry.q_ann_pq(spark, SF_SMOKE)
     ok, msg = compare(df, registry.ORACLES["ann_pq_topk"], SF_SMOKE)
     assert ok, msg
+
+
+def test_ivfpq_recall_and_prune(spark):
+    """IVF-PQ combined tier: within the probed cells the PQ/shortlist
+    stage must recover ≥0.9 of what exact-scoring those same cells
+    returns (plain IVF at the same nprobe) — isolating the PQ tier
+    from the IVF probe ceiling, which on these near-random synthetic
+    embeddings is data-bound (no cluster structure), not a code
+    property. Also: the probe filter really prunes the codes scan."""
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    qv = catalog.query_vector(spark, SF_SMOKE, registry.QUERY_VEC_ID)
+    cents = registry._centroids(spark, SF_SMOKE)
+    # production config: k-means codebooks (the registry query's fixed
+    # sample codebooks are the SQL-parity variant, coarser by design)
+    books = PQ.train_codebooks(embs, k=64, sample_n=512)
+    from neural_search_spark.operators import ann as ANN
+
+    codes = PQ.encode_pq(embs, books).join(
+        ANN.ivf_assign(embs, cents), "vec_id"
+    )
+    approx = PQ.ivfpq_topk(
+        codes, embs, books, cents, qv, k=10,
+        nprobe=registry.IVFPQ_NPROBE, shortlist=100,
+    )
+    ivf = ANN.ivf_topk(embs, cents, qv, k=10, nprobe=registry.IVFPQ_NPROBE)
+    a = {r["doc_id"] for r in approx.collect()}
+    e = {r["doc_id"] for r in ivf.collect()}
+    assert len(a & e) / len(e) >= 0.9, (sorted(a), sorted(e))
+    # pruning evidence: probed cells hold strictly fewer rows than corpus
+    probed = codes.where(
+        codes.cluster_id.isin(
+            [c for c, _ in cents][: registry.IVFPQ_NPROBE]
+        )
+    ).count()
+    assert probed < embs.count()
+
+
+def test_ivfpq_oracle_smoke(spark):
+    df = registry.q_ann_ivfpq(spark, SF_SMOKE)
+    ok, msg = compare(df, registry.ORACLES["ann_ivfpq_topk"], SF_SMOKE)
+    assert ok, msg
