@@ -95,6 +95,9 @@ HEADLINE = [
     "multi_match_best_fields",
     "term_suggest",
     "nb_lang_predict",
+    "ann_sq8_topk",
+    "matryoshka_topk",
+    "match_phrase_prefix",
 ]
 
 
@@ -135,6 +138,7 @@ def main() -> None:
     registry._ivfpq_codes(spark, sf_dir).count()
     registry._bpe_merges(spark, sf_dir)
     registry._nb_model(spark, sf_dir)
+    registry._sq8_index(spark, sf_dir)
     registry._positional(spark, sf_dir).count()
     registry._bm25_fold(spark, sf_dir).doclen.count()
     registry._mlt_stats(spark, sf_dir)

@@ -253,6 +253,78 @@ def phrase_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def phrase_prefix_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    candidate_ids: DataFrame | None = None,
+) -> DataFrame:
+    """`match_phrase_prefix` (search-as-you-type): exact adjacency for
+    all terms but the LAST, which matches any token with that prefix
+    (Lucene expands the prefix against the term dictionary; here the
+    expansion is a `startswith` filter on the token-pruned positional
+    scan, with matching tokens' position lists unioned per doc).
+    tf = phrase-prefix frequency; BM25 scoring as phrase_topk."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    n, avgdl = index.stats
+    *exact_terms, prefix = terms
+
+    sides = []
+    for j, t in enumerate(exact_terms):
+        sides.append(
+            positional.where(F.col("token") == t).select(
+                F.col(id_col), F.col("positions").alias(f"_p{j}")
+            )
+        )
+    # prefix side: union of all prefix-matching tokens' positions
+    last_j = len(exact_terms)
+    pre = (
+        positional.where(F.col("token").startswith(prefix))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias(f"_p{last_j}")
+        )
+    )
+    sides.append(pre)
+    joined = sides[0]
+    for j in range(1, len(sides)):
+        joined = joined.join(sides[j], id_col)
+    if candidate_ids is not None:
+        joined = joined.join(F.broadcast(candidate_ids.select(id_col)), id_col, "semi")
+
+    def aligned(p):
+        cond = F.lit(True)
+        for j in range(1, len(sides)):
+            cond = cond & F.array_contains(F.col(f"_p{j}"), p + F.lit(j))
+        return cond
+
+    tf = F.size(F.filter(F.col("_p0"), aligned)).cast("double")
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    dfs = matched.agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        matched.join(index.doclen, id_col)
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def fuzzy_topk(
     postings: DataFrame,
     term: str,

@@ -79,6 +79,44 @@ def dense_topk(
     return _topk(out, k, id_col=id_col)
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = DEFAULT_K,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Matryoshka (MRL) two-phase retrieval: rank on the FIRST
+    `prefix_dim` dimensions (a prefix of an MRL-trained embedding is
+    itself a valid lower-fidelity embedding), then exact-rescore the
+    `shortlist` survivors on the full vector.
+
+    At 100 TB the prefix scan reads prefix_dim/D of the vector bytes
+    (with a column layout that stores the prefix separately, e.g. a
+    16-dim "head" column, it is literally a narrower scan), and the
+    full vectors are touched for ≤ shortlist rows — the same two-tier
+    read discipline as PQ-ADC/SQ8 with zero quantization error in
+    phase 2. Phase-1 scores are plain double cosine over `slice()`,
+    so the shortlist is engine-deterministic (ties → lowest id)."""
+    q_pre = V.lit_vector([float(x) for x in query_vec[:prefix_dim]])
+    pre = V.as_double(F.slice(F.col(vec_col), 1, prefix_dim))
+    short = (
+        corpus.select(F.col(id_col), V.cosine(pre, q_pre).alias("approx"))
+        .orderBy(F.col("approx").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    q = V.lit_vector([float(x) for x in query_vec])
+    rescored = short.join(
+        corpus.select(id_col, vec_col), id_col
+    ).select(
+        F.col(id_col),
+        V.cosine(V.as_double(F.col(vec_col)), q).alias("score"),
+    )
+    return _topk(rescored, k, id_col=id_col)
+
+
 def radial_search(
     corpus: DataFrame,
     query_vec: list[float],

@@ -72,10 +72,17 @@ _CLUSTER_SCHEMA = (
 )
 
 
-def _cluster_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _cluster_token_group(pdf: pd.DataFrame, summary_prune_ratio: float = SUMMARY_PRUNE_RATIO) -> pd.DataFrame:
     """A3+A4 for one token's (truncated) posting list — runs as
     applyInPandas per token; lists are ≤ n_postings rows so the Python
-    work is tiny and fully data-parallel across tokens."""
+    work is tiny and fully data-parallel across tokens.
+
+    `summary_prune_ratio` < 1.0 keeps the heaviest entries covering
+    that fraction of summary mass (the reference's 40% default,
+    `PostingsProcessingUtils.java:70-108`) — the bound then UNDER-
+    estimates some members' scores and threshold pruning is heuristic;
+    at 1.0 the summary is a true upper bound and adaptive
+    heap_factor=1.0 search is provably exact."""
     token = pdf["token"].iloc[0]
     pdf = pdf.sort_values(["q", "doc_id"], ascending=[False, True]).reset_index(drop=True)
     n = len(pdf)
@@ -83,9 +90,16 @@ def _cluster_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
     center_vecs = [dict(v) for v in pdf["vector"].iloc[:k]]
 
     def dot(a: dict, b: dict) -> float:
+        # summed in sorted-token order: dict iteration order inherits
+        # the Arrow map entry order, which can differ between physical
+        # executions of the same plan — a float-summation-order hazard
+        # that flips near-tie cluster assignments (and with a lazy,
+        # unpersisted build, two actions over the index could then see
+        # DIFFERENT clusterings). Sorting makes the kernel a pure
+        # function of the group's row set.
         if len(b) < len(a):
             a, b = b, a
-        return sum(w * b[t] for t, w in a.items() if t in b)
+        return sum(w * b[t] for t, w in sorted(a.items()) if t in b)
 
     assignments: list[list[int]] = [[] for _ in range(k)]
     vecs = pdf["vector"].tolist()
@@ -115,7 +129,7 @@ def _cluster_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
         kept: dict[str, float] = {}
         acc = 0.0
         for t, w in sorted(summary.items(), key=lambda kv: (-kv[1], kv[0])):
-            if acc > SUMMARY_PRUNE_RATIO * total:
+            if acc > summary_prune_ratio * total:
                 break
             kept[t] = w
             acc += w
@@ -126,6 +140,7 @@ def _cluster_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def build_seismic(
     postings: DataFrame,
     id_col: str = "doc_id",
+    summary_prune_ratio: float = SUMMARY_PRUNE_RATIO,
 ) -> SeismicIndex:
     """Build the SEISMIC layout from (doc_id, token, weight) postings.
 
@@ -147,7 +162,9 @@ def build_seismic(
     w = Window.partitionBy("token").orderBy(F.col("q").desc(), F.col(id_col))
     truncated = q.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n_keep)
     with_vec = truncated.join(forward, id_col).select(id_col, "token", "q", "vector")
-    clustered = with_vec.groupBy("token").applyInPandas(_cluster_token_group, _CLUSTER_SCHEMA)
+    clustered = with_vec.groupBy("token").applyInPandas(
+        lambda pdf: _cluster_token_group(pdf, summary_prune_ratio), _CLUSTER_SCHEMA
+    )
     return SeismicIndex(postings_clustered=clustered, forward=forward, n_docs=n_docs)
 
 
@@ -184,9 +201,16 @@ def seismic_search(
       direction as the static mode.
     """
     spark = index.postings_clustered.sparkSession
-    # quantize the query like the reference's search-side ceiling
+    # quantize the query like the reference's search-side ceiling — to
+    # an INTEGER byte value (A1 applies to both sides): with integer
+    # query weights and the integer-valued forward index, every dot
+    # product and partial sum below is an exact integer in a double, so
+    # scores are bit-identical regardless of aggregation order across
+    # partitions (a float-valued query weight made exact_of's groupBy
+    # sum order-sensitive — ULP-level run-to-run drift that flaked the
+    # adaptive-vs-full equality test under full-suite scheduling)
     qt = {
-        t: min(max(w, 0.0), QUANT_CEIL_SEARCH) * 255.0 / QUANT_CEIL_SEARCH
+        t: float(math.floor(min(max(w, 0.0), QUANT_CEIL_SEARCH) * 255.0 / QUANT_CEIL_SEARCH + 0.5))
         for t, w in sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
     }
     from .retrieval import token_frame
@@ -223,12 +247,18 @@ def seismic_search(
 
     if adaptive:
         # probe = the clusters a sequential heap scorer would visit
-        # first (highest summary bounds), deduped per cluster
+        # first (highest summary bounds). A cluster is a (token,
+        # cluster_id) entity — cluster_id alone is only unique WITHIN a
+        # token's posting list, so deduping on bare cluster_id kept an
+        # arbitrary token's row (scheduler-dependent: the source of a
+        # consistent full-suite-only test failure). Rows of
+        # postings_clustered are already unique per (token, cluster_id);
+        # the integer summary_dot + (token, cluster_id) tie-break makes
+        # the probe choice a total order.
         probe_n = probe if probe is not None else max(k, 4)
         top_probe = (
-            scored_clusters.select("cluster_id", "members", "summary_dot")
-            .dropDuplicates(["cluster_id"])
-            .orderBy(F.col("summary_dot").desc(), "cluster_id")
+            scored_clusters.select("token", "cluster_id", "members", "summary_dot")
+            .orderBy(F.col("summary_dot").desc(), "token", "cluster_id")
             .limit(probe_n)
         )
         probe_members = top_probe.select(F.explode("members").alias(id_col)).distinct()

@@ -478,6 +478,13 @@ class Engine:
                 self.positional_index(), self.bm25_index(), body["query"], k=k,
                 candidate_ids=candidate_ids,
             )
+        if qtype == "match_phrase_prefix":
+            if "query" not in body:
+                raise ValueError("match_phrase_prefix query requires 'query'")
+            return B.phrase_prefix_topk(
+                self.positional_index(), self.bm25_index(), body["query"], k=k,
+                candidate_ids=candidate_ids,
+            )
         if qtype == "fuzzy":
             post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
             return B.fuzzy_topk(

@@ -4091,6 +4091,47 @@ def q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_PREFIX_QUERY = "join win"
+
+
+def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (search-as-you-type): exact 'join' followed
+    by any token starting with 'win' — prefix expansion as a
+    startswith filter on the token-pruned positional scan
+    (operators/bm25.py phrase_prefix_topk)."""
+    return _round4(
+        B.phrase_prefix_topk(
+            _positional(spark, sf_dir), _bm25(spark, sf_dir), PHRASE_PREFIX_QUERY, k=K
+        )
+    )
+
+
+_PPX = PHRASE_PREFIX_QUERY.split()
+ORACLES["match_phrase_prefix"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+tfs AS (
+  SELECT doc_id, len(l)::DOUBLE AS dl,
+         len(list_filter(range(1, len(l)),
+             i -> l[i] = '{_PPX[0]}' AND starts_with(l[i+1], '{_PPX[1]}')))::DOUBLE AS tf
+  FROM toks
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM tfs),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM tfs WHERE tf > 0)
+SELECT doc_id,
+       round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)), 4) AS score
+FROM tfs CROSS JOIN stats s CROSS JOIN dfs f
+WHERE tf > 0
+ORDER BY score DESC, doc_id
+LIMIT {K}
+"""
+SPARK_QUERIES["match_phrase_prefix"] = q_match_phrase_prefix
+
 _PH = PHRASE_QUERY.split()
 ORACLES["match_phrase"] = f"""
 WITH toks AS (
@@ -5328,7 +5369,8 @@ PRIORITY_50 = [
     "kmeans_clusters", "semantic_dedup", "dedup_span_windows",
     "domain_cap_sample", "bpe_merge_pairs", "ann_ivfpq_topk",
     "bpe_token_count", "multi_match_best_fields", "multi_match_most_fields",
-    "term_suggest", "nb_lang_predict",
+    "term_suggest", "nb_lang_predict", "ann_sq8_topk", "matryoshka_topk",
+    "match_phrase_prefix",
     # new this round: DSL aggregations + PII scrub
     "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
     "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
@@ -6535,6 +6577,114 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); levenshtein is a JVM builtin — no Python anywhere."""
     post = _bm25(spark, sf_dir).postings
     return B.term_suggest(post, SUGGEST_TYPO, max_dist=2, k=K)
+
+
+# --- SQ8 scalar-quantized dense tier + Matryoshka prefix retrieval ------
+EMB_DIM = 64
+SQ8_SHORTLIST = 50
+MRL_PREFIX = 16
+MRL_SHORTLIST = 50
+_SQ8_CACHE: dict[str, tuple] = {}
+
+
+def _sq8_index(spark: SparkSession, sf_dir: str):
+    """(mins, maxs, codes) — the SQ8 ingest artifact: per-dim bounds on
+    the driver (2·D doubles) + a 1 B/dim codes table."""
+    from .operators import pq as PQ
+
+    if sf_dir not in _SQ8_CACHE:
+        embs = catalog.table(spark, sf_dir, "embeddings")
+        mins, maxs = PQ.sq8_minmax(embs)
+        codes = PQ.sq8_encode(embs, mins, maxs).persist()
+        codes.count()
+        _SQ8_CACHE[sf_dir] = (mins, maxs, codes)
+    return _SQ8_CACHE[sf_dir]
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-tier search (operators/pq.py sq8_topk): approximate
+    cosine over dequantized 8-bit codes (identical doubles on any
+    engine → deterministic shortlist), exact rescore on full floats
+    for 50 rows. The dense counterpart of the reference's sparse byte
+    quantization (`sparse/quantization/ByteQuantizationUtil.java`)."""
+    from .operators import pq as PQ
+
+    mins, maxs, codes = _sq8_index(spark, sf_dir)
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    out = PQ.sq8_topk(
+        codes, embs, mins, maxs, _qvec(spark, sf_dir),
+        k=K, shortlist=SQ8_SHORTLIST,
+    )
+    return _round4(out)
+
+
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-phase retrieval (operators/retrieval.py): rank on
+    the first 16 dims (¼ of the vector bytes), exact-rescore the top
+    50 on all 64 — the MRL read-discipline with zero phase-2 error."""
+    embs = catalog.table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    out = R.matryoshka_topk(
+        embs, _qvec(spark, sf_dir), k=K,
+        prefix_dim=MRL_PREFIX, shortlist=MRL_SHORTLIST,
+    )
+    return _round4(out)
+
+
+ORACLES["ann_sq8_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+dims AS (
+  SELECT t.i AS i, min(ve[t.i]) AS mn, max(ve[t.i]) AS mx
+  FROM e, unnest(range(1, {EMB_DIM + 1})) t(i)
+  GROUP BY t.i
+),
+mna AS (
+  SELECT list(mn ORDER BY i) AS mn_arr,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS sp_arr
+  FROM dims
+),
+deq AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> floor((e.ve[i] - m.mn_arr[i]) / m.sp_arr[i] * 255.0 + 0.5)
+                * m.sp_arr[i] / 255.0 + m.mn_arr[i]) AS dv
+  FROM e CROSS JOIN mna m
+),
+q AS {SQL_QVEC},
+short AS (
+  SELECT vec_id FROM (
+    SELECT d.vec_id, {_sql_cos('d.dv', 'q.qe')} AS approx FROM deq d, q
+  ) ORDER BY approx DESC, vec_id LIMIT {SQ8_SHORTLIST}
+),
+rescored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.ve', 'q.qe')} AS score
+  FROM e JOIN short USING (vec_id), q
+)
+SELECT doc_id, round(score, 4) AS score
+FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+ORACLES["matryoshka_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+q AS {SQL_QVEC},
+short AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           {_sql_cos(f'list_slice(e.ve, 1, {MRL_PREFIX})', f'list_slice(q.qe, 1, {MRL_PREFIX})')} AS approx
+    FROM e, q
+  ) ORDER BY approx DESC, vec_id LIMIT {MRL_SHORTLIST}
+),
+rescored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.ve', 'q.qe')} AS score
+  FROM e JOIN short USING (vec_id), q
+)
+SELECT doc_id, round(score, 4) AS score
+FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+SPARK_QUERIES["ann_sq8_topk"] = q_ann_sq8
+SPARK_QUERIES["matryoshka_topk"] = q_matryoshka
 
 
 # --- Naive Bayes language-ID: train + predict, both hash-checked --------

@@ -127,3 +127,33 @@ def test_term_suggest_ranking(spark):
         ("stream", 1, 2),
         ("steam", 2, 1),
     ]
+
+
+def test_phrase_prefix_single_and_multi(spark):
+    """Prefix-only phrase counts all prefix-token occurrences; two-term
+    phrase requires adjacency with prefix expansion on the last term."""
+    from neural_search_spark.operators import bm25 as B
+
+    docs = spark.createDataFrame(
+        [(1, "join window join windfall"), (2, "window join"), (3, "join other")],
+        "doc_id long, text string",
+    )
+    idx = B.build_bm25(docs)
+    pos = B.build_positional(docs)
+    two = {r["doc_id"] for r in
+           B.phrase_prefix_topk(pos, idx, "join win", k=10).collect()}
+    assert two == {1}  # doc1: join→window AND join→windfall; doc2 no adjacency
+    one = {r["doc_id"] for r in
+           B.phrase_prefix_topk(pos, idx, "win", k=10).collect()}
+    assert one == {1, 2}
+
+
+def test_phrase_prefix_compiler_dispatch(spark):
+    from neural_search_spark import registry
+    from neural_search_spark.plans.compiler import Engine
+    from .conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    out = eng.search({"match_phrase_prefix": {"query": registry.PHRASE_PREFIX_QUERY}})
+    reg = registry.q_match_phrase_prefix(spark, SF_SMOKE)
+    assert [r["doc_id"] for r in out.collect()] == [r["doc_id"] for r in reg.collect()]

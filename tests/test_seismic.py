@@ -97,9 +97,13 @@ def test_exact_fallback_below_threshold(spark, scaled_postings, query_scaled):
 def test_adaptive_threshold_matches_unpruned_scoring(spark, scaled_postings, query_scaled):
     """Adaptive mode (probe-derived threshold, the running-heap
     analogue of `sparse/query/SeismicBaseScorer.java:207-225`): at
-    heap_factor=1.0 the result must equal scoring EVERY candidate
-    cluster (threshold effectively disabled via a huge heap_factor)."""
-    idx = SE.build_seismic(scaled_postings)
+    heap_factor=1.0 with UNPRUNED summaries (a true upper bound —
+    summary_prune_ratio=1.0) the result must equal scoring EVERY
+    candidate cluster (threshold disabled via a huge heap_factor).
+    With the default 40%-mass-pruned summaries the bound can
+    under-estimate and exactness is only empirical — that config is
+    covered by the recall gate below, not an equality claim."""
+    idx = SE.build_seismic(scaled_postings, summary_prune_ratio=1.0)
     full = [
         (r["doc_id"], r["score"])
         for r in SE.seismic_search(
