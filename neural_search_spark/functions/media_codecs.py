@@ -1,0 +1,355 @@
+"""Pure-stdlib media codecs: REAL decode for multimodal binary columns.
+
+The container has no PIL/ffmpeg/torchaudio — but PNG is zlib + a
+filter pass, and PNG/GIF/BMP/JPEG dimensions are plain header fields,
+and WAV is RIFF + PCM frames. Everything here is stdlib (`zlib`,
+`struct`) + numpy, so `operators/multimodal.py` gets an actual decode
+path instead of a stub: format sniffing, header dims for four image
+formats, full PNG pixel decode (all five PNG filter types), nearest-
+neighbor resize, per-channel stats, and 16-bit PCM WAV decode.
+
+Reference scope: the reference treats media as opaque bytes handed to
+an external ML model (`processor/TextImageEmbeddingProcessor.java:53-54,174`
+base64 image strings passed straight through to inference). Decoding
+is therefore *beyond* reference parity — it's the training-data
+pipeline face of the engine: the decode/feature/resize kernels that a
+100 TB media curation job runs inside `mapInPandas`.
+
+Scale shape: every function here is per-payload and allocation-bounded
+by one decoded image/clip; operators/multimodal.py maps them over
+Arrow batches, so the cluster-level cost is one pass over the binary
+column with zero shuffles and zero driver involvement.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# -- format sniffing --------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format detection: png/gif/bmp/jpeg/wav/unknown."""
+    b = bytes(payload[:16])
+    if b.startswith(_PNG_SIG):
+        return "png"
+    if b.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if b.startswith(b"BM"):
+        return "bmp"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# -- header dimensions ------------------------------------------------------
+
+
+def parse_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the container header, or None for
+    non-image / unknown payloads. No pixel decode — O(header) bytes,
+    the right cost for a 100 TB metadata sweep."""
+    b = bytes(payload)
+    fmt = sniff_format(b)
+    if fmt == "png":
+        # 8-byte signature, 4-byte length, b"IHDR", then W/H big-endian
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if fmt == "gif":
+        # logical screen descriptor right after the 6-byte signature
+        if len(b) < 10:
+            return None
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    if fmt == "bmp":
+        if len(b) < 26:
+            return None
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+            w, h = struct.unpack("<ii", b[18:26])
+            return int(w), abs(int(h))  # negative h = top-down rows
+        if hdr_size == 12:  # ancient BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", b[18:22])
+            return int(w), int(h)
+        return None
+    if fmt == "jpeg":
+        return _jpeg_dims(b)
+    return None
+
+
+# SOFn markers that carry frame dimensions (all except DHT/JPG/DAC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk the marker stream to the first SOFn frame header."""
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:  # desynchronized
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone markers: no length field
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return int(w), int(h)
+        if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+            return None
+        i += 2 + seg_len
+    return None
+
+
+# -- PNG: full pixel decode + encode ---------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 ndarray of shape (h, w, channels).
+
+    Supports bit depth 8, color types gray / RGB / gray+alpha / RGBA,
+    non-interlaced — i.e. everything `encode_png` and typical ML
+    training corpora emit. All five PNG row filters (None/Sub/Up/
+    Average/Paeth) are reversed vectorized-per-row."""
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            meta = (int(w), int(h), _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        out[y] = _unfilter_row(row[0], np.frombuffer(row[1:], dtype=np.uint8), prev, ch)
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def _unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one PNG row filter. `prev` is the reconstructed row
+    above (zeros for the first row); `bpp` = bytes per pixel."""
+    if ftype == 0:  # None
+        return cur.copy()
+    if ftype == 2:  # Up
+        return (cur.astype(np.int32) + prev).astype(np.uint8)
+    out = np.empty_like(cur)
+    n = len(cur)
+    if ftype == 1:  # Sub — sequential in x, vectorizable per-channel via cumsum
+        for c in range(bpp):
+            out[c::bpp] = np.cumsum(cur[c::bpp].astype(np.int64)) % 256
+        return out.astype(np.uint8)
+    if ftype == 3:  # Average
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(cur[i]) + (a + int(prev[i])) // 2) % 256
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b_ = int(prev[i])
+            c_ = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b_ - c_
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+            out[i] = (int(cur[i]) + pred) % 256
+        return out
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, ch∈{1,2,3,4}) → minimal valid PNG
+    (filter 0 rows, one IDAT). Used for fixtures, resize re-encode,
+    and the deterministic synthetic media tables."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# -- minimal GIF / BMP / JPEG headers (dims-carrying fixtures) -------------
+
+
+def encode_gif_header(w: int, h: int) -> bytes:
+    """Smallest well-formed GIF89a: header + screen descriptor +
+    trailer. Carries real dimensions; no image data (dims sweeps and
+    format routing don't need pixels)."""
+    return b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0) + b"\x3b"
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) gray → real 8-bit BMP (BITMAPINFOHEADER + gray
+    palette + bottom-up padded rows)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    pad = (4 - w % 4) % 4
+    rows = b"".join(a[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1))
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    off = 14 + 40 + len(palette)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 2835, 2835, 256, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return hdr + info + palette + rows
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """8-bit uncompressed BMP → uint8 (h, w) gray (palette index)."""
+    b = bytes(payload)
+    if not b.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if bpp != 8 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w + 3) // 4 * 4
+    px = np.frombuffer(b[off : off + stride * h], dtype=np.uint8).reshape(h, stride)[
+        :, :w
+    ]
+    return px if top_down else px[::-1].copy()
+
+
+def encode_jpeg_header(w: int, h: int) -> bytes:
+    """Minimal JPEG marker stream carrying real dims in SOF0 (SOI +
+    JFIF APP0 + SOF0 + EOI). Not a decodable image — a dims fixture,
+    same role as `encode_gif_header`."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xd9"
+    )
+
+
+# -- WAV (RIFF PCM) ---------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (stdlib struct, no `wave`
+    file-object dance)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM mono → (sample_rate, int16 samples).
+    Chunk-walks the RIFF container (tolerates extra chunks like LIST)."""
+    b = bytes(payload)
+    if sniff_format(b) != "wav":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(rate), data
+
+
+# -- kernels over decoded arrays -------------------------------------------
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure integer index math — the
+    thumbnail/normalize step of an image curation pipeline."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def image_stats(arr: np.ndarray) -> tuple[int, int, int, int]:
+    """(n_px_samples, sum_px, min_px, max_px) over all samples —
+    integer-exact so a SQL oracle can reproduce them from the
+    generating formula."""
+    flat = arr.reshape(-1).astype(np.int64)
+    return int(flat.size), int(flat.sum()), int(flat.min()), int(flat.max())
+
+
+def audio_stats(samples: np.ndarray) -> tuple[int, int, int]:
+    """(n_samples, sum_abs, zero_crossings) — integer-exact audio
+    summary (zero crossing = strict sign change between neighbors)."""
+    s = samples.astype(np.int64)
+    signs = np.sign(s)
+    nz = signs[signs != 0]
+    crossings = int(np.count_nonzero(np.diff(nz) != 0)) if nz.size > 1 else 0
+    return int(s.size), int(np.abs(s).sum()), crossings

@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
-metadata, with decode / feature-extract / frame-sample as Arrow-batched
-pandas functions over `mapInPandas`.
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched pandas functions over `mapInPandas`.
 
-The media libraries (PIL/ffmpeg/torchaudio) are NOT in this container;
-the decode step is a clearly-marked deterministic fake
-(`_fake_decode_meta`) so the Spark-side plumbing — schema, batch
-iteration, partition shape — is real and tested, and a real decoder
-drops in by replacing one function.
+Two decoders share one pipeline shape:
+- `stub` — deterministic md5-derived dims (kept because its output is
+  trivially SQL-oracle-able on arbitrary bytes);
+- `real` — actual container parsing via `functions/media_codecs.py`
+  (pure stdlib zlib/struct + numpy): PNG/GIF/BMP/JPEG header dims,
+  full PNG pixel decode (all 5 row filters), 8-bit BMP decode, 16-bit
+  PCM WAV decode. No PIL/ffmpeg needed.
+
+The reference passes media bytes opaquely to an external model
+(`processor/TextImageEmbeddingProcessor.java:53-54,174`); the decode
+kernels here are the training-data-pipeline extension on top of that
+surface.
 """
 
 from __future__ import annotations
@@ -14,9 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import media_codecs as MC
 
 MEDIA_SCHEMA = (
     "doc_id long, byte_len long, content_md5 string, width int, height int"
@@ -25,31 +35,46 @@ MEDIA_SCHEMA = (
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """STUB decoder: derives a deterministic (width, height) from the
-    content hash. Replace with PIL.Image.open(...).size for real use.
-    """
+    content hash — used when payloads are arbitrary bytes (no real
+    container format to parse)."""
     h = hashlib.md5(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
-def real_decode_meta(payload: bytes) -> tuple[int, int]:  # pragma: no cover
-    raise NotImplementedError(
-        "image decoding requires PIL/ffmpeg, not available in this container"
-    )
+def real_decode_meta(payload: bytes) -> tuple[int, int]:
+    """REAL decoder: sniff the container format and read (width,
+    height) from its header — PNG IHDR, GIF logical screen, BMP
+    BITMAPINFOHEADER, JPEG SOFn (media_codecs.parse_dims). Raises on
+    payloads that aren't a recognized image container."""
+    dims = MC.parse_dims(payload)
+    if dims is None:
+        raise ValueError(
+            f"payload is not a recognized image container "
+            f"(sniffed {MC.sniff_format(payload)!r})"
+        )
+    return dims
 
 
 def decode_media_batch(
-    media: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    decoder: str = "stub",
 ) -> DataFrame:
     """mapInPandas over Arrow batches: binary → (byte_len, md5, w, h).
+
+    `decoder="real"` parses actual image headers; `"stub"` derives
+    dims from the content hash (for format-less byte payloads).
 
     Partition-parallel, constant memory per batch — the shape a real
     100 TB media decode job needs (each task decodes its partition's
     blobs; no driver involvement, no collect)."""
+    meta = {"stub": _fake_decode_meta, "real": real_decode_meta}[decoder]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[bin_col]
-            dims = [_fake_decode_meta(bytes(p)) for p in payloads]
+            dims = [meta(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -61,6 +86,171 @@ def decode_media_batch(
             )
 
     return media.mapInPandas(decode, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "n_px long, sum_px long, min_px int, max_px int"
+)
+
+
+def image_stats_batch(
+    media: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode + integer-exact stats per image: PNG (full
+    filter reversal) and 8-bit BMP payloads → (n_px, sum_px, min_px,
+    max_px). Integer stats are chosen deliberately: a SQL oracle can
+    reproduce them exactly from a deterministic generating formula,
+    giving the decode path a hash-matched correctness gate."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(p)
+                fmt = MC.sniff_format(b)
+                arr = MC.decode_png(b) if fmt == "png" else MC.decode_bmp(b)
+                h, w = arr.shape[:2]
+                n, s, mn, mx = MC.image_stats(arr)
+                rows.append((did, fmt, w, h, n, s, mn, mx))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "n_px", "sum_px", "min_px", "max_px",
+                ],
+            )
+
+    return media.mapInPandas(stats, IMAGE_STATS_SCHEMA)
+
+
+def resize_images_batch(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG, the thumbnail
+    normalization stage of an image curation pipeline. Binary in,
+    binary out: composes with `image_stats_batch`/`decode_media_batch`
+    downstream without leaving the executors."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(p)
+                fmt = MC.sniff_format(b)
+                arr = MC.decode_png(b) if fmt == "png" else MC.decode_bmp(b)
+                out.append((did, MC.encode_png(MC.resize_nearest(arr, out_w, out_h))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return media.mapInPandas(rs, "doc_id long, payload binary")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, sum_abs long, zero_crossings long"
+)
+
+
+def audio_stats_batch(
+    media: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL WAV decode (RIFF chunk walk, 16-bit PCM) → integer-exact
+    per-clip stats: sample count, total |amplitude|, zero crossings."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                rate, samples = MC.decode_wav(bytes(p))
+                n, sa, zc = MC.audio_stats(samples)
+                rows.append((did, rate, n, sa, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_abs", "zero_crossings"],
+            )
+
+    return media.mapInPandas(stats, AUDIO_SCHEMA)
+
+
+# -- deterministic synthetic media (real containers, formula pixels) -------
+# Width/height/pixels are pure functions of doc_id, so a DuckDB oracle
+# can verify the REAL decode output without being able to decode PNG
+# itself: Spark decodes actual bytes; the oracle recomputes the same
+# integers from the formula.
+
+
+def synth_png_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 13, 3 + doc_id % 7
+
+
+def synth_pixel(doc_id: int, i: int) -> int:
+    return (doc_id * 7 + i * 3) % 256
+
+
+def _synth_pixels(doc_id: int) -> np.ndarray:
+    w, h = synth_png_dims(doc_id)
+    i = np.arange(w * h, dtype=np.int64)
+    return ((doc_id * 7 + i * 3) % 256).astype(np.uint8).reshape(h, w)
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    return MC.encode_png(_synth_pixels(doc_id))
+
+
+def synth_image_payload(doc_id: int) -> bytes:
+    """Format-routed synthetic image: png / bmp pixels by doc_id % 2
+    (both fully decodable), exercising the sniffer + both decoders."""
+    if doc_id % 2 == 0:
+        return synth_png_payload(doc_id)
+    return MC.encode_bmp(_synth_pixels(doc_id))
+
+
+def synth_header_payload(doc_id: int) -> bytes:
+    """Dims-only fixtures across all four image containers
+    (png/gif/bmp/jpeg by doc_id % 4)."""
+    w, h = synth_png_dims(doc_id)
+    m = doc_id % 4
+    if m == 0:
+        return synth_png_payload(doc_id)
+    if m == 1:
+        return MC.encode_gif_header(w, h)
+    if m == 2:
+        return MC.encode_bmp(np.zeros((h, w), dtype=np.uint8))
+    return MC.encode_jpeg_header(w, h)
+
+
+def synth_wav_samples(doc_id: int) -> np.ndarray:
+    n = 64 + doc_id % 50
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 13 + i * 5) % 4096 - 2048).astype(np.int16)
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    return MC.encode_wav(synth_wav_samples(doc_id), sample_rate=8000)
+
+
+def synthetic_media_table(
+    docs: DataFrame, kind: str = "image", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) with REAL container bytes generated
+    per-partition (mapInPandas — no driver materialization, same scale
+    shape as reading a binary column off parquet)."""
+    gen = {
+        "image": synth_image_payload,
+        "header": synth_header_payload,
+        "wav": synth_wav_payload,
+    }[kind]
+
+    def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [gen(int(d)) for d in pdf[id_col]]}
+            )
+
+    return docs.select(id_col).mapInPandas(g, "doc_id long, payload binary")
 
 
 def media_table_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -5374,6 +5374,9 @@ PRIORITY_50 = [
     # new this round: DSL aggregations + PII scrub
     "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
     "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
+    # new this round: REAL media decode (pure-stdlib codecs)
+    "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
+    "mm_audio_pcm_stats",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6780,6 +6783,155 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: REAL media decode (functions/media_codecs.py — pure-stdlib
+# PNG/GIF/BMP/JPEG/WAV codecs, no PIL/ffmpeg). The media tables are
+# REAL container bytes generated from a doc_id formula, so the DuckDB
+# oracle verifies the actual decode output by recomputing the same
+# integers from the formula — Spark decodes bytes, SQL never has to.
+# ---------------------------------------------------------------------------
+
+
+def q_mm_real_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-dims sweep with the REAL decoder over all four image
+    containers (png/gif/bmp/jpeg routed by doc_id % 4): sniff magic
+    bytes, read W/H from IHDR / logical screen / BITMAPINFOHEADER /
+    SOFn. O(header) per payload — the metadata pass of a 100 TB media
+    audit (multimodal.decode_media_batch(decoder='real'))."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.synthetic_media_table(docs, kind="header")
+    dec = MM.decode_media_batch(media, decoder="real")
+    return dec.select("doc_id", "width", "height").orderBy("doc_id")
+
+
+ORACLES["mm_real_decode_dims"] = f"""
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height
+FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT} ORDER BY doc_id
+"""
+SPARK_QUERIES["mm_real_decode_dims"] = q_mm_real_decode_dims
+
+
+def q_mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL pixel decode (PNG filter reversal via zlib+numpy, 8-bit
+    BMP palette rows) + integer-exact per-image stats
+    (multimodal.image_stats_batch). Pixels follow
+    g(doc_id, i) = (doc_id*7 + i*3) % 256 so the oracle recomputes
+    sum/min/max without decoding."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.synthetic_media_table(docs, kind="image")
+    return MM.image_stats_batch(media).orderBy("doc_id")
+
+
+ORACLES["mm_image_pixel_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+v AS (SELECT doc_id, w, h, (doc_id * 7 + i * 3) % 256 AS g FROM px)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(sum(g) AS BIGINT) AS sum_px,
+       CAST(min(g) AS INT) AS min_px,
+       CAST(max(g) AS INT) AS max_px
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+SPARK_QUERIES["mm_image_pixel_stats"] = q_mm_image_pixel_stats
+
+
+MM_THUMB = 4  # thumbnail side for the resize query
+
+
+def q_mm_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to {MM_THUMB}×{MM_THUMB} →
+    re-encode PNG → decode again + stats: the thumbnail-normalization
+    stage, verified end-to-end because nearest-neighbor index math
+    ((y*h)//T, (x*w)//T) is SQL-expressible over the pixel formula."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.synthetic_media_table(docs, kind="image")
+    small = MM.resize_images_batch(media, MM_THUMB, MM_THUMB)
+    st = MM.image_stats_batch(small)
+    return st.select("doc_id", "n_px", "sum_px", "min_px", "max_px").orderBy("doc_id")
+
+
+ORACLES["mm_resize_pixel_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+),
+yy AS (SELECT doc_id, w, h, unnest(range(0, {MM_THUMB})) AS y FROM d),
+cell AS (SELECT doc_id, w, h, y, unnest(range(0, {MM_THUMB})) AS x FROM yy),
+v AS (
+  SELECT doc_id,
+         (doc_id * 7 + (((y * h) // {MM_THUMB}) * w + (x * w) // {MM_THUMB}) * 3) % 256 AS g
+  FROM cell
+)
+SELECT doc_id,
+       CAST({MM_THUMB * MM_THUMB} AS BIGINT) AS n_px,
+       CAST(sum(g) AS BIGINT) AS sum_px,
+       CAST(min(g) AS INT) AS min_px,
+       CAST(max(g) AS INT) AS max_px
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+SPARK_QUERIES["mm_resize_pixel_stats"] = q_mm_resize_pixel_stats
+
+
+def q_mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (RIFF chunk walk, 16-bit PCM) + integer-exact
+    clip stats (multimodal.audio_stats_batch). Samples follow
+    s(doc_id, i) = (doc_id*13 + i*5) % 4096 - 2048; zero crossings =
+    strict sign changes between consecutive nonzero samples."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.synthetic_media_table(docs, kind="wav")
+    return MM.audio_stats_batch(media).orderBy("doc_id")
+
+
+ORACLES["mm_audio_pcm_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 50 AS n
+  FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+v AS (SELECT doc_id, n, i, (doc_id * 13 + i * 5) % 4096 - 2048 AS amp FROM s),
+nz AS (
+  SELECT doc_id, sg, lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sg
+  FROM (SELECT doc_id, i, sign(amp) AS sg FROM v WHERE amp <> 0)
+),
+zc AS (
+  SELECT doc_id, count(*) FILTER (WHERE prev_sg IS NOT NULL AND sg <> prev_sg) AS zcs
+  FROM nz GROUP BY doc_id
+)
+SELECT v.doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(any_value(v.n) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v.amp)) AS BIGINT) AS sum_abs,
+       CAST(coalesce(any_value(zc.zcs), 0) AS BIGINT) AS zero_crossings
+FROM v LEFT JOIN zc ON v.doc_id = zc.doc_id
+GROUP BY v.doc_id ORDER BY v.doc_id
+"""
+SPARK_QUERIES["mm_audio_pcm_stats"] = q_mm_audio_pcm_stats
 
 
 # apply the contract ordering ONCE, after every registration — the
