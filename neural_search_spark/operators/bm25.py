@@ -69,19 +69,24 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
     candidate_ids: DataFrame | None = None,
+    search_analyzer: str | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching ≥1 query token — the
     scoring stage of bm25_topk without the top-k, reusable by
     multi-field combiners. `candidate_ids` restricts scoring to
     allowed docs (hybrid filter pushdown, P2) — corpus stats stay
-    corpus-wide, as in Lucene filtered queries."""
+    corpus-wide, as in Lucene filtered queries. `search_analyzer`
+    overrides the index analyzer for QUERY tokenization only (the
+    OpenSearch mapping `search_analyzer` contract — e.g. edge_ngram
+    index + standard search for search-as-you-type)."""
     n, avgdl = index.stats
-    if index.analyzer is None:
+    qa = search_analyzer or index.analyzer
+    if qa is None:
         qtokens = sorted({t for t in query.lower().split() if t})
     else:
         from ..functions.analyzers import analyze_py
 
-        qtokens = sorted(set(analyze_py(query, index.analyzer)))
+        qtokens = sorted(set(analyze_py(query, qa)))
     spark = index.postings.sparkSession
     from .retrieval import token_frame
 
@@ -120,8 +125,9 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     candidate_ids: DataFrame | None = None,
+    search_analyzer: str | None = None,
 ) -> DataFrame:
-    scored = bm25_scores(index, query, id_col, k1, b, candidate_ids)
+    scored = bm25_scores(index, query, id_col, k1, b, candidate_ids, search_analyzer)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 

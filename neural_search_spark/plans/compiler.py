@@ -32,7 +32,7 @@ Supported spec (dict keys):
                      nested: {token_limit, overlap_rate},
                      method: {name: seismic, top_n, heap_factor,
                               approximate_threshold}}}
-  {"match":         {field, query, k}}
+  {"match":         {field, query, k, analyzer, search_analyzer}}
   {"match_phrase":  {field, query, k}}
   {"hybrid":        {queries: [spec...], pagination_depth}}
   {"agentic":       {query_text}}
@@ -455,6 +455,7 @@ class Engine:
             return B.bm25_topk(
                 self.bm25_index(body.get("analyzer")), body["query"], k=k,
                 candidate_ids=candidate_ids,
+                search_analyzer=body.get("search_analyzer"),
             )
         if qtype == "multi_match":
             # OpenSearch core multi_match: per-field BM25 (each field

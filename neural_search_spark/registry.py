@@ -5377,6 +5377,8 @@ PRIORITY_50 = [
     # new this round: REAL media decode (pure-stdlib codecs)
     "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
     "mm_audio_pcm_stats",
+    # new this round: analyzer-parity depth (stem / edge-ngram / shingle)
+    "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6783,6 +6785,132 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: analyzer-parity depth — minimal-English stemmer, edge-ngram
+# with a separate search analyzer (the OpenSearch `search_analyzer`
+# mapping contract), and shingles. Each BM25 index is an ingest
+# artifact per analyzer (Lucene per-field-analyzer lifecycle), cached
+# like _bm25_fold. Oracles splice AZ.sql_tokens() so SQL tokenization
+# is expression-for-expression the Spark analyzer (twin-tested in
+# tests/test_analyzers.py).
+# ---------------------------------------------------------------------------
+
+_BM25_AZ_CACHE: dict[tuple[str, str], B.BM25Index] = {}
+
+
+def _bm25_az(spark: SparkSession, sf_dir: str, analyzer: str) -> B.BM25Index:
+    key = (sf_dir, analyzer)
+    if key not in _BM25_AZ_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        idx = B.build_bm25(docs, analyzer=analyzer)
+        idx.postings.persist()
+        idx.doclen.persist()
+        _BM25_AZ_CACHE[key] = idx
+    return _BM25_AZ_CACHE[key]
+
+
+def _bm25_az_oracle(analyzer: str, query: str, search_analyzer: str | None = None) -> str:
+    """BM25 oracle under a named analyzer: identical scoring CTE to
+    `bm25_match`/`bm25_match_folded`, with document tokenization from
+    AZ.sql_tokens(analyzer) and the query token list precomputed
+    driver-side with the (search) analyzer's Python twin."""
+    toks_sql = AZ.sql_tokens(analyzer, col="text")
+    qtoks = sorted(set(AZ.analyze_py(query, search_analyzer or analyzer)))
+    token_list = ", ".join(f"('{t}')" for t in qtoks)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS weight
+  FROM (SELECT doc_id, unnest({toks_sql}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+q(token) AS (VALUES {token_list}),
+doclen AS (
+  SELECT doc_id, len({toks_sql})::DOUBLE AS dl FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM postings p JOIN q USING (token) GROUP BY p.token
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.weight * (1.2 + 1.0))
+           / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN q USING (token)
+  JOIN dfs f ON f.token = p.token
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+# plurals in the query, singulars in the corpus: only the stemmer can
+# connect them (index side stems corpus tokens too — same analyzer)
+BM25_STEM_QUERY = "tables queries merges windows"
+
+
+def q_bm25_match_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the minimal-English-plural stemmer (Lucene
+    EnglishMinimalStemFilter semantics): 'tables queries' finds docs
+    containing 'table query'. Index + query stem identically — the
+    index-analyzer contract."""
+    return _round4(
+        B.bm25_topk(_bm25_az(spark, sf_dir, "stem_en"), BM25_STEM_QUERY, k=K)
+    )
+
+
+ORACLES["bm25_match_stemmed"] = _bm25_az_oracle("stem_en", BM25_STEM_QUERY)
+SPARK_QUERIES["bm25_match_stemmed"] = q_bm25_match_stemmed
+
+
+# partial words a user has typed; only the edge-ngram index matches
+BM25_EDGE_QUERY = "spar fil"
+
+
+def q_bm25_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type via analyzer asymmetry: the INDEX is built
+    with edge n-grams (2..5 prefixes per token), the QUERY tokenizes
+    with plain `standard` — the OpenSearch `search_analyzer` mapping
+    contract. 'spar' matches docs containing 'spark' through the
+    stored prefix token."""
+    return _round4(
+        B.bm25_topk(
+            _bm25_az(spark, sf_dir, "edge_ngram"), BM25_EDGE_QUERY, k=K,
+            search_analyzer="standard",
+        )
+    )
+
+
+ORACLES["bm25_edge_ngram"] = _bm25_az_oracle(
+    "edge_ngram", BM25_EDGE_QUERY, search_analyzer="standard"
+)
+SPARK_QUERIES["bm25_edge_ngram"] = q_bm25_edge_ngram
+
+
+BM25_SHINGLE_QUERY = "table scan"
+
+
+def q_bm25_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over unigrams + word-bigram shingles (ShingleFilter
+    defaults): docs where 'table scan' appears adjacently get the
+    extra 'table scan' shingle term on top of both unigrams —
+    phrase affinity without positional postings."""
+    return _round4(
+        B.bm25_topk(_bm25_az(spark, sf_dir, "shingle"), BM25_SHINGLE_QUERY, k=K)
+    )
+
+
+ORACLES["bm25_shingles"] = _bm25_az_oracle("shingle", BM25_SHINGLE_QUERY)
+SPARK_QUERIES["bm25_shingles"] = q_bm25_shingles
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,49 @@ def test_stop_en_drops_stopwords():
     assert AZ.analyze_py("The spark AND the join", "stop_en") == ["spark", "join"]
 
 
+@pytest.mark.parametrize("name", sorted(AZ.ANALYZERS))
+def test_sql_twin_agrees_with_python(name):
+    """The DuckDB fragment (oracle side) must tokenize exactly like
+    analyze_py for every analyzer — this is what makes BM25 oracles
+    under non-default analyzers trustworthy."""
+    import duckdb
+
+    con = duckdb.connect()
+    frag = AZ.sql_tokens(name, col="$1")
+    for s in SAMPLES:
+        got = con.execute(f"SELECT {frag} AS toks", [s]).fetchone()[0]
+        assert list(got) == AZ.analyze_py(s, name), f"{name}: {s!r}"
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("tables", "table"),      # plain plural
+        ("queries", "query"),     # ies → y
+        ("ponies", "pony"),
+        ("movies", "movy"),       # Lucene's actual (aggressive) behavior
+        ("ties", "ty"),           # [^ae]ies with the minimum 4 chars
+        ("species", "specy"),     # c before ies → ies-rule applies
+        ("aies", "aies"),         # a before ies → ies-rule declines, [iaoe]es keeps
+        ("bus", "bus"),           # us kept
+        ("glass", "glass"),       # ss kept
+        ("is", "is"),             # too short
+        ("its", "it"),            # len 3 strips
+        ("goes", "goes"),         # oes kept
+        ("sees", "sees"),         # ees kept
+        ("makes", "make"),        # consonant+es → default strip
+    ],
+)
+def test_minimal_english_stemmer_rules(word, stem):
+    assert AZ.stem_token_py(word) == stem
+
+
+def test_edge_ngram_and_shingle_py():
+    assert AZ.analyze_py("spark x", "edge_ngram") == ["sp", "spa", "spar", "spark"]
+    assert AZ.analyze_py("a b c", "shingle") == ["a", "b", "c", "a b", "b c"]
+    assert AZ.analyze_py("solo", "shingle") == ["solo"]
+
+
 def test_unknown_analyzer_raises(spark):
     with pytest.raises(ValueError, match="unknown analyzer"):
         AZ.analyze_py("x", "nope")
@@ -86,6 +129,25 @@ def test_compiler_match_with_analyzer(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 5
     assert rows[0]["score"] > 0
+
+
+def test_compiler_match_search_analyzer(spark, sf_dir):
+    """DSL `search_analyzer`: edge-ngram index + standard query —
+    a partial word ('spar') retrieves docs containing 'spark'."""
+    eng = Engine(spark, sf_dir)
+    out = eng.search(
+        {"match": {"field": "text", "query": "spar",
+                   "analyzer": "edge_ngram", "search_analyzer": "standard"}},
+        size=5,
+    )
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0]["score"] > 0
+    # sanity: plain standard analyzer finds nothing for the partial word
+    none = eng.search(
+        {"match": {"field": "text", "query": "spar", "analyzer": "standard"}},
+        size=5,
+    )
+    assert none.count() == 0
 
 
 def test_compiler_sparse_with_analyzer(spark, sf_dir):
