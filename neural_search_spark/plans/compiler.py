@@ -916,6 +916,99 @@ class Engine:
             if from_:
                 result = result.offset(from_)
             result = result.limit(size)
+        elif qtype == "constant_score":
+            # OpenSearch core constant_score: filter-context match set,
+            # every hit scores `boost`. Pure predicate pushdown — the
+            # filter reaches the parquet scan; deterministic doc_id
+            # order stands in for index order.
+            boost = float(body.get("boost", 1.0))
+            result = (
+                self.documents()
+                .where(F.expr(compile_filter(body["filter"])))
+                .select("doc_id", F.lit(boost).alias("score"))
+                .orderBy("doc_id")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
+        elif qtype == "dis_max":
+            # OpenSearch core dis_max: per-doc score = best sub-query
+            # score + tie_breaker × (sum of the others). Sub-queries
+            # are top-`depth` frames, so the union + one groupBy is
+            # over ≤ |subs|·depth rows — never the corpus.
+            tb = float(body.get("tie_breaker", 0.0))
+            depth = int(body.get("pagination_depth", max(from_ + size, 50)))
+            subs = [
+                self._compile_sub(s, depth).select("doc_id", "score")
+                for s in _clause_list(body["queries"])
+            ]
+            from functools import reduce
+
+            unioned = reduce(lambda a, b: a.unionByName(b), subs)
+            result = (
+                unioned.groupBy("doc_id")
+                .agg(F.max("score").alias("__mx"), F.sum("score").alias("__sm"))
+                .select(
+                    "doc_id",
+                    (
+                        F.col("__mx")
+                        + F.lit(tb) * (F.col("__sm") - F.col("__mx"))
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), "doc_id")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
+        elif qtype == "boosting":
+            # OpenSearch core boosting query: positive hits whose doc
+            # ALSO matches `negative` are demoted by `negative_boost`.
+            # The negative clause is filter-context here (term/terms/
+            # range/exists/bool/SQL string — the dominant real-world
+            # shape); a scored negative would need its full match set,
+            # which a top-k frame can't represent exactly.
+            nb = float(body.get("negative_boost", 0.5))
+            window = int(body.get("window", 10 * (from_ + size)))
+            pos = self.search(body["positive"], None, size=window).select(
+                "doc_id", "score"
+            )
+            neg_ids = self.documents().where(
+                F.expr(compile_filter(body["negative"]))
+            ).select("doc_id", F.lit(True).alias("__neg"))
+            result = (
+                F.broadcast(pos)
+                .join(neg_ids, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("__neg"), F.col("score") * F.lit(nb))
+                    .otherwise(F.col("score"))
+                    .alias("score"),
+                )
+                .orderBy(F.col("score").desc(), "doc_id")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
+        elif qtype == "script_score":
+            # OpenSearch core script_score with the script expressed in
+            # Spark SQL (this engine's "painless"): rescore the inner
+            # query's top-`window` hits with an expression over the
+            # doc's columns plus `_score`. Same two-phase over-fetch
+            # shape as function_score — the corpus is never re-scanned.
+            window = int(body.get("window", 10 * (from_ + size)))
+            base = self.search(body["query"], None, size=window).select(
+                "doc_id", F.col("score").alias("_score")
+            )
+            joined = F.broadcast(base).join(self.documents(), "doc_id")
+            result = (
+                joined.select(
+                    "doc_id", F.expr(body["script"]).cast("double").alias("score")
+                )
+                .orderBy(F.col("score").desc(), "doc_id")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
         elif qtype == "hybrid":
             subs_spec = body["queries"]
             depth = body.get("pagination_depth", from_ + size)

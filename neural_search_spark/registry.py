@@ -5379,6 +5379,8 @@ PRIORITY_50 = [
     "mm_audio_pcm_stats",
     # new this round: analyzer-parity depth (stem / edge-ngram / shingle)
     "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
+    # new this round: OpenSearch-core compound queries
+    "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6785,6 +6787,217 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: OpenSearch-core compound query types — constant_score,
+# dis_max, boosting, script_score (plans/compiler.py branches). The
+# lexical legs ride the default whitespace BM25 machinery, so the
+# oracles share one scored-CTE template.
+# ---------------------------------------------------------------------------
+
+
+def _bm25_scored_cte(query_text: str) -> str:
+    """CTE block `scored(doc_id, score)` = whitespace-BM25 of
+    `query_text` (identical math to ORACLES['bm25_match'])."""
+    token_list = ", ".join(
+        f"('{t}')" for t in sorted({t for t in query_text.lower().split() if t})
+    )
+    return f"""postings AS ({SQL_TF_POSTINGS}),
+q(token) AS (VALUES {token_list}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM postings p JOIN q USING (token) GROUP BY p.token
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.weight * (1.2 + 1.0))
+           / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN q USING (token)
+  JOIN dfs f ON f.token = p.token
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)"""
+
+
+CS_BOOST = 2.0
+
+
+def q_dsl_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constant_score: filter-context match set, every hit scores
+    `boost`; the range predicate pushes to the parquet scan."""
+    return _agg_engine(spark, sf_dir).search(
+        {"constant_score": {
+            "filter": {"range": {"n_chars": {"gte": 200, "lt": 400}}},
+            "boost": CS_BOOST,
+        }},
+        size=K,
+    )
+
+
+ORACLES["dsl_constant_score"] = f"""
+SELECT doc_id, {CS_BOOST} AS score
+FROM documents WHERE n_chars >= 200 AND n_chars < 400
+ORDER BY doc_id LIMIT {K}
+"""
+SPARK_QUERIES["dsl_constant_score"] = q_dsl_constant_score
+
+
+DISMAX_Q1 = "spark join stream window"
+DISMAX_Q2 = "hash merge sort"
+DISMAX_TB = 0.3
+DISMAX_DEPTH = 50
+
+
+def q_dsl_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max over two lexical legs: per doc, best leg + 0.3 × the
+    other (tie_breaker) — computed over the two top-depth frames."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"dis_max": {
+            "queries": [
+                {"match": {"field": "text", "query": DISMAX_Q1}},
+                {"match": {"field": "text", "query": DISMAX_Q2}},
+            ],
+            "tie_breaker": DISMAX_TB,
+            "pagination_depth": DISMAX_DEPTH,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _dismax_leg(query_text: str, alias: str) -> str:
+    """Per-leg CTEs (query tokens → dfs → scored top-DISMAX_DEPTH)
+    over the SHARED postings/doclen/stats CTEs."""
+    token_list = ", ".join(
+        f"('{t}')" for t in sorted({t for t in query_text.lower().split() if t})
+    )
+    return f"""{alias}_q(token) AS (VALUES {token_list}),
+{alias}_dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM postings p JOIN {alias}_q USING (token) GROUP BY p.token
+),
+{alias}_scored AS (
+  SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           sum(
+             ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (p.weight * (1.2 + 1.0))
+             / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ) AS score
+    FROM postings p
+    JOIN {alias}_q USING (token)
+    JOIN {alias}_dfs f ON f.token = p.token
+    JOIN doclen dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY p.doc_id
+  ) ORDER BY score DESC, doc_id LIMIT {DISMAX_DEPTH}
+)"""
+
+
+ORACLES["dsl_dis_max"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+{_dismax_leg(DISMAX_Q1, "a")},
+{_dismax_leg(DISMAX_Q2, "b")},
+u AS (
+  SELECT doc_id, score FROM a_scored
+  UNION ALL
+  SELECT doc_id, score FROM b_scored
+)
+SELECT doc_id,
+       round(max(score) + {DISMAX_TB} * (sum(score) - max(score)), 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["dsl_dis_max"] = q_dsl_dis_max
+
+
+BOOSTING_NB = 0.4
+BOOSTING_WINDOW = 60
+BOOSTING_NEG_SOURCE = "src1"
+
+
+def q_dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boosting query: positive lexical hits whose doc matches the
+    negative filter (source = src1) are demoted ×0.4, re-ranked over
+    the top-window frame."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"boosting": {
+            "positive": {"match": {"field": "text", "query": DISMAX_Q1}},
+            "negative": {"term": {"source": BOOSTING_NEG_SOURCE}},
+            "negative_boost": BOOSTING_NB,
+            "window": BOOSTING_WINDOW,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["dsl_boosting"] = f"""
+WITH {_bm25_scored_cte(DISMAX_Q1)},
+win AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {BOOSTING_WINDOW}
+),
+demoted AS (
+  SELECT w.doc_id,
+         CASE WHEN d.source = '{BOOSTING_NEG_SOURCE}'
+              THEN w.score * {BOOSTING_NB} ELSE w.score END AS score
+  FROM win w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM demoted ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["dsl_boosting"] = q_dsl_boosting
+
+
+SCRIPT_WINDOW = 60
+SCRIPT_EXPR = "_score * 0.5 + n_chars / 1000.0"
+
+
+def q_dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score: rescore the lexical top-window with a Spark-SQL
+    script over doc columns + `_score` (this engine's painless)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"script_score": {
+            "query": {"match": {"field": "text", "query": DISMAX_Q1}},
+            "script": SCRIPT_EXPR,
+            "window": SCRIPT_WINDOW,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["dsl_script_score"] = f"""
+WITH {_bm25_scored_cte(DISMAX_Q1)},
+win AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {SCRIPT_WINDOW}
+),
+rescored AS (
+  SELECT w.doc_id, w.score * 0.5 + d.n_chars / 1000.0 AS score
+  FROM win w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["dsl_script_score"] = q_dsl_script_score
 
 
 # ---------------------------------------------------------------------------

@@ -795,3 +795,58 @@ def test_multi_match_rejects_bad_type(engine):
         engine.search(
             {"multi_match": {"query": "x", "fields": ["text"], "type": "cross_fields"}}
         )
+
+
+def test_dis_max_tiebreaker_zero_is_pure_max(engine):
+    """tie_breaker=0 → score is exactly the best leg's score."""
+    legs = [
+        {"match": {"field": "text", "query": "spark join"}},
+        {"match": {"field": "text", "query": "hash merge"}},
+    ]
+    out = engine.search({"dis_max": {"queries": legs, "tie_breaker": 0.0}}, size=20)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    a = {r["doc_id"]: r["score"]
+         for r in engine.search(legs[0], size=50).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in engine.search(legs[1], size=50).collect()}
+    for did, sc in rows.items():
+        best = max(a.get(did, float("-inf")), b.get(did, float("-inf")))
+        assert abs(sc - best) < 1e-9
+
+
+def test_boosting_demotes_negative_matches(spark, sf_dir, engine):
+    pos = {"match": {"field": "text", "query": "spark join"}}
+    plain = {r["doc_id"]: r["score"]
+             for r in engine.search(pos, size=30).collect()}
+    out = engine.search(
+        {"boosting": {"positive": pos,
+                      "negative": {"term": {"source": "src1"}},
+                      "negative_boost": 0.5, "window": 30}},
+        size=30,
+    )
+    docs = {r["doc_id"]: r["source"]
+            for r in engine.documents().select("doc_id", "source").collect()}
+    for r in out.collect():
+        want = plain[r["doc_id"]] * (0.5 if docs[r["doc_id"]] == "src1" else 1.0)
+        assert abs(r["score"] - want) < 1e-9
+
+
+def test_constant_score_and_script_score(engine):
+    cs = engine.search(
+        {"constant_score": {"filter": "n_chars >= 300", "boost": 3.5}}, size=5
+    ).collect()
+    assert len(cs) == 5 and all(r["score"] == 3.5 for r in cs)
+    ss = engine.search(
+        {"script_score": {
+            "query": {"match": {"field": "text", "query": "spark join"}},
+            "script": "_score + n_chars * 0.0",  # identity check
+            "window": 20,
+        }},
+        size=5,
+    ).collect()
+    plain = engine.search(
+        {"match": {"field": "text", "query": "spark join"}}, size=5
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in ss] == [
+        (r["doc_id"], round(r["score"], 6)) for r in plain
+    ]
