@@ -98,6 +98,15 @@ HEADLINE = [
     "ann_sq8_topk",
     "matryoshka_topk",
     "match_phrase_prefix",
+    # round-8 additions (real media decode, analyzer depth, compound DSL)
+    "mm_image_pixel_stats",
+    "mm_audio_pcm_stats",
+    "bm25_match_stemmed",
+    "bm25_edge_ngram",
+    "bm25_shingles",
+    "dsl_dis_max",
+    "dsl_boosting",
+    "dsl_script_score",
 ]
 
 

@@ -1114,13 +1114,17 @@ def _agentic_translate(question: str) -> dict:
       "similar"/"like"            → neural (dense semantic)
       "exact"/"keyword"           → match (lexical)
       "expansion"/"sparse"        → neural_sparse (learned sparse)
+      "either X or Y"             → dis_max over two match legs
+      "downrank"/"demote" Y       → boosting (negative LIKE filter)
+      "starting with"/"autocomplete" → match_phrase_prefix
       "without"/"excluding"/"not" → bool: match(must) + LIKE must_not
       otherwise                   → hybrid(neural + match)
     """
     q = question.lower()
     terms = [t for t in q.replace("?", " ").split() if len(t) > 2]
     stop = {"similar", "like", "exact", "keyword", "expansion", "sparse",
-            "without", "excluding", "not", "the", "and", "for", "with"}
+            "without", "excluding", "not", "the", "and", "for", "with",
+            "either", "downrank", "demote", "starting", "autocomplete"}
     core = [t for t in terms if t not in stop]
     if "similar" in q or "like" in q:
         return {"neural": {"query_text": " ".join(core)}}
@@ -1128,6 +1132,36 @@ def _agentic_translate(question: str) -> dict:
         return {"match": {"field": "text", "query": " ".join(core)}}
     if "expansion" in q or "sparse" in q:
         return {"neural_sparse": {"query_text": " ".join(core)}}
+    words = q.split()
+    if "either" in words and "or" in words:
+        # "either X or Y": best single leg wins (dis-max), slight
+        # credit for matching both
+        oi = words.index("or")
+        left = [t for t in words[:oi] if len(t) > 2 and t not in stop]
+        right = [t for t in words[oi + 1 :] if len(t) > 2 and t not in stop]
+        return {"dis_max": {
+            "queries": [
+                {"match": {"field": "text", "query": " ".join(left)}},
+                {"match": {"field": "text", "query": " ".join(right)}},
+            ],
+            "tie_breaker": 0.3,
+        }}
+    for marker in ("downrank", "demote"):
+        if marker in words:
+            pos = words.index(marker)
+            demoted = [t for t in words[pos + 1 :] if len(t) > 2][:1]
+            wanted = [t for t in core if t not in demoted]
+            spec = {"boosting": {
+                "positive": {"match": {"field": "text", "query": " ".join(wanted)}},
+                "negative_boost": 0.5,
+            }}
+            if demoted:
+                spec["boosting"]["negative"] = f"text LIKE '%{demoted[0]}%'"
+            else:
+                spec["boosting"]["negative"] = "FALSE"
+            return spec
+    if "autocomplete" in words or "starting with" in q:
+        return {"match_phrase_prefix": {"field": "text", "query": " ".join(core)}}
     for marker in ("without", "excluding", "not"):
         if marker in q.split():
             pos = q.split().index(marker)

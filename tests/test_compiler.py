@@ -127,6 +127,32 @@ def test_agentic_golden_translations():
             ]
         }
     }
+    assert _agentic_translate("either spark streams or hash joins") == {
+        "dis_max": {
+            "queries": [
+                {"match": {"field": "text", "query": "spark streams"}},
+                {"match": {"field": "text", "query": "hash joins"}},
+            ],
+            "tie_breaker": 0.3,
+        }
+    }
+    assert _agentic_translate("spark joins downrank kafka") == {
+        "boosting": {
+            "positive": {"match": {"field": "text", "query": "spark joins"}},
+            "negative_boost": 0.5,
+            "negative": "text LIKE '%kafka%'",
+        }
+    }
+    assert _agentic_translate("autocomplete spark str") == {
+        "match_phrase_prefix": {"field": "text", "query": "spark str"}
+    }
+
+
+def test_agentic_compound_rules_execute(engine):
+    """The new compound translations run end-to-end through search()."""
+    for q in ("either spark or merge", "spark joins downrank hash"):
+        rows = engine.search({"agentic": {"query_text": q}}, size=5).collect()
+        assert len(rows) >= 1
 
 
 def test_agentic_pluggable_translator(spark, sf_dir):
