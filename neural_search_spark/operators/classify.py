@@ -122,3 +122,87 @@ def nb_predict(
         F.col("b.cls").alias("pred_cls"),
         F.col("b.score_q").alias("score_q"),
     )
+
+
+# -- distributed logistic regression (full-batch GD) ------------------------
+# The binary quality/language classifier a curation pipeline trains on
+# weak labels. Training = `rounds` passes, each ONE aggregate over the
+# feature frame (per-feature gradient means) with only a |w|-sized
+# vector hitting the driver — the same "only KBs cross the boundary"
+# discipline as kmeans_lloyd. Determinism: the sigmoid and the
+# aggregated gradients are quantized to 6 decimals each round
+# (HALF_UP round() in both Spark and DuckDB), so the weight trajectory
+# — and therefore predictions — are engine-exact and hash-checkable.
+
+SIGMOID_DP = 6  # quantization of σ and gradients per round
+
+
+def logreg_features(
+    docs: DataFrame,
+    label_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, x0 bias, x1 chars/1e3, x2 tokens/1e2, y) — cheap
+    deterministic numeric features (integer counts over exact decimal
+    divisors)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (F.size(toks).cast("double") / F.lit(100.0)).alias("x2"),
+        F.expr(label_expr).cast("double").alias("y"),
+    )
+
+
+def _logreg_sigma(w: list[float]):
+    z = (
+        F.lit(float(w[0])) * F.col("x0")
+        + F.lit(float(w[1])) * F.col("x1")
+        + F.lit(float(w[2])) * F.col("x2")
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SIGMOID_DP)
+
+
+def logreg_train(
+    feats: DataFrame, rounds: int = 2, lr: float = 1.0
+) -> list[float]:
+    """Full-batch gradient ascent on the log-likelihood: per round,
+    w_j += lr · mean((y − σ(w·x)) · x_j). Each round is one narrow
+    aggregate — no shuffle of the corpus, no per-row Python.
+
+    Determinism: gradients come back 6dp-rounded (Spark HALF_UP);
+    weights advance in EXACT integer micro-units (1e-6), with the lr
+    scaling applied as floor(lr·g_int + 0.5) — the same floor(x+0.5)
+    both engines implement identically, so the whole trajectory is
+    engine-exact (Python's banker's round() never touches it)."""
+    import math
+
+    w_int = [0, 0, 0]
+    for _ in range(rounds):
+        w = [wi / float(LOG_SCALE) for wi in w_int]
+        err = F.col("y") - _logreg_sigma(w)
+        g = feats.agg(
+            F.round(F.avg(err * F.col("x0")), SIGMOID_DP),
+            F.round(F.avg(err * F.col("x1")), SIGMOID_DP),
+            F.round(F.avg(err * F.col("x2")), SIGMOID_DP),
+        ).first()
+        g_int = [
+            int(math.floor(float(gi) * LOG_SCALE + 0.5)) for gi in g
+        ]  # 6dp value → exact micro-units
+        w_int = [
+            wi + int(math.floor(lr * gi + 0.5)) for wi, gi in zip(w_int, g_int)
+        ]
+    return [wi / float(LOG_SCALE) for wi in w_int]
+
+
+def logreg_predict(feats: DataFrame, w: list[float], id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, p, label_pred) under the trained weights (σ quantized
+    exactly as in training)."""
+    p = _logreg_sigma(w)
+    return feats.select(
+        F.col(id_col),
+        p.alias("p"),
+        (p >= F.lit(0.5)).cast("int").alias("label_pred"),
+    )

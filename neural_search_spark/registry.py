@@ -5381,6 +5381,8 @@ PRIORITY_50 = [
     "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
     # new this round: OpenSearch-core compound queries
     "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
+    # new this round: distributed GD classifier
+    "logreg_lang_en",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6787,6 +6789,84 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: distributed logistic regression (full-batch GD, one
+# aggregate per round, engine-exact integer-micro-unit weights) — the
+# trained binary quality/language classifier of a curation pipeline.
+# The oracle unrolls both GD rounds into CTEs; round 1 exploits
+# σ(0)=0.5 exactly.
+# ---------------------------------------------------------------------------
+
+LOGREG_ROUNDS = 2
+LOGREG_PRED_LIMIT = 40
+
+
+def q_logreg_lang_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train lang=='en' logistic regression on cheap numeric features
+    (bias, chars/1e3, tokens/1e2) for 2 full-batch GD rounds
+    (operators/classify.py::logreg_train), then emit quantized
+    probabilities + hard labels for the first docs."""
+    from .operators import classify as CLF
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    feats = CLF.logreg_features(docs, "lang = 'en'")
+    w = CLF.logreg_train(feats, rounds=LOGREG_ROUNDS, lr=1.0)
+    pred = CLF.logreg_predict(feats.where(F.col("doc_id") < LOGREG_PRED_LIMIT), w)
+    return pred.orderBy("doc_id")
+
+
+ORACLES["logreg_lang_en"] = f"""
+WITH f AS (
+  SELECT doc_id, 1.0 AS x0, n_chars / 1000.0 AS x1,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+g1 AS (  -- round 1: w = 0 → σ = 0.5 exactly
+  SELECT round(avg((y - 0.5) * x0), 6) AS g0,
+         round(avg((y - 0.5) * x1), 6) AS g1,
+         round(avg((y - 0.5) * x2), 6) AS g2
+  FROM f
+),
+w1 AS (  -- integer micro-unit weights (exact adds)
+  SELECT CAST(floor(g0 * 1000000 + 0.5) AS BIGINT) AS wi0,
+         CAST(floor(g1 * 1000000 + 0.5) AS BIGINT) AS wi1,
+         CAST(floor(g2 * 1000000 + 0.5) AS BIGINT) AS wi2
+  FROM g1
+),
+s2 AS (
+  SELECT f.*,
+         round(1.0 / (1.0 + exp(-(wi0 / 1000000.0 * x0
+                                  + wi1 / 1000000.0 * x1
+                                  + wi2 / 1000000.0 * x2))), 6) AS sg
+  FROM f CROSS JOIN w1
+),
+g2r AS (
+  SELECT round(avg((y - sg) * x0), 6) AS g0,
+         round(avg((y - sg) * x1), 6) AS g1,
+         round(avg((y - sg) * x2), 6) AS g2
+  FROM s2
+),
+w2 AS (
+  SELECT wi0 + CAST(floor(g0 * 1000000 + 0.5) AS BIGINT) AS wi0,
+         wi1 + CAST(floor(g1 * 1000000 + 0.5) AS BIGINT) AS wi1,
+         wi2 + CAST(floor(g2 * 1000000 + 0.5) AS BIGINT) AS wi2
+  FROM w1 CROSS JOIN g2r
+),
+pred AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(wi0 / 1000000.0 * x0
+                                  + wi1 / 1000000.0 * x1
+                                  + wi2 / 1000000.0 * x2))), 6) AS p
+  FROM f CROSS JOIN w2
+  WHERE doc_id < {LOGREG_PRED_LIMIT}
+)
+SELECT doc_id, p, CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INT) AS label_pred
+FROM pred ORDER BY doc_id
+"""
+SPARK_QUERIES["logreg_lang_en"] = q_logreg_lang_en
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,8 @@ docs, smoothing density, and oracle parity for the registry query."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from neural_search_spark import registry
 from neural_search_spark.operators import classify as NB
 
@@ -71,3 +73,53 @@ def test_nb_train_accuracy_on_corpus(spark):
         docs.groupBy("lang").count().agg(F.max("count")).first()[0] / docs.count()
     )
     assert acc > major, (acc, major)
+
+
+# -- logistic regression ----------------------------------------------------
+
+def _lr_df(spark):
+    # separable on x1: label 1 ↔ long docs
+    rows = []
+    for i in range(40):
+        n_chars = 800 + i * 10 if i % 2 == 0 else 100 + i * 5
+        text = "w " * (n_chars // 10)
+        rows.append((i, text.strip(), "en" if i % 2 == 0 else "de", "src0", n_chars))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_logreg_round1_gradient_uses_half(spark):
+    """With w=0, σ is exactly 0.5 — the first-round gradient must be
+    mean((y-0.5)·x)."""
+    from neural_search_spark.operators.classify import (
+        logreg_features, logreg_train,
+    )
+
+    feats = logreg_features(_lr_df(spark), "lang = 'en'")
+    w = logreg_train(feats, rounds=1, lr=1.0)
+    import math
+
+    rows = feats.collect()
+    for j, col in enumerate(["x0", "x1", "x2"]):
+        g = sum((r["y"] - 0.5) * r[col] for r in rows) / len(rows)
+        g = math.floor(round(g, 6) * 1e6 + 0.5) / 1e6
+        assert abs(w[j] - g) < 2e-6, (col, w[j], g)
+
+
+def test_logreg_learns_separable_and_is_deterministic(spark):
+    from neural_search_spark.operators.classify import (
+        logreg_features, logreg_predict, logreg_train,
+    )
+
+    feats = logreg_features(_lr_df(spark), "lang = 'en'").cache()
+    w1 = logreg_train(feats, rounds=4, lr=2.0)
+    w2 = logreg_train(feats, rounds=4, lr=2.0)
+    assert w1 == w2  # engine-exact trajectory
+    pred = logreg_predict(feats, w1)
+    acc = (
+        pred.join(feats.select("doc_id", "y"), "doc_id")
+        .where(F.col("label_pred") == F.col("y").cast("int"))
+        .count()
+    ) / 40.0
+    assert acc >= 0.9, acc
