@@ -535,6 +535,88 @@ class Engine:
             )
         raise ValueError(f"unsupported query type: {qtype}")
 
+    # -- small API endpoints (_count / _analyze / _explain) ----------------
+    def count(self, query: dict[str, Any] | None = None) -> int:
+        """The `_count` endpoint: number of matching docs. Filter-
+        context specs (term/terms/range/exists/bool-filter/SQL string)
+        count the filtered SCAN — pure pushdown, no scoring, no top-k;
+        scored query types count their match set via the same
+        compiled frame with the limit removed where that is exact."""
+        if query is None:
+            return self.documents().count()
+        (qtype, body), = query.items()
+        if qtype == "constant_score":
+            query = body["filter"] if isinstance(body, dict) else body
+            return int(
+                self.documents().where(F.expr(compile_filter(query))).count()
+            )
+        if qtype in ("term", "terms", "range", "exists", "bool") or isinstance(
+            query, str
+        ):
+            try:
+                pred = compile_filter(query)
+            except ValueError:
+                pred = None
+            if pred is not None:
+                return int(self.documents().where(F.expr(pred)).count())
+        # scored fallback: count distinct scored hits at full depth
+        n = self.documents().count()
+        return int(self.search(query, size=n).count())
+
+    def analyze(self, text: str, analyzer: str = "standard") -> list[str]:
+        """The `_analyze` endpoint: tokens the named analyzer produces
+        for `text` (driver-side twin — identical to the Column path by
+        the twin-parity tests)."""
+        from ..functions.analyzers import analyze_py
+
+        return analyze_py(text, analyzer)
+
+    def explain_match(self, query: str, doc_id: int, analyzer: str | None = None) -> DataFrame:
+        """The `_explain` endpoint for a lexical match: per-token BM25
+        scoring breakdown (tf, df, idf, dl, term_score) for one doc —
+        the reference's Lucene explanation tree flattened to rows.
+        One broadcast-pruned scan of the postings index."""
+        idx = self.bm25_index(analyzer)
+        n, avgdl = idx.stats
+        if analyzer is None:
+            qtokens = sorted({t for t in query.lower().split() if t})
+        else:
+            from ..functions.analyzers import analyze_py
+
+            qtokens = sorted(set(analyze_py(query, analyzer)))
+        from ..operators.retrieval import token_frame
+
+        q = token_frame(self.spark, dict.fromkeys(qtokens, 1.0)).select("token")
+        df_tbl = (
+            idx.postings.join(F.broadcast(q), "token")
+            .groupBy("token")
+            .agg(F.count("*").cast("double").alias("df"))
+        )
+        idf = F.log(
+            F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        k1, b = B.K1, B.B
+        return (
+            idx.postings.where(F.col("doc_id") == int(doc_id))
+            .join(F.broadcast(q), "token")
+            .join(F.broadcast(df_tbl), "token")
+            .join(idx.doclen.where(F.col("doc_id") == int(doc_id)), "doc_id")
+            .select(
+                "token",
+                F.col("tf"),
+                F.col("df"),
+                F.round(idf, 4).alias("idf"),
+                F.col("dl"),
+                F.round(
+                    idf
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+                    4,
+                ).alias("term_score"),
+            )
+            .orderBy("token")
+        )
+
     def msearch(
         self,
         searches: list[tuple[dict[str, Any], dict[str, Any] | None]],

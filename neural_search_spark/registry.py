@@ -5381,8 +5381,8 @@ PRIORITY_50 = [
     "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
     # new this round: OpenSearch-core compound queries
     "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
-    # new this round: distributed GD classifier
-    "logreg_lang_en",
+    # new this round: distributed GD classifier + explain endpoint
+    "logreg_lang_en", "bm25_explain_doc",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6789,6 +6789,57 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: _explain endpoint — per-token BM25 scoring breakdown for
+# one (query, doc) pair, the Lucene explanation tree flattened to rows.
+# ---------------------------------------------------------------------------
+
+EXPLAIN_DOC_ID = 0
+EXPLAIN_QUERY = "table scan merge window"
+
+
+def q_bm25_explain_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_explain: why does doc 0 score what it scores for this query —
+    (token, tf, df, idf, dl, term_score) rows
+    (plans/compiler.py::Engine.explain_match)."""
+    return _agg_engine(spark, sf_dir).explain_match(EXPLAIN_QUERY, EXPLAIN_DOC_ID)
+
+
+_EXPLAIN_TOKEN_LIST = ", ".join(
+    f"('{t}')" for t in sorted(set(EXPLAIN_QUERY.split()))
+)
+ORACLES["bm25_explain_doc"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+q(token) AS (VALUES {_EXPLAIN_TOKEN_LIST}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM postings p JOIN q USING (token) GROUP BY p.token
+)
+SELECT p.token, p.weight AS tf, f.df,
+       round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)), 4) AS idf,
+       dl.dl,
+       round(
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.weight * (1.2 + 1.0))
+         / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4
+       ) AS term_score
+FROM postings p
+JOIN q USING (token)
+JOIN dfs f ON f.token = p.token
+JOIN doclen dl ON dl.doc_id = p.doc_id
+CROSS JOIN stats s
+WHERE p.doc_id = {EXPLAIN_DOC_ID}
+ORDER BY p.token
+"""
+SPARK_QUERIES["bm25_explain_doc"] = q_bm25_explain_doc
 
 
 # ---------------------------------------------------------------------------

@@ -876,3 +876,33 @@ def test_constant_score_and_script_score(engine):
     assert [(r["doc_id"], round(r["score"], 6)) for r in ss] == [
         (r["doc_id"], round(r["score"], 6)) for r in plain
     ]
+
+
+def test_count_analyze_endpoints(engine):
+    """_count (filter-context pushdown + scored fallback) and
+    _analyze (named-analyzer tokens)."""
+    total = engine.count()
+    assert total == engine.documents().count()
+    filtered = engine.count({"range": {"n_chars": {"gte": 300}}})
+    want = engine.documents().where("n_chars >= 300").count()
+    assert filtered == want
+    cs = engine.count({"constant_score": {"filter": {"range": {"n_chars": {"gte": 300}}}}})
+    assert cs == want
+    scored = engine.count({"match": {"field": "text", "query": "spark join"}})
+    assert 0 < scored <= total
+    assert engine.analyze("Spárk, JOIN!", "fold") == ["spark", "join"]
+
+
+def test_explain_match_sums_to_bm25_score(spark, sf_dir, engine):
+    """The per-token breakdown must sum to the doc's bm25_match score."""
+    q = "table scan merge window"
+    rows = engine.explain_match(q, 0).collect()
+    assert rows, "doc 0 should match at least one token"
+    total = sum(r["term_score"] for r in rows)
+    from neural_search_spark.operators.bm25 import bm25_scores
+
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(engine.bm25_index(), q).collect()
+    }
+    assert abs(total - full[0]) < 5e-4  # 4dp rounding per term
