@@ -5352,14 +5352,24 @@ for _name, _fn in [
 #   round 1  — flagship surface  (CORRECTNESS_r01.json, 50 graded)
 #   round 2  — rotation 2        (CORRECTNESS_r02.json, 50 graded;
 #                                 union r1+r2 = 66 distinct)
-#   round 3  — THIS WINDOW: every query whose code changed or was added
-#              this round (emb_neardup_cosine → bucketed LSH path; the
-#              kmeans/semdedup/span/domain-cap/BPE curation set) + the
-#              oracle-backed queries never yet driver-graded (61 listed;
-#              the driver caps at ~50, spillover heads the round-4 window)
-#   round 4+ — the ~12 oracle-backed remainders (batch_*, events_session*,
+#   round 3  — THIS WINDOW: every query added/changed this round (the
+#              bucketed emb near-dup flagship; kmeans/semdedup/span/
+#              domain-cap/BPE curation set; real-media-decode mm_*;
+#              analyzer-depth bm25_*; compound dsl_* queries;
+#              logreg_lang_en; bm25_explain_doc) + the judge-named
+#              never-graded set (r4_analyzer_sparse,
+#              k6_posting_truncation, inference_length_buckets,
+#              tpch_q7/q8/q12/q14/q15/q17/q19/q22) — all inside the
+#              first 50 (verified at edit time).
+#   round 4+ — spillover below position 50 of this list (remaining
+#              tpch breadth, events/temporal, text/training-data,
+#              suggesters, multimodal-meta rows) then the ~12
+#              oracle-backed remainders (batch_*, events_session*,
 #              events_sliding_window, r10_dense_rescore, tpch_q3/q6,
-#              shuffle_deterministic) + whatever round 4 adds/changes
+#              shuffle_deterministic) + whatever round 4 adds/changes.
+#              Rule: anything newly added or code-changed ALWAYS heads
+#              the next window; never-graded queries fill the rest in
+#              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
     # changed this round: flagship near-dup swapped to bucketed LSH +
@@ -5383,6 +5393,8 @@ PRIORITY_50 = [
     "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
     # new this round: distributed GD classifier + explain endpoint
     "logreg_lang_en", "bm25_explain_doc",
+    # new this round: SEISMIC provably-exact config, hash-matched (R7 upgrade)
+    "r7_seismic_oracle_exact",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6789,6 +6801,97 @@ WHERE levenshtein(token, '{SUGGEST_TYPO}') <= 2 AND token <> '{SUGGEST_TYPO}'
 ORDER BY dist, freq DESC, suggestion LIMIT {K}
 """
 SPARK_QUERIES["term_suggest"] = q_term_suggest
+
+
+# ---------------------------------------------------------------------------
+# Round-3: SEISMIC upgraded to a HASH-MATCHED oracle. With unpruned
+# summaries (summary_prune_ratio=1.0) the cluster bound is a true
+# upper bound and adaptive heap_factor=1.0 search is provably exact
+# over the truncated index (tests/test_seismic.py proves adaptive ==
+# score-everything). "Exact over the index" IS SQL-expressible: the
+# oracle rebuilds quantization (A1), per-token truncation (A2) and
+# the full-forward-vector dot in CTEs — so the whole SEISMIC pipeline
+# (build windows + cluster-skip search) gets a value-hash gate, not
+# just recall tests. The clustering itself only affects WHICH docs are
+# probed first, never the provably-exact result.
+# ---------------------------------------------------------------------------
+
+_SEISMIC_EXACT_CACHE: dict[str, object] = {}
+
+
+def _seismic_exact_index(spark: SparkSession, sf_dir: str):
+    from .operators import seismic as SE
+
+    if sf_dir not in _SEISMIC_EXACT_CACHE:
+        docs = catalog.table(spark, sf_dir, "documents")
+        p = S.tf_postings(docs)
+        mx = p.agg(F.max("weight")).first()[0]
+        scaled = p.withColumn(
+            "weight", F.col("weight") / F.lit(mx) * SE.QUANT_CEIL_INGEST
+        )
+        idx = SE.build_seismic(scaled, summary_prune_ratio=1.0)
+        idx.postings_clustered.persist().count()
+        idx.forward.persist().count()
+        _SEISMIC_EXACT_CACHE[sf_dir] = idx
+    return _SEISMIC_EXACT_CACHE[sf_dir]
+
+
+def q_r7_seismic_oracle_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 SEISMIC sparse ANN in its provably-exact configuration
+    (adaptive running-heap threshold, heap_factor=1.0, true-upper-bound
+    summaries): the same cluster-skipping operator as
+    r7_seismic_sparse_ann, but hash-checkable because the result is
+    exactly top-k over the quantized truncated index."""
+    from .operators import seismic as SE
+
+    qt = _query_tokens_tf(spark, sf_dir)
+    qmx = max(qt.values())
+    qs = {t: w / qmx * SE.QUANT_CEIL_SEARCH for t, w in qt.items()}
+    idx = _seismic_exact_index(spark, sf_dir)
+    return SE.seismic_search(
+        idx, qs, k=K, top_n=len(qs), heap_factor=1.0, adaptive=True
+    )
+
+
+ORACLES["r7_seismic_oracle_exact"] = f"""
+WITH p AS ({SQL_TF_POSTINGS}),
+mx AS (SELECT max(weight) AS m FROM p),
+nk AS (
+  SELECT greatest(CAST(ceil(count(DISTINCT doc_id) * 0.0005) AS BIGINT), 160) AS n_keep
+  FROM p
+),
+qz AS (  -- A1 ingest quantization: round(clamp(tf/mx*3, 0, 3) * 255/3)
+  SELECT doc_id, token,
+         round(least(greatest(weight / m * 3.0, 0.0), 3.0) * 255.0 / 3.0) AS q
+  FROM p CROSS JOIN mx
+),
+trunc AS (  -- A2 per-token truncation by (q DESC, doc_id)
+  SELECT doc_id, token FROM (
+    SELECT doc_id, token,
+           row_number() OVER (PARTITION BY token ORDER BY q DESC, doc_id) AS rn
+    FROM qz
+  ) CROSS JOIN nk WHERE rn <= n_keep
+),
+qtf AS ({SQL_QUERY_TOKENS}),
+qquant AS (  -- search-side quantization: floor(clamp(tf/qmx*16,0,16)*255/16 + 0.5)
+  SELECT token,
+         floor(least(greatest(qw / (SELECT max(qw) FROM qtf) * 16.0, 0.0), 16.0)
+               * 255.0 / 16.0 + 0.5) AS qi
+  FROM qtf
+),
+cand AS (  -- docs reachable through the truncated postings of any query token
+  SELECT DISTINCT t.doc_id FROM trunc t JOIN qquant USING (token)
+),
+sc AS (  -- exact integer dot over the FULL forward vector (A6)
+  SELECT c.doc_id, CAST(sum(z.q * qq.qi) AS DOUBLE) AS score
+  FROM cand c
+  JOIN qz z ON z.doc_id = c.doc_id
+  JOIN qquant qq ON qq.token = z.token
+  GROUP BY c.doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["r7_seismic_oracle_exact"] = q_r7_seismic_oracle_exact
 
 
 # ---------------------------------------------------------------------------
