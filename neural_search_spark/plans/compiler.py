@@ -535,7 +535,50 @@ class Engine:
             )
         raise ValueError(f"unsupported query type: {qtype}")
 
-    # -- small API endpoints (_count / _analyze / _explain) ----------------
+    # -- small API endpoints (_count / _analyze / _explain / _termvectors /
+    # aliases) -------------------------------------------------------------
+    def add_alias(self, name: str, filter_spec=None) -> None:
+        """OpenSearch index alias: a named (optionally filtered) view
+        of the index. `search_alias` applies the alias filter to any
+        query by AND-ing it into the hybrid/bool filter path."""
+        if not hasattr(self, "_aliases"):
+            self._aliases = {}
+        self._aliases[name] = (
+            compile_filter(filter_spec) if filter_spec is not None else None
+        )
+
+    def search_alias(self, alias: str, query: dict, **kw) -> DataFrame:
+        pred = getattr(self, "_aliases", {}).get(alias, "__missing__")
+        if pred == "__missing__":
+            raise ValueError(f"unknown alias: {alias!r}")
+        if pred is None:
+            return self.search(query, **kw)
+        allowed = self.documents().where(F.expr(pred)).select("doc_id")
+        hits = self.search(query, **kw)
+        return hits.join(F.broadcast(allowed), "doc_id", "semi").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """The `_termvectors` endpoint: per-token statistics for one
+        doc — term freq, corpus doc freq, and token positions (the
+        Lucene term-vector payload). One broadcast-pruned pass over
+        the positional index + a df lookup."""
+        pos = self.positional_index()
+        mine = pos.where(F.col("doc_id") == int(doc_id)).select(
+            "token", F.size("positions").alias("tf"), "positions"
+        )
+        df_tbl = (
+            pos.join(F.broadcast(mine.select("token")), "token")
+            .groupBy("token")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        )
+        return (
+            mine.join(F.broadcast(df_tbl), "token")
+            .select("token", "tf", "df", "positions")
+            .orderBy("token")
+        )
+
     def count(self, query: dict[str, Any] | None = None) -> int:
         """The `_count` endpoint: number of matching docs. Filter-
         context specs (term/terms/range/exists/bool-filter/SQL string)

@@ -5394,7 +5394,7 @@ PRIORITY_50 = [
     # new this round: distributed GD classifier + explain endpoint
     "logreg_lang_en", "bm25_explain_doc",
     # new this round: SEISMIC provably-exact config, hash-matched (R7 upgrade)
-    "r7_seismic_oracle_exact",
+    "r7_seismic_oracle_exact", "term_vectors_doc",
     # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
@@ -6892,6 +6892,48 @@ sc AS (  -- exact integer dot over the FULL forward vector (A6)
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["r7_seismic_oracle_exact"] = q_r7_seismic_oracle_exact
+
+
+# ---------------------------------------------------------------------------
+# Round-3: _termvectors endpoint — per-doc token stats (tf, corpus df,
+# positions) off the positional index; positions serialized to a
+# comma string so the value hash is structural-type-stable.
+# ---------------------------------------------------------------------------
+
+
+def q_term_vectors_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_termvectors for doc 0: (token, tf, df, positions)
+    (plans/compiler.py::Engine.term_vectors)."""
+    tv = _agg_engine(spark, sf_dir).term_vectors(0)
+    return tv.select(
+        "token", "tf", "df",
+        F.array_join(F.col("positions"), ",").alias("positions"),
+    )
+
+
+ORACLES["term_vectors_doc"] = """
+WITH toks AS (
+  SELECT d.doc_id, d.l[CAST(t.i AS INT)] AS token, CAST(t.i - 1 AS INT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+        FROM documents) d,
+       LATERAL unnest(range(1, len(d.l) + 1)) t(i)
+),
+mine AS (
+  SELECT token, CAST(count(*) AS INT) AS tf,
+         string_agg(pos, ',' ORDER BY pos) AS positions
+  FROM toks WHERE doc_id = 0 GROUP BY token
+),
+dfs AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM toks WHERE token IN (SELECT token FROM mine)
+  GROUP BY token
+)
+SELECT m.token, m.tf, f.df, m.positions
+FROM mine m JOIN dfs f USING (token)
+ORDER BY m.token
+"""
+SPARK_QUERIES["term_vectors_doc"] = q_term_vectors_doc
 
 
 # ---------------------------------------------------------------------------

@@ -906,3 +906,33 @@ def test_explain_match_sums_to_bm25_score(spark, sf_dir, engine):
         for r in bm25_scores(engine.bm25_index(), q).collect()
     }
     assert abs(total - full[0]) < 5e-4  # 4dp rounding per term
+
+
+def test_alias_filtered_search(engine):
+    """Filtered index alias: results are the query's hits restricted
+    to the alias predicate (OpenSearch alias-filter semantics)."""
+    engine.add_alias("en_docs", {"term": {"lang": "en"}})
+    engine.add_alias("all_docs")
+    q = {"match": {"field": "text", "query": "spark join"}}
+    filtered = engine.search_alias("en_docs", q, size=20).collect()
+    langs = {r["doc_id"]: r["lang"]
+             for r in engine.documents().select("doc_id", "lang").collect()}
+    assert filtered and all(langs[r["doc_id"]] == "en" for r in filtered)
+    assert {r["doc_id"] for r in engine.search_alias("all_docs", q, size=20).collect()} \
+        == {r["doc_id"] for r in engine.search(q, size=20).collect()}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown alias"):
+        engine.search_alias("nope", q)
+
+
+def test_term_vectors_positions_consistent(engine):
+    """tf must equal the position count and positions must point at
+    the token in the doc's whitespace token stream."""
+    rows = engine.term_vectors(0).collect()
+    assert rows
+    text = engine.documents().where("doc_id = 0").first()["text"]
+    toks = [t for t in text.split() if t]
+    for r in rows:
+        assert r["tf"] == len(r["positions"])
+        assert all(toks[p] == r["token"] for p in r["positions"])
