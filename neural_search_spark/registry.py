@@ -5399,6 +5399,8 @@ PRIORITY_50 = [
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
+    # new this round (graded r4 if the window overflows): bulk lifecycle
+    "bulk_lifecycle",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -6892,6 +6894,115 @@ sc AS (  -- exact integer dot over the FULL forward vector (A6)
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["r7_seismic_oracle_exact"] = q_r7_seismic_oracle_exact
+
+
+# ---------------------------------------------------------------------------
+# Round-3: _bulk lifecycle — index/create/update/delete merged into a
+# new snapshot in one anti-join + union pass (sources/bulk.py), with
+# last-wins precedence on overlapping ops.
+# ---------------------------------------------------------------------------
+
+
+def q_bulk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_bulk over the documents snapshot: deletes (÷17), partial lang
+    updates (÷5, later seq wins over delete on overlap), full
+    reindex of docs 1–2, creates of two fresh ids plus one create
+    that must NO-OP against an existing id."""
+    from .sources.bulk import bulk_apply
+
+    d = catalog.table(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    ops = (
+        d.where(F.col("doc_id") % 17 == 0).select(
+            F.lit("delete").alias("op"), F.lit(1).cast("long").alias("seq"),
+            "doc_id", null_s.alias("text"), null_s.alias("lang"),
+            null_s.alias("source"), null_l.alias("n_chars"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                F.lit("update").alias("op"), F.lit(2).cast("long").alias("seq"),
+                "doc_id", null_s.alias("text"), F.lit("xx").alias("lang"),
+                null_s.alias("source"), null_l.alias("n_chars"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id").isin(1, 2)).select(
+                F.lit("index").alias("op"), F.lit(3).cast("long").alias("seq"),
+                "doc_id", F.lit("replaced doc").alias("text"),
+                F.lit("en").alias("lang"), F.lit("src0").alias("source"),
+                F.lit(12).cast("long").alias("n_chars"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id").isin(3, 4)).select(
+                F.lit("create").alias("op"), F.lit(4).cast("long").alias("seq"),
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("new doc").alias("text"), F.lit("en").alias("lang"),
+                F.lit("srcN").alias("source"), F.lit(7).cast("long").alias("n_chars"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") == 6).select(
+                F.lit("create").alias("op"), F.lit(5).cast("long").alias("seq"),
+                "doc_id", F.lit("should not replace").alias("text"),
+                F.lit("en").alias("lang"), F.lit("srcN").alias("source"),
+                F.lit(18).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    return bulk_apply(d, ops).orderBy("doc_id")
+
+
+ORACLES["bulk_lifecycle"] = """
+WITH ops AS (
+  SELECT 'delete' AS op, 1 AS seq, doc_id,
+         NULL::VARCHAR AS text, NULL::VARCHAR AS lang,
+         NULL::VARCHAR AS source, NULL::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT 'update', 2, doc_id, NULL, 'xx', NULL, NULL
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'index', 3, doc_id, 'replaced doc', 'en', 'src0', 12
+  FROM documents WHERE doc_id IN (1, 2)
+  UNION ALL
+  SELECT 'create', 4, doc_id + 1000000, 'new doc', 'en', 'srcN', 7
+  FROM documents WHERE doc_id IN (3, 4)
+  UNION ALL
+  SELECT 'create', 5, doc_id, 'should not replace', 'en', 'srcN', 18
+  FROM documents WHERE doc_id = 6
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM ops
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT d.* FROM documents d
+  LEFT JOIN (SELECT doc_id FROM last WHERE op IN ('index','delete','update')) t
+    ON d.doc_id = t.doc_id
+  WHERE t.doc_id IS NULL
+),
+indexed AS (SELECT doc_id, text, lang, source, n_chars FROM last WHERE op = 'index'),
+created AS (
+  SELECT doc_id, text, lang, source, n_chars FROM last
+  WHERE op = 'create' AND doc_id NOT IN (SELECT doc_id FROM documents)
+),
+updated AS (
+  SELECT d.doc_id, coalesce(l.text, d.text) AS text,
+         coalesce(l.lang, d.lang) AS lang,
+         coalesce(l.source, d.source) AS source,
+         coalesce(l.n_chars, d.n_chars) AS n_chars
+  FROM documents d JOIN last l ON d.doc_id = l.doc_id AND l.op = 'update'
+)
+SELECT * FROM (
+  SELECT * FROM kept UNION ALL SELECT * FROM indexed
+  UNION ALL SELECT * FROM created UNION ALL SELECT * FROM updated
+) ORDER BY doc_id
+"""
+SPARK_QUERIES["bulk_lifecycle"] = q_bulk_lifecycle
 
 
 # ---------------------------------------------------------------------------
