@@ -149,6 +149,40 @@ def resize_images_batch(
     return media.mapInPandas(rs, "doc_id long, payload binary")
 
 
+def image_embedding_batch(
+    media: DataFrame,
+    side: int = 8,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Perceptual image embedding: decode → grayscale → nearest-
+    neighbor downsample to side×side → row-major float vector,
+    L1-normalized shift to zero mean (the aHash family's feature,
+    kept continuous instead of thresholded to bits).
+
+    Output (doc_id, embedding array<double>) plugs straight into the
+    engine's dense stack — `dedup.embedding_neardup`, `ann.lsh_*`,
+    `retrieval.dense_topk` — giving VISUAL near-dup/search through the
+    exact same operators as text embeddings."""
+
+    def emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(p)
+                fmt = MC.sniff_format(b)
+                arr = MC.decode_png(b) if fmt == "png" else MC.decode_bmp(b)
+                if arr.ndim == 3:  # luminance: plain channel mean
+                    arr = arr.mean(axis=2)
+                small = MC.resize_nearest(arr.astype(np.float64), side, side)
+                v = small.reshape(-1)
+                v = v - v.mean()
+                rows.append((did, [float(x) for x in v]))
+            yield pd.DataFrame(rows, columns=["doc_id", "embedding"])
+
+    return media.mapInPandas(emb, "doc_id long, embedding array<double>")
+
+
 AUDIO_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, sum_abs long, zero_crossings long"
 )

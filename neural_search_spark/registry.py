@@ -5399,8 +5399,8 @@ PRIORITY_50 = [
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
-    # new this round (graded r4 if the window overflows): bulk lifecycle
-    "bulk_lifecycle",
+    # new this round (graded r4 if the window overflows): bulk + visual
+    "bulk_lifecycle", "visual_search_topk",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -6894,6 +6894,66 @@ sc AS (  -- exact integer dot over the FULL forward vector (A6)
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["r7_seismic_oracle_exact"] = q_r7_seismic_oracle_exact
+
+
+# ---------------------------------------------------------------------------
+# Round-3: visual search — perceptual image embeddings (decode →
+# grayscale → 8×8 downsample → mean-centered vector) feeding the SAME
+# dense stack as text embeddings. Pixels are integers and the mean
+# divisor is 64 (a power of two), so the centered vectors are
+# bit-exact in both engines and the cosine oracle is exact.
+# ---------------------------------------------------------------------------
+
+VIS_SIDE = 8
+VIS_QUERY_DOC = 0
+
+
+def q_visual_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual top-k: embed every synthetic image (REAL decode path),
+    query with doc 0's embedding, exact cosine ranking through the
+    ordinary dense_topk operator."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PRUNE_DOC_LIMIT
+    )
+    media = MM.synthetic_media_table(docs, kind="image")
+    embs = MM.image_embedding_batch(media, side=VIS_SIDE)
+    qv = [
+        float(x)
+        for x in embs.where(F.col("doc_id") == VIS_QUERY_DOC).first()["embedding"]
+    ]
+    return _round4(R.dense_topk(embs, qv, k=K))
+
+
+_VIS_PIX = (
+    f"CAST((doc_id * 7 + (((y * h) // {VIS_SIDE}) * w + (x * w) // {VIS_SIDE}) * 3) % 256 AS DOUBLE)"
+)
+ORACLES["visual_search_topk"] = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {PRUNE_DOC_LIMIT}
+),
+yy AS (SELECT doc_id, w, h, unnest(range(0, {VIS_SIDE})) AS y FROM d),
+cell AS (SELECT doc_id, w, h, y, unnest(range(0, {VIS_SIDE})) AS x FROM yy),
+pix AS (
+  SELECT doc_id, y * {VIS_SIDE} + x AS idx, {_VIS_PIX} AS g
+  FROM cell
+),
+lv AS (
+  SELECT doc_id, list(g ORDER BY idx) AS l FROM pix GROUP BY doc_id
+),
+vecs AS (
+  SELECT doc_id,
+         list_transform(l, v -> v - list_sum(l) / {VIS_SIDE * VIS_SIDE}) AS e
+  FROM lv
+),
+q AS (SELECT e AS qe FROM vecs WHERE doc_id = {VIS_QUERY_DOC})
+SELECT doc_id, round({_sql_cos('v.e', 'q.qe')}, 4) AS score
+FROM vecs v CROSS JOIN q
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["visual_search_topk"] = q_visual_search_topk
 
 
 # ---------------------------------------------------------------------------

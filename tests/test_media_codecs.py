@@ -232,3 +232,29 @@ def test_audio_stats_batch_matches_formula(spark):
 def test_real_decode_meta_raises_on_garbage():
     with pytest.raises(ValueError):
         MM.real_decode_meta(b"utf-8 text, not an image")
+
+
+def test_image_embedding_visual_neardup(spark):
+    """A resized copy of an image must embed close to the original
+    (cosine ≫ unrelated images) — the visual near-dup contract."""
+    import pandas as pd
+
+    base = np.add.outer(
+        np.arange(16, dtype=np.float64) * 8, np.arange(16, dtype=np.float64) * 4
+    ).astype(np.uint8)
+    variant = MC.resize_nearest(base, 32, 32)          # upscaled copy
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, MC.encode_png(base)), (1, MC.encode_png(variant)),
+         (2, MC.encode_png(noise))],
+        "doc_id long, payload binary",
+    )
+    embs = {r["doc_id"]: np.array(r["embedding"])
+            for r in MM.image_embedding_batch(media).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(embs[0], embs[1]) > 0.98     # copy ≈ original
+    assert cos(embs[0], embs[1]) > cos(embs[0], embs[2]) + 0.2
