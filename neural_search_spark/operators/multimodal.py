@@ -183,6 +183,35 @@ def image_embedding_batch(
     return media.mapInPandas(emb, "doc_id long, embedding array<double>")
 
 
+def audio_embedding_batch(
+    media: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Audio embedding: decode WAV → RMS energy envelope over `bands`
+    equal time segments (segment of sample i = (i·bands)//n). Integer
+    squares sum exactly in doubles, so the envelope — like the visual
+    embedding — is engine-exact and SQL-oracle-able, and plugs into
+    the same dense stack for audio similarity / near-dup."""
+
+    def emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                _rate, s = MC.decode_wav(bytes(p))
+                n = len(s)
+                seg = (np.arange(n, dtype=np.int64) * bands) // n
+                sq = s.astype(np.float64) ** 2
+                sums = np.bincount(seg, weights=sq, minlength=bands)
+                counts = np.bincount(seg, minlength=bands)
+                env = np.sqrt(sums / np.maximum(counts, 1))
+                rows.append((did, [float(x) for x in env]))
+            yield pd.DataFrame(rows, columns=["doc_id", "embedding"])
+
+    return media.mapInPandas(emb, "doc_id long, embedding array<double>")
+
+
 AUDIO_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, sum_abs long, zero_crossings long"
 )
