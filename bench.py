@@ -107,6 +107,12 @@ HEADLINE = [
     "dsl_dis_max",
     "dsl_boosting",
     "dsl_script_score",
+    # round-9 additions (GD classifier, exact SEISMIC, bulk, visual/audio)
+    "logreg_lang_en",
+    "r7_seismic_oracle_exact",
+    "bulk_lifecycle",
+    "visual_search_topk",
+    "audio_search_topk",
 ]
 
 
