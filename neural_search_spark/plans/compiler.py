@@ -524,6 +524,31 @@ class Engine:
                 .orderBy("doc_id")
                 .limit(k)
             )
+        if qtype == "rank_feature":
+            # OpenSearch core rank_feature: score a numeric field
+            # through saturation x/(x+pivot), log ln(scale·x + 1), or
+            # sigmoid x^e/(x^e + pivot^e), times boost. Pure narrow
+            # map + TakeOrdered — no shuffle at any scale.
+            field = body["field"]
+            boost = float(body.get("boost", 1.0))
+            x = F.col(field).cast("double")
+            if "log" in body:
+                val = F.log(F.lit(float(body["log"].get("scaling_factor", 1.0))) * x + 1.0)
+            elif "sigmoid" in body:
+                sg = body["sigmoid"]
+                piv, ex = float(sg["pivot"]), float(sg.get("exponent", 1.0))
+                val = F.pow(x, ex) / (F.pow(x, ex) + F.lit(piv) ** ex)
+            else:
+                piv = float(body.get("saturation", {}).get("pivot", 1.0))
+                val = x / (x + F.lit(piv))
+            base = self.documents().where(x > 0)
+            if candidate_ids is not None:
+                base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
+            return (
+                base.select("doc_id", (F.lit(boost) * val).alias("score"))
+                .orderBy(F.col("score").desc(), "doc_id")
+                .limit(k)
+            )
         if qtype == "ids":
             vals = [int(v) for v in body["values"]]
             return (

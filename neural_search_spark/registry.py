@@ -5401,6 +5401,7 @@ PRIORITY_50 = [
     "tpch_q17", "tpch_q19", "tpch_q22",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
+    "rank_feature_saturation",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -6995,6 +6996,30 @@ FROM vecs v CROSS JOIN q
 ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["audio_search_topk"] = q_audio_search_topk
+
+
+RF_PIVOT = 300.0
+
+
+def q_rank_feature_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature query (OpenSearch core): saturation scoring
+    x/(x+pivot) over n_chars, boost 2 — a narrow map + TakeOrdered
+    (plans/compiler.py rank_feature branch)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"rank_feature": {"field": "n_chars",
+                          "saturation": {"pivot": RF_PIVOT}, "boost": 2.0}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["rank_feature_saturation"] = f"""
+SELECT doc_id,
+       round(2.0 * (n_chars / (n_chars + {RF_PIVOT})), 4) AS score
+FROM documents WHERE n_chars > 0
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["rank_feature_saturation"] = q_rank_feature_saturation
 
 
 # ---------------------------------------------------------------------------

@@ -936,3 +936,34 @@ def test_term_vectors_positions_consistent(engine):
     for r in rows:
         assert r["tf"] == len(r["positions"])
         assert all(toks[p] == r["token"] for p in r["positions"])
+
+
+def test_rank_feature_modes(engine):
+    """saturation / log / sigmoid scoring shapes (OpenSearch core
+    rank_feature semantics)."""
+    import math
+
+    n_chars = {r["doc_id"]: r["n_chars"]
+               for r in engine.documents().select("doc_id", "n_chars").collect()}
+    sat = engine.search(
+        {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 100.0}}},
+        size=5,
+    ).collect()
+    for r in sat:
+        x = n_chars[r["doc_id"]]
+        assert abs(r["score"] - x / (x + 100.0)) < 1e-9
+    lg = engine.search(
+        {"rank_feature": {"field": "n_chars", "log": {"scaling_factor": 2.0}}},
+        size=5,
+    ).collect()
+    for r in lg:
+        x = n_chars[r["doc_id"]]
+        assert abs(r["score"] - math.log(2.0 * x + 1.0)) < 1e-9
+    sg = engine.search(
+        {"rank_feature": {"field": "n_chars",
+                          "sigmoid": {"pivot": 200.0, "exponent": 2.0}}},
+        size=5,
+    ).collect()
+    for r in sg:
+        x = n_chars[r["doc_id"]]
+        assert abs(r["score"] - x**2 / (x**2 + 200.0**2)) < 1e-9
