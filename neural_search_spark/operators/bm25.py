@@ -483,3 +483,60 @@ def more_like_this_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def span_near_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    term_a: str,
+    term_b: str,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """`span_near` for a term pair (Lucene SpanNearQuery semantics,
+    the proximity generalization of match_phrase): tf = number of
+    position pairs with gap ≤ slop — in_order requires b after a
+    (1 ≤ pb−pa ≤ slop+1), unordered accepts either direction. BM25
+    scoring with that proximity-tf, same shape as phrase_topk: two
+    token-pruned positional scans, one doc_id equi-join, a pure array
+    expression for the pair count."""
+    n, avgdl = index.stats
+    pa = positional.where(F.col("token") == term_a).select(
+        F.col(id_col), F.col("positions").alias("_pa")
+    )
+    pb = positional.where(F.col("token") == term_b).select(
+        F.col(id_col), F.col("positions").alias("_pb")
+    )
+    joined = pa.join(pb, id_col)
+
+    def pairs(p):
+        if in_order:
+            cond = lambda q: (q - p >= 1) & (q - p <= slop + 1)  # noqa: E731
+        else:
+            d = lambda q: F.abs(q - p)  # noqa: E731
+            cond = lambda q: (d(q) >= 1) & (d(q) <= slop + 1)  # noqa: E731
+        return F.size(F.filter(F.col("_pb"), cond))
+
+    tf = F.aggregate(
+        F.col("_pa"), F.lit(0), lambda acc, p: acc + pairs(p)
+    ).cast("double")
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    dfs = matched.agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        matched.join(index.doclen, id_col)
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -524,6 +524,19 @@ class Engine:
                 .orderBy("doc_id")
                 .limit(k)
             )
+        if qtype == "span_near":
+            # Lucene SpanNearQuery for a term pair: proximity-tf BM25
+            # over the positional postings (slop + in_order knobs)
+            terms = [t.lower() for t in body["terms"]]
+            if len(terms) != 2:
+                raise ValueError("span_near supports exactly two terms")
+            return B.span_near_topk(
+                self.positional_index(), self.bm25_index(),
+                terms[0], terms[1],
+                slop=int(body.get("slop", 0)),
+                in_order=bool(body.get("in_order", True)),
+                k=k,
+            )
         if qtype == "rank_feature":
             # OpenSearch core rank_feature: score a numeric field
             # through saturation x/(x+pivot), log ln(scale·x + 1), or

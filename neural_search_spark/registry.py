@@ -5401,7 +5401,7 @@ PRIORITY_50 = [
     "tpch_q17", "tpch_q19", "tpch_q22",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation",
+    "rank_feature_saturation", "span_near",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7020,6 +7020,58 @@ FROM documents WHERE n_chars > 0
 ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["rank_feature_saturation"] = q_rank_feature_saturation
+
+
+SPAN_A, SPAN_B, SPAN_SLOP = "table", "scan", 2
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_near('table', 'scan', slop=2, unordered): proximity-tf
+    BM25 — pairs of positions within 3 of each other in either order
+    (operators/bm25.py::span_near_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_near": {"terms": [SPAN_A, SPAN_B], "slop": SPAN_SLOP,
+                       "in_order": False}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_near"] = f"""
+WITH toks AS (
+  SELECT d.doc_id, d.l[CAST(t.i AS INT)] AS token, CAST(t.i - 1 AS INT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+        FROM documents) d,
+       LATERAL unnest(range(1, len(d.l) + 1)) t(i)
+),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+matched AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, pos FROM toks WHERE token = '{SPAN_A}') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE token = '{SPAN_B}') b
+    ON a.doc_id = b.doc_id
+   AND abs(b.pos - a.pos) BETWEEN 1 AND {SPAN_SLOP + 1}
+  GROUP BY a.doc_id
+),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM matched)
+SELECT m.doc_id,
+       round(
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (m.tf * (1.2 + 1.0))
+         / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4
+       ) AS score
+FROM matched m
+JOIN doclen dl ON dl.doc_id = m.doc_id
+CROSS JOIN dfs f CROSS JOIN stats s
+ORDER BY score DESC, m.doc_id LIMIT {K}
+"""
+SPARK_QUERIES["span_near"] = q_span_near
 
 
 # ---------------------------------------------------------------------------

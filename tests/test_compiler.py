@@ -967,3 +967,30 @@ def test_rank_feature_modes(engine):
     for r in sg:
         x = n_chars[r["doc_id"]]
         assert abs(r["score"] - x**2 / (x**2 + 200.0**2)) < 1e-9
+
+
+def test_span_near_in_order_vs_unordered(spark, engine):
+    """in_order must be a subset of unordered; slop=0 in_order with
+    adjacent terms equals match_phrase's match set."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b x a"), (3, "a x x b"), (4, "b a")],
+        "doc_id long, text string",
+    )
+    from neural_search_spark.operators.bm25 import (
+        build_bm25, build_positional, span_near_topk,
+    )
+
+    idx = build_bm25(docs)
+    pos = build_positional(docs)
+    ordered = {r["doc_id"] for r in span_near_topk(pos, idx, "a", "b", slop=0).collect()}
+    assert ordered == {1}                       # only "a b" adjacent in order
+    unordered = {
+        r["doc_id"]
+        for r in span_near_topk(pos, idx, "a", "b", slop=0, in_order=False).collect()
+    }
+    assert unordered == {1, 4}                  # "b a" counts unordered
+    sloppy = {
+        r["doc_id"]
+        for r in span_near_topk(pos, idx, "a", "b", slop=2, in_order=True).collect()
+    }
+    assert sloppy == {1, 3}                     # "a x x b" gap 2 ≤ slop
