@@ -221,6 +221,33 @@ class CurationPipeline:
         self._stages.append(("sample", _s))
         return self
 
+    def model_filter(
+        self, weights: list[float], min_p: float = 0.5
+    ) -> "CurationPipeline":
+        """Classifier-gated filtering: keep docs whose logistic-
+        regression probability (operators/classify.py feature recipe +
+        trained weights) is ≥ min_p — the fastText-style quality-
+        classifier stage of production curation stacks, here driven by
+        the engine's own distributed-GD model. Pure narrow filter:
+        the σ expression rides the scan, nothing shuffles."""
+
+        def _s(df: DataFrame) -> DataFrame:
+            from .functions.sparse import tokens as _toks
+            from .operators.classify import SIGMOID_DP
+
+            z = (
+                F.lit(float(weights[0]))
+                + F.lit(float(weights[1]))
+                * (F.col("n_chars").cast("double") / F.lit(1000.0))
+                + F.lit(float(weights[2]))
+                * (F.size(_toks(F.col(self.text_col))).cast("double") / F.lit(100.0))
+            )
+            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SIGMOID_DP)
+            return df.where(p >= F.lit(float(min_p)))
+
+        self._stages.append(("model_filter", _s))
+        return self
+
     # -- execution ---------------------------------------------------------
     def apply(self, docs: DataFrame) -> DataFrame:
         out = docs

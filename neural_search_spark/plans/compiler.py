@@ -775,6 +775,30 @@ class Engine:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind == "matrix_stats":
+            # OpenSearch matrix_stats: pairwise second-order stats over
+            # numeric fields — one aggregate pass, rows = field pairs
+            fields = list(body["fields"])
+            aggs, pairs = [], []
+            for i, a in enumerate(fields):
+                for b_ in fields[i + 1 :]:
+                    ca, cb = F.col(a).cast("double"), F.col(b_).cast("double")
+                    aggs += [
+                        F.round(F.covar_pop(ca, cb), 4).alias(f"cov_{a}_{b_}"),
+                        F.round(F.corr(ca, cb), 4).alias(f"corr_{a}_{b_}"),
+                    ]
+                    pairs.append((a, b_))
+            one = df.agg(F.count("*").alias("doc_count"), *aggs)
+            # 1-row frame → one row per field pair, still lazy
+            stack = ", ".join(
+                f"'{a}', '{b_}', `cov_{a}_{b_}`, `corr_{a}_{b_}`"
+                for a, b_ in pairs
+            )
+            return one.selectExpr(
+                f"stack({len(pairs)}, {stack}) AS "
+                "(field_a, field_b, covariance, correlation)",
+                "doc_count",
+            ).select("field_a", "field_b", "doc_count", "covariance", "correlation")
         if kind == "terms":
             size = int(body.get("size", 10))
             metrics = [F.count("*").alias("doc_count")]

@@ -5401,7 +5401,7 @@ PRIORITY_50 = [
     "tpch_q17", "tpch_q19", "tpch_q22",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation", "span_near",
+    "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7072,6 +7072,27 @@ CROSS JOIN dfs f CROSS JOIN stats s
 ORDER BY score DESC, m.doc_id LIMIT {K}
 """
 SPARK_QUERIES["span_near"] = q_span_near
+
+
+def q_dsl_agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix_stats agg (OpenSearch core): pairwise covariance +
+    Pearson correlation over numeric fields of the filtered scan —
+    ONE aggregate pass, lazily stacked to a row per field pair."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"m": {"matrix_stats": {"fields": ["doc_id", "n_chars"]}}},
+    )
+    return out["m"]
+
+
+ORACLES["dsl_agg_matrix_stats"] = """
+SELECT 'doc_id' AS field_a, 'n_chars' AS field_b,
+       count(*) AS doc_count,
+       round(covar_pop(doc_id, n_chars), 4) AS covariance,
+       round(corr(doc_id, n_chars), 4) AS correlation
+FROM documents WHERE lang = 'en'
+"""
+SPARK_QUERIES["dsl_agg_matrix_stats"] = q_dsl_agg_matrix_stats
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,23 @@ def test_streaming_curate_cross_batch(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got)
     # 2 fails length; 3 is a cross-batch duplicate of 1; 1 and 4 survive
     assert ids == [1, 4]
+
+
+def test_model_filter_stage_matches_predict(spark, sf_dir):
+    """The pipeline's model_filter must keep exactly the docs
+    logreg_predict labels positive at the same threshold."""
+    from neural_search_spark import catalog
+    from neural_search_spark.operators.classify import (
+        logreg_features, logreg_predict, logreg_train,
+    )
+    from neural_search_spark.pipeline import CurationPipeline
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    feats = logreg_features(docs, "lang = 'en'")
+    w = logreg_train(feats, rounds=2)
+    kept = CurationPipeline().model_filter(w, min_p=0.5).apply(docs)
+    want = {
+        r["doc_id"]
+        for r in logreg_predict(feats, w).where("label_pred = 1").collect()
+    }
+    assert {r["doc_id"] for r in kept.collect()} == want
