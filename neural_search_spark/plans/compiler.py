@@ -775,6 +775,31 @@ class Engine:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind == "percentiles":
+            # exact linear-interpolation percentiles (OpenSearch's
+            # agg is TDigest-approximate; exact is strictly stronger
+            # and engine-portable — the approximate tier lives in
+            # events_approx_quantiles)
+            c = F.col(body["field"]).cast("double")
+            percents = [float(p) for p in body.get("percents", [25, 50, 75, 95, 99])]
+            one = df.agg(
+                *[
+                    F.round(F.percentile(c, F.lit(p / 100.0)), 4).alias(f"p{i}")
+                    for i, p in enumerate(percents)
+                ]
+            )
+            stack = ", ".join(
+                f"{p}D, `p{i}`" for i, p in enumerate(percents)
+            )
+            return one.selectExpr(
+                f"stack({len(percents)}, {stack}) AS (percent, value)"
+            )
+        if kind == "weighted_avg":
+            v = F.col(body["value"]["field"]).cast("double")
+            w = F.col(body["weight"]["field"]).cast("double")
+            return df.agg(
+                F.round(F.sum(v * w) / F.sum(w), 4).alias("weighted_avg")
+            )
         if kind == "matrix_stats":
             # OpenSearch matrix_stats: pairwise second-order stats over
             # numeric fields — one aggregate pass, rows = field pairs

@@ -5402,6 +5402,7 @@ PRIORITY_50 = [
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
+    "dsl_agg_percentiles", "dsl_agg_weighted_avg",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7093,6 +7094,51 @@ SELECT 'doc_id' AS field_a, 'n_chars' AS field_b,
 FROM documents WHERE lang = 'en'
 """
 SPARK_QUERIES["dsl_agg_matrix_stats"] = q_dsl_agg_matrix_stats
+
+
+def q_dsl_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles agg: EXACT linear-interpolation quantiles of
+    n_chars over the filtered scan (one aggregate, stacked lazily) —
+    mirrors DuckDB quantile_cont definitionally."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"p": {"percentiles": {"field": "n_chars",
+                               "percents": [25, 50, 75, 95]}}},
+    )
+    return out["p"]
+
+
+ORACLES["dsl_agg_percentiles"] = """
+WITH f AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE lang = 'en'),
+q AS (
+  SELECT quantile_cont(x, 0.25) AS q25, quantile_cont(x, 0.50) AS q50,
+         quantile_cont(x, 0.75) AS q75, quantile_cont(x, 0.95) AS q95
+  FROM f
+)
+SELECT 25.0 AS percent, round(q25, 4) AS value FROM q
+UNION ALL SELECT 50.0, round(q50, 4) FROM q
+UNION ALL SELECT 75.0, round(q75, 4) FROM q
+UNION ALL SELECT 95.0, round(q95, 4) FROM q
+"""
+SPARK_QUERIES["dsl_agg_percentiles"] = q_dsl_agg_percentiles
+
+
+def q_dsl_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_avg agg: doc_id-weighted mean of n_chars over the
+    filtered scan (OpenSearch weighted_avg contract)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 100}}}}},
+        {"w": {"weighted_avg": {"value": {"field": "n_chars"},
+                                "weight": {"field": "doc_id"}}}},
+    )
+    return out["w"]
+
+
+ORACLES["dsl_agg_weighted_avg"] = """
+SELECT round(sum(n_chars::DOUBLE * doc_id) / sum(doc_id::DOUBLE), 4) AS weighted_avg
+FROM documents WHERE n_chars >= 100
+"""
+SPARK_QUERIES["dsl_agg_weighted_avg"] = q_dsl_agg_weighted_avg
 
 
 # ---------------------------------------------------------------------------
