@@ -775,6 +775,25 @@ class Engine:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind == "composite":
+            # OpenSearch composite agg: deterministic key-ordered
+            # bucket pagination for unbounded-cardinality group-bys —
+            # `after` resumes past the last key tuple (lexicographic
+            # struct comparison, which Catalyst evaluates field-wise).
+            # The 100 TB story: each page is groupBy + range-filter +
+            # TakeOrdered; no page ever materializes all buckets.
+            sources = [s_["field"] if isinstance(s_, dict) else s_ for s_ in body["sources"]]
+            size = int(body.get("size", 10))
+            metrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (sub or {}).items():
+                metrics.append(self._metric_col(mname, mspec))
+            buckets = df.groupBy(*[F.col(s_) for s_ in sources]).agg(*metrics)
+            after = body.get("after")
+            if after:
+                key = F.struct(*[F.col(s_) for s_ in sources])
+                cursor = F.struct(*[F.lit(after[s_]) for s_ in sources])
+                buckets = buckets.where(key > cursor)
+            return buckets.orderBy(*sources).limit(size)
         if kind == "percentiles":
             # exact linear-interpolation percentiles (OpenSearch's
             # agg is TDigest-approximate; exact is strictly stronger

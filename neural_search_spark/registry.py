@@ -5402,7 +5402,7 @@ PRIORITY_50 = [
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
-    "dsl_agg_percentiles", "dsl_agg_weighted_avg",
+    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7139,6 +7139,34 @@ SELECT round(sum(n_chars::DOUBLE * doc_id) / sum(doc_id::DOUBLE), 4) AS weighted
 FROM documents WHERE n_chars >= 100
 """
 SPARK_QUERIES["dsl_agg_weighted_avg"] = q_dsl_agg_weighted_avg
+
+
+COMPOSITE_AFTER = {"lang": "en", "source": "src12"}
+
+
+def q_dsl_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite agg page 2: (lang, source) buckets strictly after
+    the ('en','src12') cursor in key order, with an avg sub-metric —
+    the unbounded-cardinality pagination shape."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 50}}}}},
+        {"c": {"composite": {
+            "sources": [{"field": "lang"}, {"field": "source"}],
+            "size": 8, "after": COMPOSITE_AFTER,
+        }, "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    )
+    return out["c"]
+
+
+ORACLES["dsl_agg_composite"] = """
+SELECT lang, source, count(*) AS doc_count,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars
+FROM documents WHERE n_chars >= 50
+GROUP BY lang, source
+HAVING (lang, source) > ('en', 'src12')
+ORDER BY lang, source LIMIT 8
+"""
+SPARK_QUERIES["dsl_agg_composite"] = q_dsl_agg_composite
 
 
 # ---------------------------------------------------------------------------

@@ -994,3 +994,25 @@ def test_span_near_in_order_vs_unordered(spark, engine):
         for r in span_near_topk(pos, idx, "a", "b", slop=2, in_order=True).collect()
     }
     assert sloppy == {1, 3}                     # "a x x b" gap 2 ≤ slop
+
+
+def test_composite_agg_pagination_walks_all_buckets(engine):
+    """Walking composite pages with after-cursors must enumerate
+    every (lang, source) bucket exactly once, in key order."""
+    base = {"bool": {"filter": "n_chars >= 0"}}
+    spec = {"sources": [{"field": "lang"}, {"field": "source"}], "size": 7}
+    seen, after = [], None
+    for _ in range(40):
+        s = dict(spec)
+        if after:
+            s["after"] = after
+        page = engine.search_aggs(base, {"c": {"composite": s}})["c"].collect()
+        if not page:
+            break
+        seen += [(r["lang"], r["source"]) for r in page]
+        after = {"lang": page[-1]["lang"], "source": page[-1]["source"]}
+    want = sorted(
+        (r["lang"], r["source"])
+        for r in engine.documents().select("lang", "source").distinct().collect()
+    )
+    assert seen == want  # complete, ordered, no duplicates
