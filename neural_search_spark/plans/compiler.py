@@ -775,6 +775,32 @@ class Engine:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind == "filters":
+            # named filter buckets in ONE scan: each bucket is a
+            # conditional count over the same pass (no per-bucket
+            # re-scan), stacked to (bucket, doc_count) rows
+            named = body["filters"]
+            aggs = [
+                F.count_if(F.expr(compile_filter(fl))).alias(f"__b{i}")
+                for i, fl in enumerate(named.values())
+            ]
+            one = df.agg(*aggs)
+            stack = ", ".join(
+                f"'{name}', `__b{i}`" for i, name in enumerate(named.keys())
+            )
+            return one.selectExpr(
+                f"stack({len(named)}, {stack}) AS (bucket, doc_count)"
+            )
+        if kind == "rare_terms":
+            # buckets with doc_count ≤ max_doc_count, rarest first —
+            # the long-tail complement of `terms`
+            mx = int(body.get("max_doc_count", 1))
+            return (
+                df.groupBy(F.col(body["field"]).alias("key"))
+                .agg(F.count("*").alias("doc_count"))
+                .where(F.col("doc_count") <= mx)
+                .orderBy("doc_count", "key")
+            )
         if kind == "composite":
             # OpenSearch composite agg: deterministic key-ordered
             # bucket pagination for unbounded-cardinality group-bys —

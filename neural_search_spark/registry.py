@@ -5403,6 +5403,7 @@ PRIORITY_50 = [
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
+    "dsl_agg_filters", "dsl_agg_rare_terms",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7167,6 +7168,56 @@ HAVING (lang, source) > ('en', 'src12')
 ORDER BY lang, source LIMIT 8
 """
 SPARK_QUERIES["dsl_agg_composite"] = q_dsl_agg_composite
+
+
+def q_dsl_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filters agg: three named predicate buckets counted in ONE scan
+    (conditional counts, no per-bucket re-scan)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": "n_chars >= 0"}},
+        {"f": {"filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "long": {"range": {"n_chars": {"gte": 400}}},
+            "early_ids": "doc_id < 100",
+        }}}},
+    )
+    return out["f"].orderBy("bucket")
+
+
+ORACLES["dsl_agg_filters"] = """
+SELECT * FROM (
+  SELECT 'english' AS bucket, count(*) FILTER (WHERE lang = 'en') AS doc_count FROM documents
+  UNION ALL
+  SELECT 'long', count(*) FILTER (WHERE n_chars >= 400) FROM documents
+  UNION ALL
+  SELECT 'early_ids', count(*) FILTER (WHERE doc_id < 100) FROM documents
+) ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_filters"] = q_dsl_agg_filters
+
+
+def q_dsl_agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rare_terms agg: the long-tail complement of `terms` — buckets
+    at or under max_doc_count, rarest first. Keyed on the leading
+    text token so the distribution actually has a tail."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = eng.documents().withColumn(
+        "first_tok", F.element_at(S.tokens(F.col("text")), 1)
+    )
+    out = eng._compile_agg(
+        docs, {"rare_terms": {"field": "first_tok", "max_doc_count": 3}}
+    )
+    return out
+
+
+ORACLES["dsl_agg_rare_terms"] = """
+SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')[1] AS key,
+       count(*) AS doc_count
+FROM documents
+GROUP BY key HAVING count(*) <= 3
+ORDER BY doc_count, key
+"""
+SPARK_QUERIES["dsl_agg_rare_terms"] = q_dsl_agg_rare_terms
 
 
 # ---------------------------------------------------------------------------
