@@ -5404,6 +5404,7 @@ PRIORITY_50 = [
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
+    "geo_distance", "geo_bounding_box", "geotile_grid",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7218,6 +7219,121 @@ GROUP BY key HAVING count(*) <= 3
 ORDER BY doc_count, key
 """
 SPARK_QUERIES["dsl_agg_rare_terms"] = q_dsl_agg_rare_terms
+
+
+# ---------------------------------------------------------------------------
+# Round-3: geo surface (functions/geo.py) — geo_distance filter,
+# bounding box, geotile_grid agg. Coordinates derive from doc_id by
+# formula (documents carry no geo columns), so both engines compute
+# the identical trig expressions over identical doubles.
+# ---------------------------------------------------------------------------
+
+GEO_LAT_SQL = "((doc_id * 13) % 16000) / 100.0 - 80.0"   # [-80, 80) — avoids poles
+GEO_LON_SQL = "((doc_id * 29) % 36000) / 100.0 - 180.0"  # [-180, 180)
+GEO_Q = (37.77, -122.42)  # query point
+GEO_RADIUS_M = 3_000_000.0
+GEOTILE_ZOOM = 3
+
+
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = catalog.table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(GEO_LAT_SQL).alias("lat"),
+        F.expr(GEO_LON_SQL).alias("lon"),
+    )
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance: docs within 3000 km of the query point, nearest
+    first (haversine as a pure Catalyst expression — pushes into the
+    scan like any filter)."""
+    from .functions import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    dist = G.haversine_m(F.col("lat"), F.col("lon"), GEO_Q[0], GEO_Q[1])
+    return (
+        d.select("doc_id", F.round(dist, 2).alias("dist_m"))
+        .where(F.col("dist_m") <= GEO_RADIUS_M)
+        .orderBy("dist_m", "doc_id")
+    )
+
+
+_HAV_SQL = f"""
+2.0 * 6371000.0 * asin(sqrt(
+  sin((radians({GEO_Q[0]}) - radians(lat)) / 2) * sin((radians({GEO_Q[0]}) - radians(lat)) / 2)
+  + cos(radians(lat)) * cos(radians({GEO_Q[0]}))
+    * sin((radians({GEO_Q[1]}) - radians(lon)) / 2) * sin((radians({GEO_Q[1]}) - radians(lon)) / 2)
+))"""
+ORACLES["geo_distance"] = f"""
+WITH g AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents
+),
+d AS (SELECT doc_id, round({_HAV_SQL}, 2) AS dist_m FROM g)
+SELECT doc_id, dist_m FROM d WHERE dist_m <= {GEO_RADIUS_M}
+ORDER BY dist_m, doc_id
+"""
+SPARK_QUERIES["geo_distance"] = q_geo_distance
+
+
+GEO_BOX = (60.0, -130.0, 20.0, -60.0)  # top, left, bottom, right
+
+
+def q_geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounding_box: constant-score membership filter."""
+    from .functions import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    return (
+        d.where(G.in_bounding_box(F.col("lat"), F.col("lon"), *GEO_BOX))
+        .select("doc_id", F.round("lat", 2).alias("lat"), F.round("lon", 2).alias("lon"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["geo_bounding_box"] = f"""
+WITH g AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents
+)
+SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon
+FROM g
+WHERE lat <= {GEO_BOX[0]} AND lat >= {GEO_BOX[2]}
+  AND lon >= {GEO_BOX[1]} AND lon <= {GEO_BOX[3]}
+ORDER BY doc_id
+"""
+SPARK_QUERIES["geo_bounding_box"] = q_geo_bounding_box
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotile_grid agg at zoom 3: Web-Mercator z/x/y bucket counts
+    (the map-tile heatmap aggregation)."""
+    from .functions import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    key = G.geotile_key(F.col("lat"), F.col("lon"), GEOTILE_ZOOM)
+    return (
+        d.groupBy(key.alias("tile"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), "tile")
+    )
+
+
+ORACLES["geotile_grid"] = f"""
+WITH g AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents
+),
+t AS (
+  SELECT concat_ws('/', '{GEOTILE_ZOOM}',
+    CAST(floor((lon + 180.0) / 360.0 * {1 << GEOTILE_ZOOM}) AS BIGINT),
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+               / 2.0 * {1 << GEOTILE_ZOOM}) AS BIGINT)
+  ) AS tile
+  FROM g
+)
+SELECT tile, count(*) AS doc_count
+FROM t GROUP BY tile ORDER BY doc_count DESC, tile
+"""
+SPARK_QUERIES["geotile_grid"] = q_geotile_grid
 
 
 # ---------------------------------------------------------------------------
