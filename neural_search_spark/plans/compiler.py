@@ -1022,6 +1022,17 @@ class Engine:
         mmr_cand = int(mmr.get("candidates", 3 * size)) if mmr else None
 
         (qtype, body), = query.items()
+        if qtype == "simple_query_string":
+            translated = _parse_simple_query_string(body["query"])
+            # Lucene's collector scores EVERY doc matching the bool,
+            # so multi-must intersections need full match sets, not
+            # top-depth windows — the default depth keeps each leg
+            # complete; the must-join itself stays bounded by the
+            # rarest leg's true match count.
+            translated["bool"]["pagination_depth"] = int(
+                body.get("pagination_depth", 1_000_000)
+            )
+            return self.search(translated, pipeline, size, from_)
         if qtype == "agentic":
             translated = self.agent_translate(body["query_text"])
             # Q10 agentic_context response processor: expose the agent's
@@ -1356,6 +1367,45 @@ class Engine:
                 F.col("score").desc(), F.col("doc_id")
             )
         return result
+
+
+def _parse_simple_query_string(q: str) -> dict:
+    """OpenSearch `simple_query_string` subset → scored-bool DSL:
+    `+term` required (scored must), `-term` prohibited (must_not),
+    `"a b"` phrase (scored must), bare terms optional OR-matched
+    (scored should). Default operator OR; field list fixed to text.
+    Never raises on malformed syntax (the API's lenient contract) —
+    stray quotes/operators degrade to plain terms."""
+    import re as _re
+
+    phrases = [m.group(1) for m in _re.finditer(r'"([^"]*)"', q)]
+    rest = _re.sub(r'"[^"]*"', " ", q)
+    must, must_not, should = [], [], []
+    for tok in rest.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:])
+        elif tok.strip("+-"):
+            should.append(tok.strip("+-"))
+    spec: dict = {"bool": {}}
+    musts = [{"match": {"field": "text", "query": t}} for t in must]
+    musts += [
+        {"match_phrase": {"field": "text", "query": p}} for p in phrases if p.strip()
+    ]
+    if musts:
+        spec["bool"]["must"] = musts
+    if should:
+        spec["bool"]["should"] = [
+            {"match": {"field": "text", "query": t}} for t in should
+        ]
+    if must_not:
+        spec["bool"]["must_not"] = [
+            f"text LIKE '%{t}%'" for t in must_not
+        ]
+    if not spec["bool"]:
+        raise ValueError("empty simple_query_string")
+    return spec
 
 
 def _agentic_translate(question: str) -> dict:

@@ -5405,6 +5405,7 @@ PRIORITY_50 = [
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
+    "simple_query_string",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7334,6 +7335,83 @@ SELECT tile, count(*) AS doc_count
 FROM t GROUP BY tile ORDER BY doc_count DESC, tile
 """
 SPARK_QUERIES["geotile_grid"] = q_geotile_grid
+
+
+SQS_QUERY = 'spark +join -hash "table scan"'
+
+
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string: `spark +join -hash "table scan"` →
+    required term + required adjacent phrase + optional term −
+    prohibited term, through the scored-bool machinery
+    (plans/compiler.py::_parse_simple_query_string)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"simple_query_string": {"query": SQS_QUERY}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["simple_query_string"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+-- single-term BM25 legs (match semantics: one-term query)
+term_scores AS (
+  SELECT p.doc_id, p.token,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.weight * (1.2 + 1.0))
+         / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM postings p
+  JOIN (SELECT token, count(*)::DOUBLE AS df FROM postings
+        WHERE token IN ('join', 'spark') GROUP BY token) d ON d.token = p.token
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE p.token IN ('join', 'spark')
+),
+-- phrase leg "table scan": adjacency tf over positions
+toks AS (
+  SELECT d.doc_id, d.l[CAST(t.i AS INT)] AS token, CAST(t.i - 1 AS INT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+        FROM documents) d,
+       LATERAL unnest(range(1, len(d.l) + 1)) t(i)
+),
+phrase_tf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, pos FROM toks WHERE token = 'table') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE token = 'scan') b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+phrase_df AS (SELECT count(*)::DOUBLE AS df FROM phrase_tf),
+phrase_scores AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (m.tf * (1.2 + 1.0))
+         / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM phrase_tf m
+  JOIN doclen dl ON dl.doc_id = m.doc_id
+  CROSS JOIN phrase_df f CROSS JOIN stats s
+),
+-- bool: must = join-term AND phrase; should = spark-term; not = hash
+combined AS (
+  SELECT j.doc_id,
+         j.score + p.score + coalesce(sp.score, 0.0) AS score
+  FROM (SELECT doc_id, score FROM term_scores WHERE token = 'join') j
+  JOIN phrase_scores p ON p.doc_id = j.doc_id
+  LEFT JOIN (SELECT doc_id, score FROM term_scores WHERE token = 'spark') sp
+    ON sp.doc_id = j.doc_id
+)
+SELECT c.doc_id, round(c.score, 4) AS score
+FROM combined c JOIN documents d ON d.doc_id = c.doc_id
+WHERE d.text NOT LIKE '%hash%'
+ORDER BY score DESC, c.doc_id LIMIT {K}
+"""
+SPARK_QUERIES["simple_query_string"] = q_simple_query_string
 
 
 # ---------------------------------------------------------------------------

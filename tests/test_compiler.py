@@ -1016,3 +1016,36 @@ def test_composite_agg_pagination_walks_all_buckets(engine):
         for r in engine.documents().select("lang", "source").distinct().collect()
     )
     assert seen == want  # complete, ordered, no duplicates
+
+
+def test_simple_query_string_parser_golden():
+    from neural_search_spark.plans.compiler import _parse_simple_query_string
+
+    assert _parse_simple_query_string('spark +join -hash "table scan"') == {
+        "bool": {
+            "must": [
+                {"match": {"field": "text", "query": "join"}},
+                {"match_phrase": {"field": "text", "query": "table scan"}},
+            ],
+            "should": [{"match": {"field": "text", "query": "spark"}}],
+            "must_not": ["text LIKE '%hash%'"],
+        }
+    }
+    # lenient: stray operators degrade to terms; lone '-' dropped
+    assert _parse_simple_query_string("a - +b") == {
+        "bool": {
+            "must": [{"match": {"field": "text", "query": "b"}}],
+            "should": [{"match": {"field": "text", "query": "a"}}],
+        }
+    }
+
+
+def test_simple_query_string_excludes_prohibited(engine):
+    rows = engine.search(
+        {"simple_query_string": {"query": "+spark -hash"}}, size=20
+    ).collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"]
+             for r in engine.documents().collect()}
+    for r in rows:
+        assert "spark" in texts[r["doc_id"]] and "hash" not in texts[r["doc_id"]]
