@@ -79,3 +79,47 @@ def bulk_apply(
     )
 
     return kept.unionByName(indexed).unionByName(created).unionByName(updated)
+
+
+def delete_by_query(snapshot: DataFrame, predicate: str, id_col: str = "doc_id") -> DataFrame:
+    """`_delete_by_query`: new snapshot without the matching docs —
+    an anti-filter that pushes to the scan."""
+    return snapshot.where(~F.expr(predicate))
+
+
+def update_by_query(
+    snapshot: DataFrame, predicate: str, set_exprs: dict[str, str]
+) -> DataFrame:
+    """`_update_by_query` with a Spark-SQL "script": matching docs get
+    each column rewritten by its expression (non-matching rows pass
+    through) — one narrow projection, no shuffle, the copy-on-write
+    shape of a lake-table UPDATE."""
+    cond = F.expr(predicate)
+    cols = [
+        F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+        if c in set_exprs
+        else F.col(c)
+        for c in snapshot.columns
+    ]
+    return snapshot.select(*cols)
+
+
+def reindex(
+    source: DataFrame,
+    predicate: str | None = None,
+    script: dict[str, str] | None = None,
+) -> DataFrame:
+    """`_reindex`: filtered, optionally script-transformed copy of the
+    source index — the combination the reference's users run to
+    migrate mappings (filter pushdown + narrow projection; writing the
+    result is the caller's `write.parquet`)."""
+    out = source
+    if predicate:
+        out = out.where(F.expr(predicate))
+    if script:
+        cols = [
+            F.expr(script[c]).alias(c) if c in script else F.col(c)
+            for c in source.columns
+        ]
+        out = out.select(*cols)
+    return out

@@ -60,3 +60,17 @@ def test_bulk_last_wins(spark):
 def test_bulk_rejects_unknown_op(spark):
     with pytest.raises(ValueError, match="unknown bulk op"):
         bulk_apply(_snap(spark), _ops(spark, [("upsert", 1, 0, "x", "en")]))
+
+
+def test_delete_update_reindex_by_query(spark):
+    from neural_search_spark.sources.bulk import (
+        delete_by_query, reindex, update_by_query,
+    )
+
+    snap = _snap(spark)
+    assert delete_by_query(snap, "doc_id % 2 = 0").count() == 3
+    upd = {r["doc_id"]: r["lang"] for r in update_by_query(
+        snap, "doc_id >= 4", {"lang": "'zh'"}).collect()}
+    assert upd[4] == "zh" and upd[5] == "zh" and upd[0] == "en"
+    re = reindex(snap, "doc_id < 2", {"text": "upper(text)"}).collect()
+    assert {r["text"] for r in re} == {"TEXT 0", "TEXT 1"}

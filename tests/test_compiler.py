@@ -748,7 +748,7 @@ def test_search_aggs_unknown_kind_raises(engine):
     with _pt.raises(ValueError, match="unsupported aggregation"):
         engine.search_aggs(
             {"bool": {"filter": "n_chars >= 0"}},
-            {"x": {"percentiles": {"field": "n_chars"}}},
+            {"x": {"geo_centroid": {"field": "n_chars"}}},
         )
 
 
