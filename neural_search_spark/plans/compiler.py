@@ -775,6 +775,31 @@ class Engine:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind in ("derivative", "cumulative_sum", "moving_avg"):
+            # OpenSearch pipeline aggregations: second-pass transforms
+            # over a parent bucket frame. The parent compiles first
+            # (any bucket agg); the pipeline step is ONE window over
+            # the bucket rows — bucket frames are small by
+            # construction, so the unpartitioned window is bounded.
+            from pyspark.sql import Window as _W
+
+            parent = self._compile_agg(df, body["of"])
+            metric = body.get("metric", "doc_count")
+            order_col = body.get("sort", parent.columns[0])
+            w = _W.orderBy(order_col)
+            c = F.col(metric).cast("double")
+            if kind == "derivative":
+                out_c = F.round(c - F.lag(c).over(w), 4)
+            elif kind == "cumulative_sum":
+                out_c = F.round(
+                    F.sum(c).over(w.rowsBetween(_W.unboundedPreceding, 0)), 4
+                )
+            else:
+                window_n = int(body.get("window", 3))
+                out_c = F.round(
+                    F.avg(c).over(w.rowsBetween(-(window_n - 1), 0)), 4
+                )
+            return parent.withColumn(kind, out_c)
         if kind == "filters":
             # named filter buckets in ONE scan: each bucket is a
             # conditional count over the same pass (no per-bucket

@@ -5405,7 +5405,7 @@ PRIORITY_50 = [
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
-    "simple_query_string",
+    "simple_query_string", "dsl_agg_pipeline",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7412,6 +7412,46 @@ WHERE d.text NOT LIKE '%hash%'
 ORDER BY score DESC, c.doc_id LIMIT {K}
 """
 SPARK_QUERIES["simple_query_string"] = q_simple_query_string
+
+
+def q_dsl_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggs: value-histogram parent over events, then
+    derivative + cumulative_sum + 3-bucket moving_avg of doc_count —
+    OpenSearch's second-pass bucket transforms as ONE window over the
+    (small) bucket frame."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    parent_spec = {"histogram": {"field": "value", "interval": 200.0}}
+    d1 = eng._compile_agg(ev, {"derivative": {"of": dict(parent_spec), "sort": "bucket"}})
+    d2 = eng._compile_agg(ev, {"cumulative_sum": {"of": dict(parent_spec), "sort": "bucket"}})
+    d3 = eng._compile_agg(
+        ev, {"moving_avg": {"of": dict(parent_spec), "sort": "bucket", "window": 3}}
+    )
+    out = (
+        d1.join(d2.select("bucket", "cumulative_sum"), "bucket")
+        .join(d3.select("bucket", "moving_avg"), "bucket")
+        .orderBy("bucket")
+    )
+    return out.select(
+        "bucket", "doc_count",
+        F.coalesce(F.col("derivative"), F.lit(0.0)).alias("derivative"),
+        "cumulative_sum", "moving_avg",
+    )
+
+
+ORACLES["dsl_agg_pipeline"] = """
+WITH h AS (
+  SELECT floor(value / 200.0) * 200.0 AS bucket, count(*)::DOUBLE AS doc_count
+  FROM events GROUP BY bucket
+)
+SELECT bucket, CAST(doc_count AS BIGINT) AS doc_count,
+       coalesce(round(doc_count - lag(doc_count) OVER (ORDER BY bucket), 4), 0.0) AS derivative,
+       round(sum(doc_count) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING), 4)
+         AS cumulative_sum,
+       round(avg(doc_count) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4) AS moving_avg
+FROM h ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_pipeline"] = q_dsl_agg_pipeline
 
 
 # ---------------------------------------------------------------------------
