@@ -5360,7 +5360,8 @@ for _name, _fn in [
 #              never-graded set (r4_analyzer_sparse,
 #              k6_posting_truncation, inference_length_buckets,
 #              tpch_q7/q8/q12/q14/q15/q17/q19/q22) — all inside the
-#              first 50 (verified at edit time).
+#              first 50 (verified at edit time; tpch_q22 sits at
+#              exactly position 50).
 #   round 4+ — spillover below position 50 of this list (remaining
 #              tpch breadth, events/temporal, text/training-data,
 #              suggesters, multimodal-meta rows) then the ~12
