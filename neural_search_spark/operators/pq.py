@@ -375,3 +375,63 @@ def pq_adc_topk(
         cosine(as_double(F.col(vec_col)), q).alias("score"),
     )
     return rescored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+# -- binary (sign) quantization tier ---------------------------------------
+# OpenSearch k-NN's 1-bit binary quantization: each dim compresses to
+# its sign, the shortlist ranks by Hamming similarity (agreeing sign
+# count ≈ angular closeness for roughly-centered vectors), and the
+# exact cosine rescores only `shortlist` rows — 32× smaller codes
+# than SQ8, one narrow scan.
+
+
+def bq_encode(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bits array<int>) — 1 if the dim is ≥ 0. (Packed-long
+    popcount is the production layout; the int array keeps the oracle
+    SQL expression-for-expression identical.)"""
+    bits = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.when(x >= 0.0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return embs.select(F.col(id_col), bits.alias("bits"))
+
+
+def bq_topk(
+    codes: DataFrame,
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-tier BQ search: Hamming-agreement shortlist on the sign
+    bits (integer sums — deterministic on any engine), exact cosine
+    rescore of `shortlist` rows."""
+    qbits = [1 if float(x) >= 0.0 else 0 for x in query_vec]
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("bits"),
+            F.array(*[F.lit(b) for b in qbits]),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        codes.select(F.col(id_col), agree.alias("agree"))
+        .orderBy(F.col("agree").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    q = lit_vector([float(x) for x in query_vec])
+    return (
+        short.join(embs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            cosine(as_double(F.col(vec_col)), q).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -5406,7 +5406,7 @@ PRIORITY_50 = [
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
-    "simple_query_string", "dsl_agg_pipeline",
+    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7453,6 +7453,57 @@ SELECT bucket, CAST(doc_count AS BIGINT) AS doc_count,
 FROM h ORDER BY bucket
 """
 SPARK_QUERIES["dsl_agg_pipeline"] = q_dsl_agg_pipeline
+
+
+BQ_SHORTLIST = 50
+_BQ_CACHE: dict[str, DataFrame] = {}
+
+
+def _bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _BQ_CACHE:
+        from .operators import pq as PQ
+
+        embs = catalog.table(spark, sf_dir, "embeddings")
+        codes = PQ.bq_encode(embs).persist()
+        codes.count()
+        _BQ_CACHE[sf_dir] = codes
+    return _BQ_CACHE[sf_dir]
+
+
+def q_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization two-tier ANN (operators/pq.py::bq_topk):
+    1-bit sign codes, Hamming-agreement shortlist (exact integer
+    ordering), full-float cosine rescore — the 32×-compression tier
+    below SQ8 (OpenSearch k-NN binary quantization analogue)."""
+    from .operators import pq as PQ
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    out = PQ.bq_topk(
+        _bq_codes(spark, sf_dir), embs, _qvec(spark, sf_dir),
+        k=K, shortlist=BQ_SHORTLIST,
+    )
+    return _round4(out)
+
+
+ORACLES["ann_bq_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+q AS {SQL_QVEC},
+agree AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.ve) + 1),
+           i -> CASE WHEN (e.ve[CAST(i AS INT)] >= 0.0) = (q.qe[CAST(i AS INT)] >= 0.0)
+                     THEN 1 ELSE 0 END)) AS agree
+  FROM e CROSS JOIN q
+),
+short AS (
+  SELECT vec_id FROM agree ORDER BY agree DESC, vec_id LIMIT {BQ_SHORTLIST}
+)
+SELECT e.vec_id AS doc_id,
+       round({_sql_cos('e.ve', 'q.qe')}, 4) AS score
+FROM e JOIN short USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["ann_bq_topk"] = q_ann_bq_topk
 
 
 # ---------------------------------------------------------------------------

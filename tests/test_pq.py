@@ -150,3 +150,27 @@ def test_matryoshka_oracle_smoke(spark):
     df = registry.q_matryoshka(spark, SF_SMOKE)
     ok, msg = compare(df, registry.ORACLES["matryoshka_topk"], SF_SMOKE)
     assert ok, msg
+
+
+def test_bq_recall_and_shortlist_determinism(spark, sf_dir):
+    """BQ shortlist must be a deterministic integer ordering and the
+    rescored top-k must hit decent recall vs brute force."""
+    from neural_search_spark import catalog, registry
+    from neural_search_spark.functions.vector import as_double, cosine, lit_vector
+    from neural_search_spark.operators import pq as PQ
+    from pyspark.sql import functions as F
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    qv = registry._qvec(spark, sf_dir)
+    codes = PQ.bq_encode(embs)
+    got = [r["doc_id"] for r in PQ.bq_topk(codes, embs, qv, k=10, shortlist=50).collect()]
+    again = [r["doc_id"] for r in PQ.bq_topk(codes, embs, qv, k=10, shortlist=50).collect()]
+    assert got == again
+    brute = [
+        r["vec_id"]
+        for r in embs.select(
+            "vec_id", cosine(as_double(F.col("embedding")), lit_vector(qv)).alias("s")
+        ).orderBy(F.col("s").desc(), "vec_id").limit(10).collect()
+    ]
+    recall = len(set(got) & set(brute)) / 10.0
+    assert recall >= 0.5, recall  # 1-bit tier: coarse but useful
