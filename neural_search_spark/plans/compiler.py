@@ -182,8 +182,21 @@ class Engine:
     def corpus(self) -> DataFrame:
         return catalog.corpus(self.spark, self.sf_dir)
 
+    def add_runtime_field(self, name: str, expr: str) -> None:
+        """OpenSearch runtime field: a script-derived (Spark-SQL)
+        column materialized on read — immediately usable in filters,
+        sorts, aggs, and rank_feature like any mapped field. Pure
+        projection: Catalyst folds it into the scan, so there is no
+        storage and no extra pass."""
+        if not hasattr(self, "_runtime_fields"):
+            self._runtime_fields = {}
+        self._runtime_fields[name] = expr
+
     def documents(self) -> DataFrame:
-        return catalog.table(self.spark, self.sf_dir, "documents")
+        df = catalog.table(self.spark, self.sf_dir, "documents")
+        for name, expr in getattr(self, "_runtime_fields", {}).items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
 
     def bm25_index(self, analyzer: str | None = None) -> B.BM25Index:
         """Per-analyzer index cache — each analyzer is its own postings

@@ -5407,6 +5407,7 @@ PRIORITY_50 = [
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
     "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
+    "runtime_field_agg",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7504,6 +7505,33 @@ FROM e JOIN short USING (vec_id) CROSS JOIN q
 ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["ann_bq_topk"] = q_ann_bq_topk
+
+
+def q_runtime_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime field end-to-end: derive `chars_bucket` on read, then
+    filter + terms-agg on it like any mapped field
+    (Engine.add_runtime_field)."""
+    eng = _agg_engine(spark, sf_dir)
+    eng.add_runtime_field("chars_bucket", "CAST(floor(n_chars / 100) AS INT) * 100")
+    out = eng.search_aggs(
+        {"bool": {"filter": {"range": {"chars_bucket": {"gte": 100}}}}},
+        {"b": {"terms": {"field": "chars_bucket", "size": 20},
+               "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    )
+    return out["b"]
+
+
+ORACLES["runtime_field_agg"] = """
+WITH r AS (
+  SELECT *, CAST(floor(n_chars / 100) AS INT) * 100 AS chars_bucket FROM documents
+)
+SELECT chars_bucket AS key, count(*) AS doc_count,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars
+FROM r WHERE chars_bucket >= 100
+GROUP BY chars_bucket
+ORDER BY doc_count DESC, key LIMIT 20
+"""
+SPARK_QUERIES["runtime_field_agg"] = q_runtime_field_agg
 
 
 # ---------------------------------------------------------------------------
