@@ -1222,6 +1222,38 @@ class Engine:
             if from_:
                 result = result.offset(from_)
             result = result.limit(size)
+        elif qtype == "pinned":
+            # OpenSearch pinned query: the listed ids rank first (in
+            # list order), organic results follow with pinned ids
+            # deduplicated out
+            ids = [int(v) for v in body["ids"]]
+            organic = self.search(
+                body["organic"], None, size=size + len(ids)
+            ).select("doc_id", "score")
+            organic = organic.where(~F.col("doc_id").isin(ids))
+            order = self.spark.createDataFrame(
+                [(int(d), i) for i, d in enumerate(ids)], "doc_id long, __pin int"
+            )
+            pinned = (
+                self.documents()
+                .join(F.broadcast(order), "doc_id")
+                .select(
+                    "doc_id",
+                    (F.lit(float(len(ids) + 1)) - F.col("__pin")).alias("score"),
+                    F.col("__pin"),
+                )
+            )
+            result = (
+                pinned.select("doc_id", "score", F.lit(0).alias("__org"))
+                .unionByName(
+                    organic.select("doc_id", "score", F.lit(1).alias("__org"))
+                )
+                .orderBy("__org", F.col("score").desc(), "doc_id")
+                .drop("__org")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
         elif qtype == "constant_score":
             # OpenSearch core constant_score: filter-context match set,
             # every hit scores `boost`. Pure predicate pushdown — the

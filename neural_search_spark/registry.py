@@ -5407,7 +5407,7 @@ PRIORITY_50 = [
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
     "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg",
+    "runtime_field_agg", "pinned_query",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7534,6 +7534,9 @@ ORDER BY doc_count DESC, key LIMIT 20
 SPARK_QUERIES["runtime_field_agg"] = q_runtime_field_agg
 
 
+
+
+
 # ---------------------------------------------------------------------------
 # Round-3: _bulk lifecycle — index/create/update/delete merged into a
 # new snapshot in one anti-join + union pass (sources/bulk.py), with
@@ -8023,6 +8026,35 @@ SELECT doc_id, round(score, 4) AS score
 FROM rescored ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["dsl_script_score"] = q_dsl_script_score
+
+
+PINNED_IDS = [7, 3]
+
+
+def q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned query: ids 7 then 3 rank first (synthetic descending
+    scores), organic lexical results follow with pinned ids deduped."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"pinned": {"ids": PINNED_IDS,
+                    "organic": {"match": {"field": "text", "query": DISMAX_Q1}}}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["pinned_query"] = f"""
+WITH {_bm25_scored_cte(DISMAX_Q1)},
+org AS (
+  SELECT doc_id, score, 1 AS org
+  FROM scored WHERE doc_id NOT IN (7, 3)
+  ORDER BY score DESC, doc_id LIMIT {K}
+),
+pin(doc_id, score, org) AS (VALUES (7, 3.0, 0), (3, 2.0, 0))
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
+ORDER BY org, score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["pinned_query"] = q_pinned_query
 
 
 # ---------------------------------------------------------------------------
