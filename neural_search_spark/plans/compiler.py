@@ -877,6 +877,23 @@ class Engine:
             return one.selectExpr(
                 f"stack({len(percents)}, {stack}) AS (percent, value)"
             )
+        if kind == "percentile_ranks":
+            # exact inverse percentiles: % of values ≤ each probe
+            c = F.col(body["field"]).cast("double")
+            vals = [float(v) for v in body["values"]]
+            one = df.agg(
+                F.count("*").alias("__n"),
+                *[
+                    F.count_if(c <= F.lit(v)).alias(f"__c{i}")
+                    for i, v in enumerate(vals)
+                ],
+            )
+            stack = ", ".join(
+                f"{v}D, round(`__c{i}` * 100.0D / `__n`, 4)" for i, v in enumerate(vals)
+            )
+            return one.selectExpr(
+                f"stack({len(vals)}, {stack}) AS (value, percent)"
+            )
         if kind == "weighted_avg":
             v = F.col(body["value"]["field"]).cast("double")
             w = F.col(body["weight"]["field"]).cast("double")

@@ -5407,7 +5407,7 @@ PRIORITY_50 = [
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
     "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg", "pinned_query",
+    "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -7532,6 +7532,33 @@ GROUP BY chars_bucket
 ORDER BY doc_count DESC, key LIMIT 20
 """
 SPARK_QUERIES["runtime_field_agg"] = q_runtime_field_agg
+
+
+def q_dsl_agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_ranks agg: exact share of docs at or under each
+    probe value (inverse of the percentiles agg)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"pr": {"percentile_ranks": {"field": "n_chars",
+                                     "values": [100, 300, 500]}}},
+    )
+    return out["pr"]
+
+
+ORACLES["dsl_agg_percentile_ranks"] = """
+WITH f AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE lang = 'en'),
+c AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE x <= 100) AS c0,
+         count(*) FILTER (WHERE x <= 300) AS c1,
+         count(*) FILTER (WHERE x <= 500) AS c2
+  FROM f
+)
+SELECT 100.0 AS value, round(c0 * 100.0 / n, 4) AS percent FROM c
+UNION ALL SELECT 300.0, round(c1 * 100.0 / n, 4) FROM c
+UNION ALL SELECT 500.0, round(c2 * 100.0 / n, 4) FROM c
+"""
+SPARK_QUERIES["dsl_agg_percentile_ranks"] = q_dsl_agg_percentile_ranks
 
 
 
