@@ -537,6 +537,46 @@ class Engine:
                 .orderBy("doc_id")
                 .limit(k)
             )
+        if qtype == "terms_set":
+            # OpenSearch terms_set: docs matching at least
+            # `minimum_should_match` of the listed terms; score = sum
+            # of the matched terms' BM25 contributions. One postings
+            # join + one (doc) aggregate.
+            terms = sorted({t.lower() for t in body["terms"]})
+            msm = int(body.get("minimum_should_match", 1))
+            idx = self.bm25_index()
+            n, avgdl = idx.stats
+            from ..operators.retrieval import token_frame
+
+            qf = token_frame(self.spark, dict.fromkeys(terms, 1.0)).select("token")
+            df_tbl = (
+                idx.postings.join(F.broadcast(qf), "token")
+                .groupBy("token")
+                .agg(F.count("*").cast("double").alias("df"))
+            )
+            k1, b_ = B.K1, B.B
+            idf = F.log(
+                F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            scored = (
+                idx.postings.join(F.broadcast(qf), "token")
+                .join(F.broadcast(df_tbl), "token")
+                .join(idx.doclen, "doc_id")
+                .withColumn(
+                    "term_score",
+                    idf
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b_ + b_ * F.col("dl") / F.lit(avgdl))),
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").alias("__matched"),
+                    F.sum("term_score").alias("score"),
+                )
+                .where(F.col("__matched") >= msm)
+                .select("doc_id", "score")
+            )
+            return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
         if qtype == "span_near":
             # Lucene SpanNearQuery for a term pair: proximity-tf BM25
             # over the positional postings (slop + in_order knobs)

@@ -5408,6 +5408,7 @@ PRIORITY_50 = [
     "geo_distance", "geo_bounding_box", "geotile_grid",
     "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
     "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
+    "terms_set",
     # remaining never-graded TPC-H breadth
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
@@ -8082,6 +8083,55 @@ FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
 ORDER BY org, score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["pinned_query"] = q_pinned_query
+
+
+TERMS_SET = ["spark", "join", "stream", "window"]
+TERMS_SET_MSM = 3
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set: docs matching ≥3 of 4 terms, scored by the sum of
+    matched-term BM25 contributions."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"terms_set": {"terms": TERMS_SET,
+                       "minimum_should_match": TERMS_SET_MSM}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["terms_set"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+q(token) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(TERMS_SET)))}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM postings p JOIN q USING (token) GROUP BY p.token
+),
+scored AS (
+  SELECT p.doc_id, count(*) AS matched,
+         sum(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.weight * (1.2 + 1.0))
+           / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN q USING (token)
+  JOIN dfs f ON f.token = p.token
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE matched >= {TERMS_SET_MSM}
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["terms_set"] = q_terms_set
 
 
 # ---------------------------------------------------------------------------
