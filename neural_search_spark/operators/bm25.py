@@ -540,3 +540,47 @@ def span_near_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def more_like_this_text_topk(
+    postings: DataFrame,
+    like_text: str,
+    max_terms: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """`more_like_this` with artificial text (`like` given as a raw
+    string instead of a stored doc id — the OpenSearch "like text"
+    form): tf comes from the query text, idf from the corpus stats,
+    term selection and scoring identical to the doc-id variant. No
+    self-exclusion — every stored doc is a candidate."""
+    from .retrieval import token_frame
+
+    dfs = stats if stats is not None else mlt_stats(postings, id_col)
+    tf: dict[str, float] = {}
+    for t in (like_text or "").split():
+        tf[t] = tf.get(t, 0.0) + 1.0
+    if not tf:
+        raise ValueError("more_like_this needs non-empty like text")
+    qf = token_frame(postings.sparkSession, tf)  # (token, qw)
+    idf = F.log(F.col("__n_docs") / F.col("df"))
+    src_terms = (
+        qf.join(dfs, "token")
+        .select("token", (F.col("qw") * idf).alias("tfidf"), idf.alias("idf"))
+        .orderBy(F.col("tfidf").desc(), "token")
+        .limit(max_terms)
+    )
+    scored = postings
+    if candidate_ids is not None:
+        scored = scored.join(
+            F.broadcast(candidate_ids.select(id_col)), id_col, "left_semi"
+        )
+    return (
+        scored.join(F.broadcast(src_terms), "token")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("idf")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -510,8 +510,16 @@ class Engine:
             if self._mlt_stats is None:
                 # df stats are an index artifact: built once per engine
                 self._mlt_stats = B.mlt_stats(post)
+            like = body["like"]
+            if isinstance(like, str) and not like.isdigit():
+                # OpenSearch "like text" form: artificial query text
+                return B.more_like_this_text_topk(
+                    post, like,
+                    max_terms=int(body.get("max_query_terms", 10)), k=k,
+                    candidate_ids=candidate_ids, stats=self._mlt_stats,
+                )
             return B.more_like_this_topk(
-                post, int(body["like"]),
+                post, int(like),
                 max_terms=int(body.get("max_query_terms", 10)), k=k,
                 candidate_ids=candidate_ids, stats=self._mlt_stats,
             )

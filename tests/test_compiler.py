@@ -1049,3 +1049,25 @@ def test_simple_query_string_excludes_prohibited(engine):
              for r in engine.documents().collect()}
     for r in rows:
         assert "spark" in texts[r["doc_id"]] and "hash" not in texts[r["doc_id"]]
+
+
+def test_more_like_this_text_form(spark, sf_dir, engine):
+    """`like` as raw text: feeding a stored doc's own text must rank
+    the OTHER docs exactly as the doc-id variant does (identical term
+    selection and scoring; the only difference is that text mode does
+    not exclude the source doc itself)."""
+    text = engine.documents().where("doc_id = 5").first()["text"]
+    via_text = [
+        r["doc_id"]
+        for r in engine.search(
+            {"more_like_this": {"like": text, "max_query_terms": 10}}, size=11
+        ).collect()
+        if r["doc_id"] != 5
+    ][:10]
+    via_doc = [
+        r["doc_id"]
+        for r in engine.search(
+            {"more_like_this": {"like": 5, "max_query_terms": 10}}, size=10
+        ).collect()
+    ]
+    assert via_text == via_doc
