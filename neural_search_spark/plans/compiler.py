@@ -26,7 +26,7 @@ Supported spec (dict keys):
   {"neural":        {field, query_text | query_image | vector, k, filter, min_score,
                      max_distance, model_id,
                      rescore: {oversample, quant_bits},
-                     method: {name: brute|ivf|pq, ncells, nprobe,
+                     method: {name: brute|ivf|pq|lsh|auto, ncells, nprobe,
                               codebook_k, shortlist}}}
   {"neural_sparse": {field, query_text | query_tokens, k, two_phase,
                      nested: {token_limit, overlap_rate},
@@ -271,6 +271,13 @@ class Engine:
     # -- model resolution (Q9 enricher) -----------------------------------
     def _resolve_model(self, spec: dict) -> str:
         return spec.get("model_id") or self.default_model_id
+
+    def _corpus_count(self) -> int:
+        """Corpus row count — an index statistic, cached like
+        `_corpus_dim` (at scale this is table metadata, not a scan)."""
+        if getattr(self, "_n_corpus", None) is None:
+            self._n_corpus = int(self.corpus().count())
+        return self._n_corpus
 
     def _corpus_dim(self) -> int:
         """Dimensionality of the stored embedding column (the index's
@@ -1071,6 +1078,22 @@ class Engine:
         # index artifacts come from the FULL corpus (see cache note at
         # module top); `embs` above stays the filtered candidate scan
         full = self.corpus().select(F.col("doc_id").alias("vec_id"), "embedding")
+        if method == "auto":
+            # dense analogue of R8's exact-fallback-by-size
+            # (`sparse/query/SparseAnnQueryBuilder.java` approximate_
+            # threshold): small corpora — or small FILTERED candidate
+            # sets (filter-then-search leaves few rows to scan) — run
+            # exact brute force; above the threshold, route to the
+            # cached-artifact IVF tier. Corpus size is one cached
+            # count (`_corpus_dim`-style index stat, not query work).
+            threshold = int(params.get("approximate_threshold", 100_000))
+            if self._corpus_count() < threshold or flt is not None:
+                from ..operators import retrieval as R_
+
+                return R_.dense_topk(
+                    corp, qv, k=k, pre_filter=None
+                )
+            method = "ivf"
         if method == "ivf":
             ncells = int(params.get("ncells", 16))
             nprobe = int(params.get("nprobe", 4))

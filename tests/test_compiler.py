@@ -1071,3 +1071,31 @@ def test_more_like_this_text_form(spark, sf_dir, engine):
         ).collect()
     ]
     assert via_text == via_doc
+
+
+def test_ann_auto_routing(spark, sf_dir, engine):
+    """method=auto: below the threshold (or with a filter) the result
+    equals exact brute force; above it, it equals the IVF tier."""
+    qv = catalog.query_vector(spark, sf_dir, registry.QUERY_VEC_ID)
+    brute = _ids(engine.search({"neural": {"vector": qv, "k": 10}}))
+    small = _ids(engine.search(
+        {"neural": {"vector": qv, "k": 10,
+                    "method": {"name": "auto", "approximate_threshold": 10**9}}}
+    ))
+    assert small == brute
+    ivf = _ids(engine.search(
+        {"neural": {"vector": qv, "k": 10, "method": {"name": "ivf"}}}
+    ))
+    routed = _ids(engine.search(
+        {"neural": {"vector": qv, "k": 10,
+                    "method": {"name": "auto", "approximate_threshold": 1}}}
+    ))
+    assert routed == ivf
+    filtered = _ids(engine.search(
+        {"neural": {"vector": qv, "k": 10, "filter": "lang = 'en'",
+                    "method": {"name": "auto", "approximate_threshold": 1}}}
+    ))
+    exact_f = _ids(engine.search(
+        {"neural": {"vector": qv, "k": 10, "filter": "lang = 'en'"}}
+    ))
+    assert filtered == exact_f  # filter-then-search → exact over the candidates
