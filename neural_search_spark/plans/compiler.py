@@ -1514,7 +1514,8 @@ class Engine:
                 )
         if pipeline.get("highlight"):
             result = H.highlight_results(
-                result, self.documents(), pipeline["highlight"]["query_text"]
+                result, self.documents(), pipeline["highlight"]["query_text"],
+                fragment_size=pipeline["highlight"].get("fragment_size"),
             )
         if pipeline.get("fetch_source"):
             # the reference's query-then-fetch: scores are computed over

@@ -1099,3 +1099,21 @@ def test_ann_auto_routing(spark, sf_dir, engine):
         {"neural": {"vector": qv, "k": 10, "filter": "lang = 'en'"}}
     ))
     assert filtered == exact_f  # filter-then-search → exact over the candidates
+
+
+def test_highlight_fragments(engine):
+    """fragment_size caps the highlighted window and anchors it at the
+    first query-term match."""
+    out = engine.search(
+        {"match": {"field": "text", "query": "spark join"}},
+        pipeline={"highlight": {"query_text": "spark join", "fragment_size": 60}},
+        size=5,
+    ).collect()
+    assert out
+    import re as _re
+
+    for r in out:
+        frag = r["highlighted"]
+        plain = _re.sub(r"</?em>", "", frag)
+        assert len(plain) <= 60
+        assert "<em>" in frag  # the anchor term is inside the window
