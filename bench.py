@@ -113,6 +113,14 @@ HEADLINE = [
     "bulk_lifecycle",
     "visual_search_topk",
     "audio_search_topk",
+    # round-10 additions (aggregation-tree completion)
+    "dsl_agg_terms_nested",
+    "dsl_agg_top_hits",
+    "dsl_agg_significant_text",
+    "dsl_agg_sampler",
+    "dsl_agg_bucket_selector_sort",
+    "dsir_select",
+    "phrase_suggest",
 ]
 
 

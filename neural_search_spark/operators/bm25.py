@@ -425,6 +425,75 @@ def term_suggest(
     )
 
 
+def phrase_suggest(
+    postings: DataFrame,
+    bigrams: DataFrame,
+    phrase: str,
+    max_dist: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean over WHOLE phrases (OpenSearch phrase suggester):
+    per-token candidate generation — vocabulary terms within
+    ``max_dist`` edits sharing the first letter (prefix_length=1, the
+    suggester default) — then add-1-smoothed bigram-LM rescoring of
+    every candidate phrase:
+    ``score = log P(c₀) + Σ log P(cᵢ | cᵢ₋₁)``.
+
+    Plan shape: the vocabulary agg is an ingest artifact (|V| ≪
+    corpus); each candidate set is a tiny filtered frame, so the
+    phrase lattice is a chain of broadcast joins against the bigram
+    table — the corpus is never rescanned at query time. ``bigrams``
+    is the (w1, w2, cnt) adjacency table (same lifecycle as the
+    postings/BM25 stats artifacts).
+    """
+    toks = [t for t in phrase.split() if t]
+    vocab = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("freq")
+    )
+    totals = vocab.agg(
+        F.sum("freq").cast("double").alias("v_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    cands = []
+    for i, t in enumerate(toks):
+        d = F.levenshtein(F.col("token"), F.lit(t))
+        cands.append(
+            vocab.where(
+                (d <= max_dist) & (F.substring("token", 1, 1) == t[0])
+            ).select(
+                F.col("token").alias(f"c{i}"),
+                F.col("freq").cast("double").alias(f"f{i}"),
+            )
+        )
+    cur = cands[0].crossJoin(F.broadcast(totals))
+    score = F.log((F.col("f0") + 1.0) / (F.col("v_total") + F.col("v_size")))
+    cur = cur.withColumn("score", score)
+    for i in range(1, len(toks)):
+        bg = bigrams.select(
+            F.col("w1").alias(f"c{i - 1}"),
+            F.col("w2").alias(f"c{i}"),
+            F.col("cnt").cast("double").alias(f"b{i}"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(cands[i]))
+            .join(bg, [f"c{i - 1}", f"c{i}"], "left")
+            .na.fill({f"b{i}": 0.0})
+        )
+        step = F.log(
+            (F.col(f"b{i}") + 1.0) / (F.col(f"f{i - 1}") + F.col("v_size"))
+        )
+        cur = cur.withColumn("score", F.col("score") + step)
+    suggestion = F.concat_ws(" ", *[F.col(f"c{i}") for i in range(len(toks))])
+    return (
+        cur.select(
+            suggestion.alias("suggestion"),
+            F.round(F.col("score"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "suggestion")
+        .limit(k)
+    )
+
+
 def mlt_stats(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(token, df, __n_docs): the document-frequency stats table
     more_like_this scores against — an ingest-time artifact (build

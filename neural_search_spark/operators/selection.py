@@ -1,0 +1,158 @@
+"""Data selection for LLM training corpora: DSIR importance resampling.
+
+DSIR (Xie et al., 2023, "Data Selection for Language Models via
+Importance Resampling"): score every raw document by how target-like
+its hashed n-gram profile is — log importance weight
+``log p_target(x) - log p_raw(x)`` under bag-of-hashed-ngrams
+unigram/bigram models — then Gumbel-top-k resample, which draws from
+the importance-weighted distribution without materializing it.
+
+Spark shape (the 100 TB story):
+- feature extraction is a map-side explode (tokens + bigrams → md5
+  bucket) followed by a partially-aggregated ``(doc, bucket, cnt)``
+  groupBy — ONE shuffle over the corpus, combiner-bounded;
+- both feature distributions collapse to ``n_buckets``-row frames
+  (bounded by construction, broadcast back);
+- per-doc log-weights are one broadcast-hash join + one grouped sum —
+  the second and last corpus shuffle;
+- selection is Gumbel-top-k: a pure map expression + TakeOrdered, no
+  global sort. Determinism: the Gumbel draw derives from
+  md5(salt‖doc_id), so the "random" resample is reproducible across
+  engines and runs (same construction as sample_weighted's A-ES key).
+
+The reference engine has no training-data selection surface; this is
+part of the beyond-reference LLM-pipeline layer (SURVEY.md §2
+additions), built only from the public DSIR paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.sparse import tokens
+
+DSIR_BUCKETS = 64
+DSIR_SALT = "dsir1"
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-derived feature hash — engine-portable (DuckDB mirrors it
+    as CAST(('0x'||substring(md5(g),1,8)) AS BIGINT) % n)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt): unigram + bigram features hashed into
+    ``n_buckets``. One explode + one combiner-bounded groupBy."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select(F.col(id_col), toks.alias("__t"), n.alias("__n"))
+    uni = base.select(id_col, F.explode("__t").alias("gram"))
+    bi = (
+        base.where(F.col("__n") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, F.col("__n") - 1).alias("w1"),
+                    F.slice("__t", 2, F.col("__n") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.concat_ws(" ", "bg.w1", "bg.w2").alias("gram"))
+    )
+    grams = uni.unionByName(bi)
+    return (
+        grams.select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-bucket ``log p_target(b) - log p_raw(b)`` with add-1
+    smoothing — an ``n_buckets``-row frame built from two bounded
+    aggregations, broadcastable by construction."""
+    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tt = t.agg(F.sum("tc").alias("t_total"))
+    rt = r.agg(F.sum("rc").alias("r_total"))
+    joined = (
+        r.join(t, "bucket", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+    )
+    b = F.lit(float(n_buckets))
+    log_p_t = F.log((F.col("tc") + 1.0) / (F.col("t_total") + b))
+    log_p_r = F.log((F.col("rc") + 1.0) / (F.col("r_total") + b))
+    return joined.select("bucket", (log_p_t - log_p_r).alias("log_ratio"))
+
+
+def dsir_logweights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, log_weight): per-doc DSIR importance log-weight — feature
+    counts joined to the broadcast log-ratio table, summed per doc."""
+    raw_f = hashed_ngram_counts(raw_docs, n_buckets, id_col, text_col)
+    tgt_f = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
+    ratio = dsir_log_ratio(raw_f, tgt_f, n_buckets)
+    return (
+        raw_f.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            )
+        )
+    )
+
+
+def dsir_resample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gumbel-top-k resample: select ``k`` docs by
+    ``log_weight + Gumbel(md5(salt‖id))`` — equivalent to sampling
+    without replacement from softmax(log_weight) (the DSIR §2.3
+    sampled-selection step), deterministic across engines/runs.
+    Returns (id, log_weight, gumbel_key) ordered by the key."""
+    lw = dsir_logweights(raw_docs, target_docs, n_buckets, id_col, text_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    g = -F.log(-F.log(u))
+    key = F.round(F.col("log_weight") + g, 6)
+    return (
+        lw.select(id_col, "log_weight", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), id_col)
+        .limit(k)
+    )

@@ -822,7 +822,17 @@ class Engine:
         else:
             hits = self.search(query, size=depth).select("doc_id")
             joined = F.broadcast(hits).join(self.documents(), "doc_id")
-        return {name: self._compile_agg(joined, spec) for name, spec in aggs.items()}
+        out: dict[str, DataFrame] = {}
+        for name, spec in aggs.items():
+            if next(iter(spec)) == "global":
+                # global agg: breaks out of the query context and
+                # aggregates the WHOLE index (OpenSearch `global`)
+                sub_aggs = spec.get("aggs") or {}
+                (_, sspec), = sub_aggs.items()
+                out[name] = self._compile_agg(self.documents(), sspec)
+            else:
+                out[name] = self._compile_agg(joined, spec)
+        return out
 
     _METRIC_FNS = {
         "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -839,10 +849,204 @@ class Engine:
             return F.round(self._METRIC_FNS[kind](c), 4).alias(name)
         return self._METRIC_FNS[kind](c).alias(name)
 
+    # bucket kinds that may nest INSIDE a terms agg (one level of the
+    # OpenSearch agg tree flattened to (parent_key, child_key, ...) rows)
+    _NESTABLE = frozenset({"terms", "histogram", "date_histogram"})
+
     def _compile_agg(self, df: DataFrame, spec: dict) -> DataFrame:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
+        if kind in (
+            "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
+            "stats_bucket", "serial_diff", "bucket_selector", "bucket_sort",
+        ):
+            # sibling pipeline aggregations (OpenSearch `buckets_path`
+            # family): the parent bucket agg compiles first; the
+            # pipeline step is a second pass over the SMALL bucket
+            # frame — an unpartitioned window/agg there is bounded by
+            # the bucket count, never the corpus.
+            from pyspark.sql import Window as _W
+
+            parent = self._compile_agg(df, body["of"])
+            metric = body.get("metric", "doc_count")
+            if kind == "bucket_selector":
+                # divergence note: the selector script is a SQL
+                # predicate over bucket columns, not Painless
+                # (`params.X > N` → `X > N`)
+                return parent.where(F.expr(body["script"]))
+            if kind == "bucket_sort":
+                sorts = []
+                for s_ in body.get("sort", []):
+                    if isinstance(s_, str):
+                        sorts.append(F.col(s_))
+                    else:
+                        (f_, d_), = s_.items()
+                        sorts.append(
+                            F.col(f_).desc() if d_ == "desc" else F.col(f_)
+                        )
+                out = parent.orderBy(*sorts) if sorts else parent
+                if body.get("from"):
+                    out = out.offset(int(body["from"]))
+                return out.limit(int(body.get("size", 10)))
+            c = F.col(metric).cast("double")
+            if kind == "serial_diff":
+                lag_n = int(body.get("lag", 1))
+                order_col = body.get("sort", parent.columns[0])
+                w = _W.orderBy(order_col)
+                return parent.withColumn(
+                    "serial_diff", F.round(c - F.lag(c, lag_n).over(w), 4)
+                )
+            if kind == "stats_bucket":
+                return parent.agg(
+                    F.count(c).alias("count"),
+                    F.round(F.min(c), 4).alias("min"),
+                    F.round(F.max(c), 4).alias("max"),
+                    F.round(F.avg(c), 4).alias("avg"),
+                    F.round(F.sum(c), 4).alias("sum"),
+                )
+            if kind in ("avg_bucket", "sum_bucket"):
+                fn = F.avg if kind == "avg_bucket" else F.sum
+                return parent.agg(F.round(fn(c), 4).alias("value"))
+            # max_bucket / min_bucket: value + ALL bucket keys that
+            # attain it (OpenSearch returns a keys array) — extreme
+            # via an unbounded window over the bucket frame, then one
+            # collect_list agg; deterministic because keys are sorted
+            key_col = body.get("key", parent.columns[0])
+            w_all = _W.partitionBy().rowsBetween(
+                _W.unboundedPreceding, _W.unboundedFollowing
+            )
+            ext = (F.max if kind == "max_bucket" else F.min)(c).over(w_all)
+            sel = parent.withColumn("__ext", ext).where(c == F.col("__ext"))
+            return sel.agg(
+                F.round(F.first("__ext"), 4).alias("value"),
+                F.sort_array(
+                    F.collect_list(F.col(key_col).cast("string"))
+                ).alias("keys"),
+            )
+        if kind == "extended_stats":
+            # population variance/std (OpenSearch extended_stats default)
+            c = F.col(body["field"]).cast("double")
+            return df.agg(
+                F.count(c).alias("count"),
+                F.round(F.min(c), 4).alias("min"),
+                F.round(F.max(c), 4).alias("max"),
+                F.round(F.avg(c), 4).alias("avg"),
+                F.round(F.sum(c), 4).alias("sum"),
+                F.round(F.sum(c * c), 4).alias("sum_of_squares"),
+                F.round(F.var_pop(c), 4).alias("variance"),
+                F.round(F.stddev_pop(c), 4).alias("std_deviation"),
+            )
+        if kind == "string_stats":
+            # length stats in one agg pass; Shannon entropy over the
+            # CHARACTER distribution via a map-side explode + partial
+            # agg (the char-histogram shuffle carries ≤ |alphabet|
+            # rows per partition after combining — corpus-safe)
+            c = F.col(body["field"])
+            ln = F.length(c)
+            lens = df.agg(
+                F.count(c).alias("count"),
+                F.min(ln).alias("min_length"),
+                F.max(ln).alias("max_length"),
+                F.round(F.avg(ln), 4).alias("avg_length"),
+            )
+            chars = (
+                df.select(F.explode(F.split(c, "")).alias("ch"))
+                .where(F.col("ch") != "")
+                .groupBy("ch")
+                .agg(F.count("*").alias("n"))
+            )
+            tot = chars.agg(F.sum("n").alias("total"))
+            p = F.col("n").cast("double") / F.col("total").cast("double")
+            ent = (
+                chars.crossJoin(F.broadcast(tot))
+                .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+            )
+            return lens.crossJoin(F.broadcast(ent))
+        if kind == "missing":
+            return df.agg(
+                F.count_if(F.col(body["field"]).isNull()).alias("doc_count")
+            )
+        if kind == "multi_terms":
+            fields = [t["field"] if isinstance(t, dict) else t for t in body["terms"]]
+            size = int(body.get("size", 10))
+            metrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (sub or {}).items():
+                metrics.append(self._metric_col(mname, mspec))
+            keys = [F.col(f_).alias(f"key_{f_}") for f_ in fields]
+            return (
+                df.groupBy(*keys)
+                .agg(*metrics)
+                .orderBy(
+                    F.col("doc_count").desc(), *[f"key_{f_}" for f_ in fields]
+                )
+                .limit(size)
+            )
+        if kind == "adjacency_matrix":
+            # every named filter and every pairwise intersection as
+            # conditional counts in ONE scan; empty intersections are
+            # dropped (OpenSearch omits zero buckets)
+            named = list(body["filters"].items())
+            preds = [(n, F.expr(compile_filter(fl))) for n, fl in named]
+            cells: list[tuple[str, object]] = [(n, p) for n, p in preds]
+            for i in range(len(preds)):
+                for j in range(i + 1, len(preds)):
+                    cells.append(
+                        (f"{preds[i][0]}&{preds[j][0]}", preds[i][1] & preds[j][1])
+                    )
+            one = df.agg(
+                *[F.count_if(p).alias(f"__c{i}") for i, (_, p) in enumerate(cells)]
+            )
+            stack = ", ".join(f"'{n}', `__c{i}`" for i, (n, _) in enumerate(cells))
+            return (
+                one.selectExpr(
+                    f"stack({len(cells)}, {stack}) AS (key, doc_count)"
+                )
+                .where(F.col("doc_count") > 0)
+                .orderBy("key")
+            )
+        if kind in ("sampler", "diversified_sampler"):
+            # deterministic "random" sample: lowest-N docs by
+            # md5(id) — a TakeOrdered, no global sort; the
+            # diversified variant first caps docs per field value
+            # with a per-value window rank (OpenSearch
+            # max_docs_per_value). Sub-aggs run over the sample.
+            from pyspark.sql import Window as _W
+
+            shard_size = int(body.get("shard_size", 100))
+            id_col = body.get("id_field", "doc_id")
+            ordk = F.md5(F.col(id_col).cast("string"))
+            s = df
+            if kind == "diversified_sampler":
+                mx = int(body.get("max_docs_per_value", 1))
+                w = _W.partitionBy(body["field"]).orderBy(ordk)
+                s = (
+                    s.withColumn("__dr", F.row_number().over(w))
+                    .where(F.col("__dr") <= mx)
+                    .drop("__dr")
+                )
+            s = s.orderBy(ordk).limit(shard_size)
+            if sub:
+                (_, sspec), = sub.items()
+                return self._compile_agg(s, sspec)
+            return s.agg(F.count("*").alias("doc_count"))
+        if kind == "significant_text":
+            # significant_text over the aggregation frame: foreground
+            # = the df's doc set, background = the FULL corpus
+            # postings (index artifact); JLH heuristic, same operator
+            # as the standalone significant_terms query
+            from ..operators import relevance as REL
+
+            idx = self.bm25_index(body.get("analyzer"))
+            n_docs, _ = idx.stats
+            n_docs_df = self.spark.createDataFrame([(n_docs,)], "n_docs bigint")
+            return REL.significant_terms(
+                idx.postings.select("doc_id", "token"),
+                df.select("doc_id"),
+                n_docs_df,
+                min_fg_df=int(body.get("min_doc_count", 3)),
+                top_n=int(body.get("size", 20)),
+            )
         if kind in ("derivative", "cumulative_sum", "moving_avg"):
             # OpenSearch pipeline aggregations: second-pass transforms
             # over a parent bucket frame. The parent compiles first
@@ -981,14 +1185,119 @@ class Engine:
             ).select("field_a", "field_b", "doc_count", "covariance", "correlation")
         if kind == "terms":
             size = int(body.get("size", 10))
+            field = body["field"]
+            subs = dict(sub or {})
+            bucket_subs = {
+                n: s for n, s in subs.items() if next(iter(s)) in self._NESTABLE
+            }
+            hit_subs = {
+                n: s for n, s in subs.items() if next(iter(s)) == "top_hits"
+            }
+            metric_subs = {
+                n: s
+                for n, s in subs.items()
+                if n not in bucket_subs and n not in hit_subs
+            }
             metrics = [F.count("*").alias("doc_count")]
-            for mname, mspec in (sub or {}).items():
+            for mname, mspec in metric_subs.items():
                 metrics.append(self._metric_col(mname, mspec))
-            return (
-                df.groupBy(F.col(body["field"]).alias("key"))
+            parent = (
+                df.groupBy(F.col(field).alias("key"))
                 .agg(*metrics)
                 .orderBy(F.col("doc_count").desc(), "key")
                 .limit(size)
+            )
+            if not bucket_subs and not hit_subs:
+                return parent
+            # one nested level of the OpenSearch agg tree, flattened:
+            # the parent's top-`size` buckets are a SMALL frame — a
+            # broadcast semi-join scopes the corpus scan to surviving
+            # parents, then the child runs per-parent via window rank
+            # (no per-bucket re-scan, one shuffle for the child agg)
+            from pyspark.sql import Window as _W
+
+            scoped = df.join(
+                F.broadcast(parent.select(F.col("key").alias(field))),
+                field,
+                "semi",
+            )
+            pmeta = F.broadcast(
+                parent.select("key", F.col("doc_count").alias("parent_doc_count"))
+            )
+            if hit_subs:
+                (hname, hspec), = hit_subs.items()
+                hb = hspec["top_hits"]
+                n = int(hb.get("size", 3))
+                id_col = hb.get("id_field", "doc_id")
+                order_cols = []
+                for s_ in hb.get("sort", []):
+                    (f_, d_), = s_.items()
+                    order_cols.append(
+                        F.col(f_).desc() if d_ == "desc" else F.col(f_)
+                    )
+                order_cols.append(F.col(id_col))  # deterministic tiebreak
+                w = _W.partitionBy(field).orderBy(*order_cols)
+                src = hb.get("_source") or [c_ for c_ in df.columns if c_ != field]
+                hits = (
+                    scoped.withColumn("__rank", F.row_number().over(w))
+                    .where(F.col("__rank") <= n)
+                    .select(
+                        F.col(field).alias("key"),
+                        F.col("__rank").alias("rank"),
+                        *src,
+                    )
+                )
+                return hits.join(pmeta, "key").select(
+                    "key", "parent_doc_count", "rank", *src
+                ).orderBy("key", "rank")
+            (bname, bspec), = bucket_subs.items()
+            bkind = next(iter(bspec))
+            bsub = bspec.get("aggs")
+            cmetrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (bsub or {}).items():
+                cmetrics.append(self._metric_col(mname, mspec))
+            if bkind == "terms":
+                cb = bspec["terms"]
+                csize = int(cb.get("size", 10))
+                grouped = scoped.groupBy(
+                    F.col(field).alias("key"), F.col(cb["field"]).alias(bname)
+                ).agg(*cmetrics)
+                w = _W.partitionBy("key").orderBy(
+                    F.col("doc_count").desc(), F.col(bname)
+                )
+                child = (
+                    grouped.withColumn("__r", F.row_number().over(w))
+                    .where(F.col("__r") <= csize)
+                    .drop("__r")
+                )
+                return (
+                    child.join(pmeta, "key")
+                    .orderBy("key", F.col("doc_count").desc(), bname)
+                    .select(
+                        "key", "parent_doc_count", bname,
+                        *[c_ for c_ in child.columns if c_ not in ("key", bname)],
+                    )
+                )
+            # child histogram / date_histogram: ordered (key, bucket)
+            cb = bspec[bkind]
+            if bkind == "histogram":
+                interval = float(cb["interval"])
+                bcol = (
+                    F.floor(F.col(cb["field"]).cast("double") / interval)
+                    * interval
+                ).alias(bname)
+            else:
+                bcol = F.date_trunc(
+                    cb.get("calendar_interval", "day"), F.col(cb["field"])
+                ).alias(bname)
+            grouped = scoped.groupBy(F.col(field).alias("key"), bcol).agg(*cmetrics)
+            return (
+                grouped.join(pmeta, "key")
+                .orderBy("key", bname)
+                .select(
+                    "key", "parent_doc_count", bname,
+                    *[c_ for c_ in grouped.columns if c_ not in ("key", bname)],
+                )
             )
         if kind == "histogram":
             interval = float(body["interval"])
@@ -999,13 +1308,25 @@ class Engine:
                 metrics.append(self._metric_col(mname, mspec))
             return df.groupBy(bucket).agg(*metrics).orderBy("bucket")
         if kind == "date_histogram":
-            interval = body.get("calendar_interval", "day")
-            bucket = F.date_trunc(interval, F.col(body["field"])).alias("bucket")
-            return (
-                df.groupBy(bucket)
-                .agg(F.count("*").alias("doc_count"))
-                .orderBy("bucket")
-            )
+            c = F.col(body["field"])
+            if "fixed_interval" in body:
+                # fixed_interval (e.g. "30m", "2h", "45s"): epoch-second
+                # bucketing — pure arithmetic, stays in codegen
+                iv = body["fixed_interval"]
+                unit = {"s": 1, "m": 60, "h": 3600, "d": 86400}[iv[-1]]
+                secs = int(iv[:-1]) * unit
+                ep = c.cast("timestamp").cast("long")
+                bucket = F.timestamp_seconds(
+                    (F.floor(ep / secs) * secs).cast("long")
+                ).alias("bucket")
+            else:
+                bucket = F.date_trunc(
+                    body.get("calendar_interval", "day"), c
+                ).alias("bucket")
+            metrics = [F.count("*").alias("doc_count")]
+            for mname, mspec in (sub or {}).items():
+                metrics.append(self._metric_col(mname, mspec))
+            return df.groupBy(bucket).agg(*metrics).orderBy("bucket")
         if kind == "range":
             # one pass: every range is a conditional sum in a single
             # agg row, unpivoted to (key, doc_count) — no per-range scan

@@ -5400,6 +5400,20 @@ PRIORITY_50 = [
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
+    # round-3 session-2 additions: aggregation-tree completion (nested
+    # buckets, top_hits, samplers, sibling pipeline aggs, significant_
+    # text, global, extended/string stats, multi_terms, missing,
+    # fixed_interval) — below position 50, so they head the ROUND-4
+    # window per the rotation rule (new/changed queries first)
+    "dsl_agg_terms_nested", "dsl_agg_top_hits", "dsl_agg_extended_stats",
+    "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
+    "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
+    "dsl_agg_diversified_sampler", "dsl_agg_max_bucket",
+    "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
+    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text",
+    "dsl_agg_global", "dsl_agg_date_histogram_fixed",
+    # round-3 session-2: DSIR data selection + phrase suggester
+    "dsir_select", "phrase_suggest",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -8407,6 +8421,635 @@ FROM v LEFT JOIN zc ON v.doc_id = zc.doc_id
 GROUP BY v.doc_id ORDER BY v.doc_id
 """
 SPARK_QUERIES["mm_audio_pcm_stats"] = q_mm_audio_pcm_stats
+
+
+# ---------------------------------------------------------------------------
+# OpenSearch aggregation-tree completion: nested bucket aggs, top_hits,
+# sibling pipeline aggs (buckets_path family), samplers, adjacency
+# matrix, significant_text, global, extended/string stats, multi_terms,
+# missing, fixed_interval date_histogram.
+# Reference surface: OpenSearch core `search.aggregations` (the
+# reference engine forwards hybrid hits into these collectors,
+# `search/query/HybridAggregationProcessor.java:45`); here each agg is
+# a declarative Catalyst plan and the nested tree flattens to
+# (parent_key, child_key, ...) rows — the idiomatic DataFrame shape.
+# ---------------------------------------------------------------------------
+
+NEST_PARENT_SIZE = 6
+NEST_CHILD_SIZE = 2
+TOPHITS_LANGS = 3
+TOPHITS_N = 2
+ADJ_CHARS = 400
+SAMPLER_SHARD = 100
+DIV_SAMPLER_SHARD = 50
+DIV_MAX_PER_VALUE = 10
+SEL_MIN_DOCS = 20
+SERIAL_DIFF_LAG = 2
+FIXED_IV_SECS = 21600  # 6h
+
+
+def q_dsl_agg_terms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nested level of the agg tree: top-6 sources, and inside
+    each the top-2 langs — parent buckets are a broadcast semi-join
+    scope, the child is ONE grouped pass + per-parent window rank
+    (no per-bucket re-scan)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 0}}}}},
+        {"by_source": {
+            "terms": {"field": "source", "size": NEST_PARENT_SIZE},
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": NEST_CHILD_SIZE},
+            }},
+        }},
+    )
+    return out["by_source"]
+
+
+ORACLES["dsl_agg_terms_nested"] = f"""
+WITH parent AS (
+  SELECT source AS key, count(*) AS parent_doc_count
+  FROM documents GROUP BY source
+  ORDER BY parent_doc_count DESC, key LIMIT {NEST_PARENT_SIZE}
+),
+child AS (
+  SELECT d.source AS key, d.lang AS by_lang, count(*) AS doc_count
+  FROM documents d JOIN parent p ON d.source = p.key
+  GROUP BY d.source, d.lang
+),
+ranked AS (
+  SELECT key, by_lang, doc_count, row_number() OVER (
+    PARTITION BY key ORDER BY doc_count DESC, by_lang) AS r
+  FROM child
+)
+SELECT r.key, p.parent_doc_count, r.by_lang, r.doc_count
+FROM ranked r JOIN parent p ON r.key = p.key
+WHERE r.r <= {NEST_CHILD_SIZE}
+ORDER BY r.key, r.doc_count DESC, r.by_lang
+"""
+SPARK_QUERIES["dsl_agg_terms_nested"] = q_dsl_agg_terms_nested
+
+
+def q_dsl_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits sub-aggregation: for each of the top-3 langs, the 2
+    longest docs — per-bucket hits via a window rank partitioned by
+    the bucket key (one shuffle, no per-bucket query)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 0}}}}},
+        {"by_lang": {
+            "terms": {"field": "lang", "size": TOPHITS_LANGS},
+            "aggs": {"hits": {"top_hits": {
+                "size": TOPHITS_N,
+                "sort": [{"n_chars": "desc"}],
+                "_source": ["doc_id", "n_chars"],
+            }}},
+        }},
+    )
+    return out["by_lang"]
+
+
+ORACLES["dsl_agg_top_hits"] = f"""
+WITH parent AS (
+  SELECT lang AS key, count(*) AS parent_doc_count
+  FROM documents GROUP BY lang
+  ORDER BY parent_doc_count DESC, key LIMIT {TOPHITS_LANGS}
+),
+ranked AS (
+  SELECT d.lang AS key, d.doc_id, d.n_chars, row_number() OVER (
+    PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id) AS rank
+  FROM documents d JOIN parent p ON d.lang = p.key
+)
+SELECT r.key, p.parent_doc_count, r.rank, r.doc_id, r.n_chars
+FROM ranked r JOIN parent p ON r.key = p.key
+WHERE r.rank <= {TOPHITS_N}
+ORDER BY r.key, r.rank
+"""
+SPARK_QUERIES["dsl_agg_top_hits"] = q_dsl_agg_top_hits
+
+
+def q_dsl_agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats metric agg (population variance/std + sum of
+    squares) — one aggregate pass over the filtered scan."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    return eng._compile_agg(docs, {"extended_stats": {"field": "n_chars"}})
+
+
+# n_chars is integral: every partial sum (Σx, Σx²) is exact in double,
+# so avg/variance round identically across engines (the repo's
+# integerize-before-avg convention for hash-stable float oracles)
+ORACLES["dsl_agg_extended_stats"] = """
+SELECT count(n_chars) AS count,
+       round(min(n_chars::DOUBLE), 4) AS min,
+       round(max(n_chars::DOUBLE), 4) AS max,
+       round(avg(n_chars::DOUBLE), 4) AS avg,
+       round(sum(n_chars::DOUBLE), 4) AS sum,
+       round(sum(n_chars::DOUBLE * n_chars::DOUBLE), 4) AS sum_of_squares,
+       round(var_pop(n_chars::DOUBLE), 4) AS variance,
+       round(stddev_pop(n_chars::DOUBLE), 4) AS std_deviation
+FROM documents
+"""
+SPARK_QUERIES["dsl_agg_extended_stats"] = q_dsl_agg_extended_stats
+
+
+def q_dsl_agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_stats over the source field: length stats in one agg,
+    Shannon entropy over the character distribution via a map-side
+    explode whose partial agg bounds the shuffle at |alphabet| rows
+    per partition."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    return eng._compile_agg(docs, {"string_stats": {"field": "source"}})
+
+
+ORACLES["dsl_agg_string_stats"] = """
+WITH lens AS (
+  SELECT count(source) AS count, min(length(source)) AS min_length,
+         max(length(source)) AS max_length,
+         round(avg(length(source)), 4) AS avg_length
+  FROM documents
+),
+chars AS (
+  SELECT unnest(regexp_split_to_array(source, '')) AS ch FROM documents
+),
+hist AS (
+  SELECT ch, count(*)::DOUBLE AS n FROM chars WHERE ch != '' GROUP BY ch
+),
+tot AS (SELECT sum(n) AS total FROM hist),
+ent AS (
+  SELECT round(-sum((n / total) * log2(n / total)), 4) AS entropy
+  FROM hist, tot
+)
+SELECT * FROM lens, ent
+"""
+SPARK_QUERIES["dsl_agg_string_stats"] = q_dsl_agg_string_stats
+
+
+def q_dsl_agg_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """missing agg: docs where the field is null — demonstrated over a
+    runtime-derived nullable column (value >= 900 kept, else null)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events").withColumn(
+        "big_value", F.when(F.col("value") >= 900.0, F.col("value"))
+    )
+    return eng._compile_agg(ev, {"missing": {"field": "big_value"}})
+
+
+ORACLES["dsl_agg_missing"] = """
+SELECT count(*) FILTER (WHERE NOT (value >= 900.0)) AS doc_count FROM events
+"""
+SPARK_QUERIES["dsl_agg_missing"] = q_dsl_agg_missing
+
+
+def q_dsl_agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_terms: compound (lang, source) buckets with an avg
+    sub-metric — one groupBy on the compound key."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    return eng._compile_agg(docs, {
+        "multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}], "size": 10,
+        },
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+    })
+
+
+ORACLES["dsl_agg_multi_terms"] = """
+SELECT lang AS key_lang, source AS key_source, count(*) AS doc_count,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, key_lang, key_source LIMIT 10
+"""
+SPARK_QUERIES["dsl_agg_multi_terms"] = q_dsl_agg_multi_terms
+
+
+def q_dsl_agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adjacency_matrix: named filters and their pairwise
+    intersections as conditional counts in ONE scan (no per-cell
+    re-scan); empty intersections dropped like OpenSearch."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 0}}}}},
+        {"interactions": {"adjacency_matrix": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "longdoc": {"range": {"n_chars": {"gte": ADJ_CHARS}}},
+            "src1": {"term": {"source": "src1"}},
+        }}}},
+    )
+    return out["interactions"]
+
+
+ORACLES["dsl_agg_adjacency_matrix"] = f"""
+WITH cells AS (
+  SELECT 'english' AS key, count(*) FILTER (WHERE lang = 'en') AS doc_count
+  FROM documents
+  UNION ALL SELECT 'longdoc', count(*) FILTER (WHERE n_chars >= {ADJ_CHARS}) FROM documents
+  UNION ALL SELECT 'src1', count(*) FILTER (WHERE source = 'src1') FROM documents
+  UNION ALL SELECT 'english&longdoc',
+    count(*) FILTER (WHERE lang = 'en' AND n_chars >= {ADJ_CHARS}) FROM documents
+  UNION ALL SELECT 'english&src1',
+    count(*) FILTER (WHERE lang = 'en' AND source = 'src1') FROM documents
+  UNION ALL SELECT 'longdoc&src1',
+    count(*) FILTER (WHERE n_chars >= {ADJ_CHARS} AND source = 'src1') FROM documents
+)
+SELECT key, doc_count FROM cells WHERE doc_count > 0 ORDER BY key
+"""
+SPARK_QUERIES["dsl_agg_adjacency_matrix"] = q_dsl_agg_adjacency_matrix
+
+
+def q_dsl_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampler agg: deterministic lowest-N by md5(doc_id) (a
+    TakeOrdered, not a global sort), then the sub-agg runs over the
+    sample only."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 0}}}}},
+        {"sampled": {
+            "sampler": {"shard_size": SAMPLER_SHARD},
+            "aggs": {"by_source": {"terms": {"field": "source", "size": 5}}},
+        }},
+    )
+    return out["sampled"]
+
+
+ORACLES["dsl_agg_sampler"] = f"""
+WITH s AS (
+  SELECT * FROM documents ORDER BY md5(doc_id::VARCHAR) LIMIT {SAMPLER_SHARD}
+)
+SELECT source AS key, count(*) AS doc_count FROM s GROUP BY source
+ORDER BY doc_count DESC, key LIMIT 5
+"""
+SPARK_QUERIES["dsl_agg_sampler"] = q_dsl_agg_sampler
+
+
+def q_dsl_agg_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler: per-lang cap (max_docs_per_value) via a
+    per-value window rank over the md5 order, then the deterministic
+    shard_size sample, then the sub-agg."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 0}}}}},
+        {"sampled": {
+            "diversified_sampler": {
+                "shard_size": DIV_SAMPLER_SHARD, "field": "lang",
+                "max_docs_per_value": DIV_MAX_PER_VALUE,
+            },
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+        }},
+    )
+    return out["sampled"]
+
+
+ORACLES["dsl_agg_diversified_sampler"] = f"""
+WITH capped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS dr
+  FROM documents
+),
+s AS (
+  SELECT * FROM capped WHERE dr <= {DIV_MAX_PER_VALUE}
+  ORDER BY md5(doc_id::VARCHAR) LIMIT {DIV_SAMPLER_SHARD}
+)
+SELECT lang AS key, count(*) AS doc_count FROM s GROUP BY lang
+ORDER BY doc_count DESC, key LIMIT 10
+"""
+SPARK_QUERIES["dsl_agg_diversified_sampler"] = q_dsl_agg_diversified_sampler
+
+
+def q_dsl_agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_bucket sibling pipeline agg: the extreme metric value over
+    a parent terms agg, plus ALL keys attaining it (OpenSearch keys
+    array) — a second pass over the small bucket frame."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"max_bucket": {
+        "of": {"terms": {"field": "event_type", "size": 10}},
+        "metric": "doc_count", "key": "key",
+    }})
+
+
+ORACLES["dsl_agg_max_bucket"] = """
+WITH b AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS doc_count
+  FROM events GROUP BY event_type ORDER BY doc_count DESC, key LIMIT 10
+),
+m AS (SELECT max(doc_count) AS mx FROM b)
+SELECT round(mx, 4) AS value,
+       (SELECT list(key ORDER BY key) FROM b, m WHERE doc_count = mx) AS keys
+FROM m
+"""
+SPARK_QUERIES["dsl_agg_max_bucket"] = q_dsl_agg_max_bucket
+
+
+def q_dsl_agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_bucket: summary stats of a metric ACROSS the parent's
+    buckets (one agg over the bucket frame)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"stats_bucket": {
+        "of": {"histogram": {"field": "value", "interval": 200.0}},
+        "metric": "doc_count",
+    }})
+
+
+ORACLES["dsl_agg_stats_bucket"] = """
+WITH b AS (
+  SELECT floor(value / 200.0) * 200.0 AS bucket, count(*)::DOUBLE AS doc_count
+  FROM events GROUP BY bucket
+)
+SELECT count(doc_count) AS count, round(min(doc_count), 4) AS min,
+       round(max(doc_count), 4) AS max, round(avg(doc_count), 4) AS avg,
+       round(sum(doc_count), 4) AS sum
+FROM b
+"""
+SPARK_QUERIES["dsl_agg_stats_bucket"] = q_dsl_agg_stats_bucket
+
+
+def q_dsl_agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serial_diff pipeline agg: lag-2 differencing over an ordered
+    bucket frame (one bounded window)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"serial_diff": {
+        "of": {"histogram": {"field": "value", "interval": 100.0}},
+        "lag": SERIAL_DIFF_LAG, "sort": "bucket",
+    }})
+    # the first `lag` buckets have no predecessor: null → 0.0 so the
+    # hash comparison stays NaN-free (same convention as derivative)
+    return out.withColumn(
+        "serial_diff", F.coalesce(F.col("serial_diff"), F.lit(0.0))
+    )
+
+
+ORACLES["dsl_agg_serial_diff"] = f"""
+WITH b AS (
+  SELECT floor(value / 100.0) * 100.0 AS bucket, count(*) AS doc_count
+  FROM events GROUP BY bucket
+)
+SELECT bucket, doc_count,
+       coalesce(round(doc_count::DOUBLE - lag(doc_count::DOUBLE, {SERIAL_DIFF_LAG})
+         OVER (ORDER BY bucket), 4), 0.0) AS serial_diff
+FROM b ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_serial_diff"] = q_dsl_agg_serial_diff
+
+
+def q_dsl_agg_bucket_selector_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_selector + bucket_sort chained over a terms parent:
+    filter buckets by a predicate on their metrics, then sort by the
+    sub-metric and truncate — both second passes over the bucket
+    frame."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    return eng._compile_agg(docs, {"bucket_sort": {
+        "of": {"bucket_selector": {
+            "of": {
+                "terms": {"field": "source", "size": 50},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+            },
+            "script": f"doc_count >= {SEL_MIN_DOCS}",
+        }},
+        "sort": [{"avg_chars": "desc"}, {"key": "asc"}],
+        "size": 5,
+    }})
+
+
+ORACLES["dsl_agg_bucket_selector_sort"] = f"""
+WITH b AS (
+  SELECT source AS key, count(*) AS doc_count,
+         round(avg(n_chars::DOUBLE), 4) AS avg_chars
+  FROM documents GROUP BY source
+  ORDER BY doc_count DESC, key LIMIT 50
+)
+SELECT key, doc_count, avg_chars FROM b WHERE doc_count >= {SEL_MIN_DOCS}
+ORDER BY avg_chars DESC, key LIMIT 5
+"""
+SPARK_QUERIES["dsl_agg_bucket_selector_sort"] = q_dsl_agg_bucket_selector_sort
+
+
+def q_dsl_agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text agg through the DSL: JLH-scored terms of a
+    filter-context foreground (source = src1) against the full-corpus
+    postings background — same operator as significant_terms, wired
+    into the agg tree."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"source": "src1"}}}},
+        {"sig": {"significant_text": {
+            "field": "text", "size": 10, "min_doc_count": 3,
+        }}},
+    )
+    return _round4(out["sig"])
+
+
+ORACLES["dsl_agg_significant_text"] = f"""
+WITH fg_ids AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+postings AS ({SQL_TF_POSTINGS}),
+bg AS (SELECT token, count(*) AS bg_df FROM postings GROUP BY token),
+fg AS (
+  SELECT token, count(*) AS fg_df
+  FROM postings JOIN fg_ids USING (doc_id) GROUP BY token
+),
+consts AS (
+  SELECT (SELECT count(*) FROM fg_ids) AS n_fg,
+         (SELECT count(*) FROM documents) AS n_docs
+),
+jlh AS (
+  SELECT token, fg_df, bg_df,
+    ((fg_df::DOUBLE / n_fg) - (bg_df::DOUBLE / n_docs))
+      * ((fg_df::DOUBLE / n_fg) / (bg_df::DOUBLE / n_docs)) AS score
+  FROM fg JOIN bg USING (token), consts
+  WHERE fg_df >= 3
+)
+SELECT token, fg_df, bg_df, round(score, 4) AS score
+FROM jlh WHERE score > 0 ORDER BY score DESC, token LIMIT 10
+"""
+SPARK_QUERIES["dsl_agg_significant_text"] = q_dsl_agg_significant_text
+
+
+def q_dsl_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global agg: breaks out of the query context — the query
+    filters to lang='de' but the global stats run over the WHOLE
+    index."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "de"}}}},
+        {"all_docs": {
+            "global": {},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }},
+    )
+    return out["all_docs"]
+
+
+ORACLES["dsl_agg_global"] = """
+SELECT count(n_chars) AS count, round(min(n_chars::DOUBLE), 4) AS min,
+       round(max(n_chars::DOUBLE), 4) AS max,
+       round(avg(n_chars::DOUBLE), 4) AS avg,
+       round(sum(n_chars::DOUBLE), 4) AS sum
+FROM documents
+"""
+SPARK_QUERIES["dsl_agg_global"] = q_dsl_agg_global
+
+
+def q_dsl_agg_date_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram with fixed_interval (6h): epoch-second
+    arithmetic bucketing (stays in codegen) + an avg sub-metric."""
+    eng = _agg_engine(spark, sf_dir)
+    # integerized cents column → exact partial sums → hash-stable avg
+    ev = catalog.table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100.0)
+    )
+    out = eng._compile_agg(ev, {
+        "date_histogram": {"field": "ts", "fixed_interval": "6h"},
+        "aggs": {"avg_value_cents": {"avg": {"field": "value_cents"}}},
+    })
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "avg_value_cents",
+    )
+
+
+ORACLES["dsl_agg_date_histogram_fixed"] = f"""
+SELECT strftime(to_timestamp(floor(epoch(ts) / {FIXED_IV_SECS}) * {FIXED_IV_SECS}),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count,
+       round(avg(round(value * 100.0)), 4) AS avg_value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+SPARK_QUERIES["dsl_agg_date_histogram_fixed"] = q_dsl_agg_date_histogram_fixed
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023) + phrase suggester
+# ---------------------------------------------------------------------------
+
+DSIR_K = 50
+SEL_DSIR_BUCKETS = 64  # = operators.selection.DSIR_BUCKETS
+SEL_DSIR_SALT = "dsir1"  # = operators.selection.DSIR_SALT
+PHRASE_TYPO = "hash winow"  # NOTE: tokens are inlined in the oracle SQL
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: resample 50 docs toward the lang='en'
+    target distribution — hashed unigram+bigram importance weights +
+    deterministic Gumbel-top-k (operators/selection.py; two corpus
+    shuffles total, 64-row broadcast feature tables, TakeOrdered
+    selection)."""
+    from .operators import selection as SEL
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return SEL.dsir_resample(
+        docs, docs.where(F.col("lang") == "en"), k=DSIR_K
+    )
+
+
+ORACLES["dsir_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(l) AS gram FROM toks),
+bi AS (
+  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS gram
+  FROM (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i
+        FROM toks WHERE len(l) >= 2)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+feats AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % {SEL_DSIR_BUCKETS} AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY doc_id, bucket
+),
+tgt AS (
+  SELECT bucket, sum(cnt) AS tc FROM feats WHERE lang = 'en' GROUP BY bucket
+),
+raw AS (SELECT bucket, sum(cnt) AS rc FROM feats GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(tc) FROM tgt) AS t_total,
+         (SELECT sum(rc) FROM raw) AS r_total
+),
+ratio AS (
+  SELECT raw.bucket,
+         ln((coalesce(tgt.tc, 0) + 1.0) / (t_total + {SEL_DSIR_BUCKETS}.0))
+           - ln((raw.rc + 1.0) / (r_total + {SEL_DSIR_BUCKETS}.0)) AS log_ratio
+  FROM raw LEFT JOIN tgt USING (bucket), tot
+),
+lw AS (
+  SELECT doc_id, round(sum(cnt * log_ratio), 6) AS log_weight
+  FROM feats JOIN ratio USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, log_weight,
+       round(log_weight
+             + -ln(-ln((CAST(('0x' || substring(md5('{SEL_DSIR_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                        / 4294967296.0)), 6) AS gumbel_key
+FROM lw ORDER BY gumbel_key DESC, doc_id LIMIT {DSIR_K}
+"""
+SPARK_QUERIES["dsir_select"] = q_dsir_select
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester over '{PHRASE_TYPO}': per-token edit-distance
+    candidates + add-1 bigram-LM phrase rescoring (operators/bm25.py::
+    phrase_suggest)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = S.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = (
+        docs.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("w1"),
+                    F.slice(toks, 2, n - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return B.phrase_suggest(
+        _postings(spark, sf_dir), bigrams, PHRASE_TYPO, max_dist=1, k=5
+    )
+
+
+ORACLES["phrase_suggest"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, unnest(l) AS token FROM toks
+),
+vocab AS (
+  SELECT token, count(DISTINCT doc_id)::DOUBLE AS freq
+  FROM postings GROUP BY token
+),
+tot AS (
+  SELECT sum(freq) AS v_total, count(*)::DOUBLE AS v_size FROM vocab
+),
+bigrams AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, count(*)::DOUBLE AS cnt
+  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks WHERE len(l) >= 2)
+  GROUP BY w1, w2
+),
+c0 AS (
+  SELECT token AS t0, freq AS f0 FROM vocab
+  WHERE levenshtein(token, 'hash') <= 1 AND substring(token, 1, 1) = 'h'
+),
+c1 AS (
+  SELECT token AS t1, freq AS f1 FROM vocab
+  WHERE levenshtein(token, 'winow') <= 1 AND substring(token, 1, 1) = 'w'
+),
+lattice AS (
+  SELECT c0.t0, c1.t1, c0.f0, c1.f1, coalesce(b.cnt, 0.0) AS b1,
+         tot.v_total, tot.v_size
+  FROM c0 CROSS JOIN c1
+  LEFT JOIN bigrams b ON b.w1 = c0.t0 AND b.w2 = c1.t1, tot
+)
+SELECT t0 || ' ' || t1 AS suggestion,
+       round(ln((f0 + 1.0) / (v_total + v_size))
+             + ln((b1 + 1.0) / (f0 + v_size)), 6) AS score
+FROM lattice ORDER BY score DESC, suggestion LIMIT 5
+"""
+SPARK_QUERIES["phrase_suggest"] = q_phrase_suggest
 
 
 # apply the contract ordering ONCE, after every registration — the
