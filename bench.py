@@ -121,6 +121,12 @@ HEADLINE = [
     "dsl_agg_bucket_selector_sort",
     "dsir_select",
     "phrase_suggest",
+    # round-11 additions (agg surface completion + endpoint parity)
+    "dsl_agg_auto_date_histogram",
+    "dsl_agg_cumulative_cardinality",
+    "scroll_page2",
+    "search_fetch_fields",
+    "completion_suggest",
 ]
 
 

@@ -653,3 +653,197 @@ def more_like_this_text_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _bm25_from_tf(
+    matched: DataFrame,
+    index: BM25Index,
+    k: int,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Shared BM25 tail for positional/span operators: given a
+    (doc_id, tf) frame of matches, derive df from the match set and
+    score with the index's corpus stats. One 1-row df agg broadcast —
+    no corpus rescan."""
+    n, avgdl = index.stats
+    dfs = matched.agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        matched.join(index.doclen, id_col)
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def span_or_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene SpanOrQuery: the union of the clause spans — tf is the
+    TOTAL number of positions any of the terms occupies, scored as one
+    pseudo-term (Lucene scores the or-span with the combined
+    frequency). One token-pruned scan, one doc_id agg."""
+    tl = [t.lower() for t in terms]
+    matched = (
+        positional.where(F.col("token").isin(tl))
+        .groupBy(id_col)
+        .agg(F.sum(F.size("positions")).cast("double").alias("tf"))
+    )
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
+def span_first_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    term: str,
+    end: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene SpanFirstQuery: matches of `term` whose position is
+    before `end` — tf counts only the qualifying positions. A pure
+    array filter on the positional postings (no text rescan)."""
+    matched = (
+        positional.where(F.col("token") == term.lower())
+        .select(
+            F.col(id_col),
+            F.size(
+                F.filter(F.col("positions"), lambda p: p < F.lit(int(end)))
+            ).cast("double").alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
+def intervals_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    terms: list[str],
+    max_gaps: int = 0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`intervals` query, ordered `match` rule: tf = number of
+    first-term occurrences that start a GREEDY ordered chain through
+    all terms with total gap ≤ max_gaps (each next term matched at its
+    earliest position after the previous one — the minimal-interval
+    canonicalization Lucene's interval iterators converge to for
+    ordered sources). Divergence note: Lucene enumerates ALL minimal
+    intervals; anchoring at first-term occurrences counts each
+    distinct chain start once, which agrees on non-overlapping text
+    and is deterministic on both engines.
+
+    Plan: m token-pruned positional scans, (m-1)-way doc_id equi-join
+    of already-tiny sides, then one nested array expression per doc —
+    no UDF, no corpus shuffle (reference surface:
+    `query/NeuralSparseQueryBuilder.java` delegates such clauses to
+    Lucene's IntervalQuery; this is the join-algebra analogue)."""
+    tl = [t.lower() for t in terms]
+    if len(tl) < 2:
+        raise ValueError("intervals needs at least two terms")
+    sides = []
+    for j, t in enumerate(tl):
+        sides.append(
+            positional.where(F.col("token") == t).select(
+                F.col(id_col), F.col("positions").alias(f"_p{j}")
+            )
+        )
+    joined = sides[0]
+    for j in range(1, len(tl)):
+        joined = joined.join(sides[j], id_col)
+
+    def _after(c):
+        return lambda q: q > c
+
+    def chain_end(p):
+        # earliest strictly-increasing chain through _p1.._pn from p
+        cur = p
+        for j in range(1, len(tl)):
+            cur = F.array_min(F.filter(F.col(f"_p{j}"), _after(cur)))
+        return cur
+
+    span_len = len(tl) - 1 + int(max_gaps)
+
+    def ok(p):
+        e = chain_end(p)
+        return e.isNotNull() & (e - p <= F.lit(span_len))
+
+    tf = F.size(F.filter(F.col("_p0"), ok)).cast("double")
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
+def combined_fields_topk(
+    indexes: list[tuple[BM25Index, float]],
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """`combined_fields` query: BM25 over a virtual field whose term
+    frequencies and lengths are the per-field values merged with field
+    weights (the BM25F-style single-stats combination OpenSearch
+    documents — unlike multi_match, term statistics are UNIFIED across
+    fields, not per-field). All stats derive lazily from the field
+    indexes; the 1-row combined avgdl is broadcast, never collected."""
+    terms = sorted({t for t in query.lower().split() if t})
+    spark = indexes[0][0].postings.sparkSession
+    from .retrieval import token_frame
+
+    q = token_frame(spark, dict.fromkeys(terms, 1.0)).select("token")
+    tf_parts = [
+        idx.postings.join(F.broadcast(q), "token").select(
+            F.col(id_col), "token", (F.col("tf") * F.lit(w)).alias("tf")
+        )
+        for idx, w in indexes
+    ]
+    combined = tf_parts[0]
+    for part in tf_parts[1:]:
+        combined = combined.unionByName(part)
+    tfc = combined.groupBy(id_col, "token").agg(F.sum("tf").alias("tf"))
+    dl_parts = [
+        idx.doclen.select(F.col(id_col), (F.col("dl") * F.lit(w)).alias("dl"))
+        for idx, w in indexes
+    ]
+    dls = dl_parts[0]
+    for part in dl_parts[1:]:
+        dls = dls.unionByName(part)
+    dlc = dls.groupBy(id_col).agg(F.sum("dl").alias("dl"))
+    stats = dlc.agg(
+        F.count("*").cast("double").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    df_tbl = tfc.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tfc.join(F.broadcast(df_tbl), "token")
+        .join(dlc, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -75,6 +75,15 @@ DEFAULT_K = R.DEFAULT_K
 # FULL corpus (an index describes the whole table); per-query filters
 # prune the candidate scan, not the artifact.
 _IVF_CENTROID_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+# auto_date_histogram interval ladder (seconds) — the fixed menu the
+# agg picks from, smallest interval that keeps bucket count ≤ target
+# (OpenSearch's rounding ladder: seconds → minutes → hours → days →
+# weeks → months → quarters → years, approximated in fixed seconds)
+_AUTO_DH_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600, 12 * 3600,
+    86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400,
+]
 # sf_dir, codebook_k -> (codebooks, persisted codes DataFrame)
 _PQ_INDEX_CACHE: dict[tuple[str, int], tuple[list, DataFrame]] = {}
 
@@ -605,6 +614,87 @@ class Engine:
                 in_order=bool(body.get("in_order", True)),
                 k=k,
             )
+        if qtype == "span_or":
+            # Lucene SpanOrQuery: union of the clause spans — combined
+            # occurrence count scored as one pseudo-term
+            return B.span_or_topk(
+                self.positional_index(), self.bm25_index(),
+                [t.lower() for t in body["terms"]], k=k,
+            )
+        if qtype == "span_first":
+            # Lucene SpanFirstQuery: term within the first `end`
+            # positions; tf counts only qualifying occurrences
+            return B.span_first_topk(
+                self.positional_index(), self.bm25_index(),
+                body["term"], int(body["end"]), k=k,
+            )
+        if qtype == "intervals":
+            # intervals query, ordered match rule with max_gaps —
+            # greedy minimal ordered chains over positional postings
+            return B.intervals_topk(
+                self.positional_index(), self.bm25_index(),
+                [t.lower() for t in body["terms"]],
+                max_gaps=int(body.get("max_gaps", 0)), k=k,
+            )
+        if qtype == "match_bool_prefix":
+            # match_bool_prefix: every token but the last scores as a
+            # normal BM25 should-term; the LAST token is a prefix
+            # query under the constant-score multi-term rewrite
+            # (score 1.0 per matching doc, Lucene's default rewrite) —
+            # a doc matching either side matches the bool
+            toks = [t for t in body["query"].lower().split() if t]
+            if not toks:
+                raise ValueError("match_bool_prefix requires 'query'")
+            prefix, full = toks[-1], toks[:-1]
+            idx = self.bm25_index()
+            parts = []
+            if full:
+                parts.append(
+                    B.bm25_scores(idx, " ".join(full)).select("doc_id", "score")
+                )
+            prefix_docs = (
+                idx.postings.where(F.col("token").startswith(prefix))
+                .select("doc_id")
+                .distinct()
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+            parts.append(prefix_docs)
+            base = parts[0]
+            for p_ in parts[1:]:
+                base = base.unionByName(p_)
+            scored = base.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+        if qtype == "combined_fields":
+            # combined_fields: BM25F-style UNIFIED term statistics
+            # across weighted fields (vs multi_match's per-field
+            # scoring) — tf and dl merge with field weights before a
+            # single BM25 pass
+            fields = []
+            for f_ in body["fields"]:
+                name_, _, w_ = f_.partition("^")
+                fields.append((self.field_index(name_), float(w_ or 1.0)))
+            return B.combined_fields_topk(fields, body["query"], k=k)
+        if qtype == "terms_lookup":
+            # terms lookup (OpenSearch `terms` with a lookup body):
+            # the filter values come from ANOTHER document's field —
+            # a driver-side pruned point-read (the same hoisting as
+            # query-vector inference), then a constant-score filter
+            row = (
+                self.documents()
+                .where(F.col("doc_id") == int(body["id"]))
+                .select(body["path"])
+                .first()
+            )
+            if row is None:
+                raise ValueError(f"terms_lookup doc {body['id']} not found")
+            vals = row[0] if isinstance(row[0], list) else [row[0]]
+            return (
+                self.documents()
+                .where(F.col(body["field"]).isin(vals))
+                .select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy("doc_id")
+                .limit(k)
+            )
         if qtype == "rank_feature":
             # OpenSearch core rank_feature: score a numeric field
             # through saturation x/(x+pivot), log ln(scale·x + 1), or
@@ -787,6 +877,120 @@ class Engine:
             out = out.unionByName(f)
         return out
 
+    def mget(self, ids: list[int]) -> DataFrame:
+        """The `_mget` endpoint: fetch documents by id in ONE pruned
+        scan — the IN predicate reaches the parquet reader as a
+        pushed filter (row-group/page pruning), so cost scales with
+        |ids|, not corpus size."""
+        return (
+            self.documents()
+            .where(F.col("doc_id").isin([int(i) for i in ids]))
+            .orderBy("doc_id")
+        )
+
+    # Spark dtype → OpenSearch field-capability type (the `_field_caps`
+    # endpoint's `type` facet)
+    _ES_TYPES = {
+        "bigint": "long", "int": "integer", "smallint": "short",
+        "double": "double", "float": "float", "string": "text",
+        "timestamp": "date", "timestamp_ntz": "date", "date": "date",
+        "boolean": "boolean",
+        "array<float>": "knn_vector", "array<double>": "knn_vector",
+    }
+
+    def field_caps(self, tables: tuple[str, ...] = ("documents",)) -> DataFrame:
+        """The `_field_caps` endpoint: per-field capabilities derived
+        from the table schemas (plan-time metadata — no data is read).
+        `text` fields are searchable but not sortable/aggregatable,
+        mirroring the reference's mapping semantics."""
+        rows = []
+        for t in tables:
+            df = catalog.table(self.spark, self.sf_dir, t)
+            for fname, dtype in df.dtypes:
+                es = self._ES_TYPES.get(dtype, "object")
+                rows.append((t, fname, es, True, es not in ("text", "object")))
+        return self.spark.createDataFrame(
+            rows,
+            "tbl string, field string, type string, "
+            "searchable boolean, aggregatable boolean",
+        ).orderBy("tbl", "field")
+
+    def scroll(
+        self,
+        query: dict[str, Any],
+        size: int = DEFAULT_K,
+        pipeline: dict[str, Any] | None = None,
+        max_pages: int = 1000,
+    ):
+        """The `_scroll` / point-in-time pagination endpoint as an
+        iterator of hit pages. Spark-first: there is no server-side
+        cursor — every page re-derives from the SAME deterministic
+        plan with a (from, size) window, so any executor count can
+        serve page N+1 and a failed page is retryable. (The reference
+        keeps per-shard scroll contexts; a deterministic sort makes
+        that state unnecessary — K2's search_after is the same idea
+        keyed by sort value instead of offset.) Stops at the first
+        empty page."""
+        for page_i in range(max_pages):
+            page = self.search(query, pipeline, size=size, from_=page_i * size)
+            if not page.take(1):
+                return
+            yield page
+
+    def search_template(
+        self, template: dict[str, Any] | str, params: dict[str, Any]
+    ) -> DataFrame:
+        """The `_search/template` endpoint: mustache-style `{{param}}`
+        substitution into a DSL body, then the normal search path.
+        A string value that IS a single placeholder takes the param's
+        native type (so `"size": "{{k}}"` stays an int); placeholders
+        embedded in longer strings substitute textually."""
+
+        def _subst(node):
+            if isinstance(node, str):
+                for k_, v_ in params.items():
+                    if node == "{{" + k_ + "}}":
+                        return v_
+                for k_, v_ in params.items():
+                    node = node.replace("{{" + k_ + "}}", str(v_))
+                return node
+            if isinstance(node, dict):
+                return {k_: _subst(v_) for k_, v_ in node.items()}
+            if isinstance(node, list):
+                return [_subst(v_) for v_ in node]
+            return node
+
+        if isinstance(template, str):
+            import json as _json
+
+            body = _subst(_json.loads(template))
+        else:
+            body = _subst(template)
+        size = int(body.get("size", DEFAULT_K))
+        from_ = int(body.get("from", 0))
+        return self.search(body["query"], body.get("pipeline"), size=size, from_=from_)
+
+    def fetch(
+        self,
+        hits: DataFrame,
+        source: list[str] | None = None,
+        script_fields: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """The fetch phase: `_source` filtering + `script_fields`.
+        Broadcast the (small) hit frame back onto the doc scan and
+        project ONLY the requested columns — the pruned column list
+        reaches the parquet reader, so an `n_chars`-only fetch never
+        reads `text`. Script fields are Catalyst expressions evaluated
+        in the same projection (no second pass, no UDF)."""
+        out = F.broadcast(hits.select("doc_id", "score")).join(
+            self.documents(), "doc_id"
+        )
+        cols = [F.col("doc_id"), F.col("score")]
+        cols += [F.col(c_) for c_ in (source or [])]
+        for name_, expr_ in (script_fields or {}).items():
+            cols.append(F.expr(expr_).alias(name_))
+        return out.select(*cols).orderBy(F.col("score").desc(), "doc_id")
+
     # -- aggregations (OpenSearch `aggs` body) -----------------------------
     def search_aggs(
         self,
@@ -860,6 +1064,7 @@ class Engine:
         if kind in (
             "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
             "stats_bucket", "serial_diff", "bucket_selector", "bucket_sort",
+            "bucket_script",
         ):
             # sibling pipeline aggregations (OpenSearch `buckets_path`
             # family): the parent bucket agg compiles first; the
@@ -875,6 +1080,14 @@ class Engine:
                 # predicate over bucket columns, not Painless
                 # (`params.X > N` → `X > N`)
                 return parent.where(F.expr(body["script"]))
+            if kind == "bucket_script":
+                # per-bucket computed column (OpenSearch bucket_script,
+                # `params.X / params.Y` → a SQL expression over the
+                # bucket columns) — one projection on the bucket frame
+                return parent.withColumn(
+                    body.get("as", "bucket_script"),
+                    F.round(F.expr(body["script"]).cast("double"), 4),
+                )
             if kind == "bucket_sort":
                 sorts = []
                 for s_ in body.get("sort", []):
@@ -1152,6 +1365,147 @@ class Engine:
             )
             return one.selectExpr(
                 f"stack({len(vals)}, {stack}) AS (value, percent)"
+            )
+        if kind == "auto_date_histogram":
+            # OpenSearch auto_date_histogram: the engine PICKS the
+            # smallest interval from a fixed ladder that keeps the
+            # bucket count within `buckets`. The choice is data-
+            # dependent but stays fully lazy: a 1-row bounds agg is
+            # broadcast back onto the scan and the ladder walk is a
+            # chained CASE over that row — no driver decision, so the
+            # same plan serves any time span at any scale.
+            c = F.col(body["field"]).cast("timestamp").cast("long")
+            target = int(body.get("buckets", 10))
+            bounds = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+
+            def _n_at(iv: int):
+                return (
+                    F.floor(F.col("__hi") / iv)
+                    - F.floor(F.col("__lo") / iv)
+                    + 1
+                )
+
+            iv_col = F.lit(_AUTO_DH_LADDER[-1])
+            for iv in reversed(_AUTO_DH_LADDER[:-1]):
+                iv_col = F.when(_n_at(iv) <= target, F.lit(iv)).otherwise(iv_col)
+            chosen = bounds.select(iv_col.cast("bigint").alias("interval_s"))
+            bucket = F.timestamp_seconds(
+                (F.floor(c / F.col("interval_s")) * F.col("interval_s")).cast("long")
+            ).alias("bucket")
+            return (
+                df.crossJoin(F.broadcast(chosen))
+                .groupBy(F.col("interval_s"), bucket)
+                .agg(F.count("*").alias("doc_count"))
+                .select("bucket", "doc_count", "interval_s")
+                .orderBy("bucket")
+            )
+        if kind == "date_range":
+            # date_range agg: like `range` but over timestamps — every
+            # bucket is a conditional count in ONE scan
+            c = F.col(body["field"]).cast("timestamp")
+            conds = []
+            for r in body["ranges"]:
+                lo, hi = r.get("from"), r.get("to")
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (c >= F.lit(lo).cast("timestamp"))
+                if hi is not None:
+                    cond = cond & (c < F.lit(hi).cast("timestamp"))
+                key = r.get("key") or f"{lo or '*'}-{hi or '*'}"
+                conds.append((key, cond))
+            wide = df.agg(
+                *[
+                    F.count_if(cond).alias(f"__r{i}")
+                    for i, (_, cond) in enumerate(conds)
+                ]
+            )
+            stack = ", ".join(f"'{k}', __r{i}" for i, (k, _) in enumerate(conds))
+            return wide.selectExpr(
+                f"stack({len(conds)}, {stack}) as (key, doc_count)"
+            )
+        if kind == "top_metrics":
+            # top_metrics: metric values carried by the rows at the top
+            # of a sort — a TakeOrdered (limit k under an orderBy), no
+            # global sort ever materializes
+            (sf_, sd_), = body["sort"].items()
+            sort_col = F.col(sf_).desc() if sd_ == "desc" else F.col(sf_)
+            n = int(body.get("size", 1))
+            id_col = body.get("id_field", "doc_id")
+            fields = [m["field"] for m in body["metrics"]]
+            cols = [id_col, sf_] + [f_ for f_ in fields if f_ not in (sf_, id_col)]
+            return df.orderBy(sort_col, F.col(id_col)).select(*cols).limit(n)
+        if kind == "median_absolute_deviation":
+            # exact MAD (OpenSearch's is TDigest-approximate): median
+            # in a 1-row agg broadcast back, then the median of the
+            # absolute deviations — two passes, both full codegen
+            c = F.col(body["field"]).cast("double")
+            med = df.agg(F.percentile(c, F.lit(0.5)).alias("__med"))
+            return df.crossJoin(F.broadcast(med)).agg(
+                F.round(
+                    F.percentile(F.abs(c - F.col("__med")), F.lit(0.5)), 4
+                ).alias("mad")
+            )
+        if kind == "boxplot":
+            # exact five-number summary (linear-interpolation quartiles)
+            c = F.col(body["field"]).cast("double")
+            return df.agg(
+                F.round(F.min(c), 4).alias("min"),
+                F.round(F.percentile(c, F.lit(0.25)), 4).alias("q1"),
+                F.round(F.percentile(c, F.lit(0.5)), 4).alias("q2"),
+                F.round(F.percentile(c, F.lit(0.75)), 4).alias("q3"),
+                F.round(F.max(c), 4).alias("max"),
+            )
+        if kind == "scripted_metric":
+            # divergence note: map/reduce scripts are Spark-SQL
+            # expressions, not Painless; the combine phase is implicit
+            # (Spark's partial aggregation IS map-side combine)
+            mapped = F.expr(body["map_script"]).cast("double")
+            reduce_fn = {
+                "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            }[body.get("reduce_script", "sum")]
+            return df.agg(F.round(reduce_fn(mapped), 4).alias("value"))
+        if kind == "cumulative_cardinality":
+            # per-bucket cumulative distinct count, exact and
+            # distributed: each value contributes at its FIRST bucket
+            # (groupBy value → min bucket), the new-value counts then
+            # cumulative-sum over the SMALL ordered bucket frame —
+            # never a distinct-per-prefix rescan of the corpus
+            from pyspark.sql import Window as _W
+
+            iv = body["fixed_interval"]
+            unit = {"s": 1, "m": 60, "h": 3600, "d": 86400}[iv[-1]]
+            secs = int(iv[:-1]) * unit
+            ep = F.col(body["field"]).cast("timestamp").cast("long")
+            bucket = F.timestamp_seconds(
+                (F.floor(ep / secs) * secs).cast("long")
+            ).alias("bucket")
+            per_bucket = df.groupBy(bucket).agg(F.count("*").alias("doc_count"))
+            firsts = (
+                df.select(bucket, F.col(body["value_field"]).alias("__v"))
+                .groupBy("__v")
+                .agg(F.min("bucket").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("__new"))
+            )
+            w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+            return (
+                per_bucket.join(firsts, "bucket", "left")
+                .withColumn(
+                    "cumulative_cardinality",
+                    F.sum(F.coalesce(F.col("__new"), F.lit(0))).over(w),
+                )
+                .select("bucket", "doc_count", "cumulative_cardinality")
+                .orderBy("bucket")
+            )
+        if kind == "geo_centroid":
+            # geo_centroid: arithmetic mean of coordinates (OpenSearch
+            # computes the same unweighted mean) — one agg pass
+            lat = F.col(body.get("lat_field", "lat")).cast("double")
+            lon = F.col(body.get("lon_field", "lon")).cast("double")
+            return df.agg(
+                F.round(F.avg(lat), 4).alias("lat"),
+                F.round(F.avg(lon), 4).alias("lon"),
+                F.count("*").alias("count"),
             )
         if kind == "weighted_avg":
             v = F.col(body["value"]["field"]).cast("double")
@@ -1809,8 +2163,13 @@ class Engine:
                     search_after=s.get("search_after"),
                 )
         else:
-            fetch = max(size, mmr_cand or 0)
+            # single-leaf query: size the fetch window as from_+size so
+            # pagination offsets into a complete, deterministic prefix
+            fetch = max(from_ + size, mmr_cand or 0)
             result = self._compile_sub(query, fetch).limit(fetch)
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
 
         if mmr:
             picked = RR.mmr_diversify(

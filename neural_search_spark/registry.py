@@ -5414,6 +5414,14 @@ PRIORITY_50 = [
     "dsl_agg_global", "dsl_agg_date_histogram_fixed",
     # round-3 session-2: DSIR data selection + phrase suggester
     "dsir_select", "phrase_suggest",
+    # round-3 session-4: remaining agg surface + endpoint parity (new →
+    # they head the ROUND-4 window per the rotation rule)
+    "dsl_agg_auto_date_histogram", "dsl_agg_date_range",
+    "dsl_agg_top_metrics", "dsl_agg_mad", "dsl_agg_boxplot",
+    "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
+    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
+    "mget_docs", "field_caps", "scroll_page2", "search_template_match",
+    "search_fetch_fields", "completion_suggest",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -9050,6 +9058,404 @@ SELECT t0 || ' ' || t1 AS suggestion,
 FROM lattice ORDER BY score DESC, suggestion LIMIT 5
 """
 SPARK_QUERIES["phrase_suggest"] = q_phrase_suggest
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4: remaining OpenSearch agg surface (auto_date_histogram,
+# date_range, top_metrics, MAD, boxplot, scripted_metric, bucket_script,
+# cumulative_cardinality, geo_centroid) + endpoint parity (mget, field_caps,
+# scroll, search_template, fetch phase, completion suggester)
+# ---------------------------------------------------------------------------
+
+AUTO_DH_BUCKETS = 12
+
+
+def q_dsl_agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram: the engine picks the smallest ladder
+    interval keeping bucket count ≤ 12 — interval selection is a
+    1-row bounds agg broadcast back onto the scan (no driver
+    decision; plans/compiler.py auto_date_histogram branch)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(
+        ev, {"auto_date_histogram": {"field": "ts", "buckets": AUTO_DH_BUCKETS}}
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "interval_s",
+    )
+
+
+_AUTO_DH_CASE = " ".join(
+    f"WHEN floor(hi/{iv}) - floor(lo/{iv}) + 1 <= {AUTO_DH_BUCKETS} THEN {iv}"
+    for iv in [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600, 12 * 3600,
+               86400, 7 * 86400, 30 * 86400, 90 * 86400]
+)
+ORACLES["dsl_agg_auto_date_histogram"] = f"""
+WITH b AS (SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi FROM events),
+i AS (SELECT (CASE {_AUTO_DH_CASE} ELSE {365 * 86400} END)::BIGINT AS interval_s FROM b)
+SELECT strftime(to_timestamp(floor(epoch(ts) / interval_s) * interval_s),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count,
+       any_value(interval_s) AS interval_s
+FROM events, i GROUP BY 1 ORDER BY 1
+"""
+SPARK_QUERIES["dsl_agg_auto_date_histogram"] = q_dsl_agg_auto_date_histogram
+
+
+DR_SPLIT_A, DR_SPLIT_B = "2024-01-08 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_dsl_agg_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range agg: timestamp buckets as conditional counts in one
+    scan (plans/compiler.py date_range branch)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"date_range": {"field": "ts", "ranges": [
+        {"to": DR_SPLIT_A, "key": "early"},
+        {"from": DR_SPLIT_A, "to": DR_SPLIT_B, "key": "mid"},
+        {"from": DR_SPLIT_B, "key": "late"},
+    ]}})
+
+
+ORACLES["dsl_agg_date_range"] = f"""
+SELECT 'early' AS key,
+       count(*) FILTER (WHERE ts < TIMESTAMP '{DR_SPLIT_A}') AS doc_count FROM events
+UNION ALL
+SELECT 'mid', count(*) FILTER (WHERE ts >= TIMESTAMP '{DR_SPLIT_A}'
+                               AND ts < TIMESTAMP '{DR_SPLIT_B}') FROM events
+UNION ALL
+SELECT 'late', count(*) FILTER (WHERE ts >= TIMESTAMP '{DR_SPLIT_B}') FROM events
+"""
+SPARK_QUERIES["dsl_agg_date_range"] = q_dsl_agg_date_range
+
+
+TOP_METRICS_N = 5
+
+
+def q_dsl_agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_metrics: metric columns carried by the top-5 rows of a sort
+    — a TakeOrdered, never a global sort (compiler top_metrics
+    branch)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"top_metrics": {
+        "sort": {"value": "desc"}, "size": TOP_METRICS_N,
+        "id_field": "event_id",
+        "metrics": [{"field": "user_id"}, {"field": "event_type"}],
+    }})
+    return out.select(
+        "event_id", F.round("value", 4).alias("value"), "user_id", "event_type"
+    )
+
+
+ORACLES["dsl_agg_top_metrics"] = f"""
+SELECT event_id, round(value, 4) AS value, user_id, event_type
+FROM events ORDER BY events.value DESC, event_id LIMIT {TOP_METRICS_N}
+"""
+SPARK_QUERIES["dsl_agg_top_metrics"] = q_dsl_agg_top_metrics
+
+
+def q_dsl_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median_absolute_deviation, exact (OpenSearch's is TDigest-
+    approximate; exact is strictly stronger and engine-portable):
+    1-row median broadcast back, then median of |x − med|."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"term": {"lang": "en"}}}},
+        {"mad_chars": {"median_absolute_deviation": {"field": "n_chars"}}},
+    )
+    return out["mad_chars"]
+
+
+ORACLES["dsl_agg_mad"] = """
+WITH m AS (SELECT quantile_cont(n_chars::DOUBLE, 0.5) AS med
+           FROM documents WHERE lang = 'en')
+SELECT round(quantile_cont(abs(n_chars::DOUBLE - m.med), 0.5), 4) AS mad
+FROM documents, m WHERE lang = 'en'
+"""
+SPARK_QUERIES["dsl_agg_mad"] = q_dsl_agg_mad
+
+
+def q_dsl_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boxplot agg: exact five-number summary in one agg pass
+    (linear-interpolation quartiles on both engines)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"boxplot": {"field": "value"}})
+
+
+ORACLES["dsl_agg_boxplot"] = """
+SELECT round(min(value), 4) AS min,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.50), 4) AS q2,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       round(max(value), 4) AS max
+FROM events
+"""
+SPARK_QUERIES["dsl_agg_boxplot"] = q_dsl_agg_boxplot
+
+
+def q_dsl_agg_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scripted_metric: map script (Spark-SQL expression, not
+    Painless — documented divergence) folded by a sum reduce; the
+    combine phase is Spark's map-side partial aggregation."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"range": {"n_chars": {"gte": 100}}}}},
+        {"weighted": {"scripted_metric": {
+            "map_script": "n_chars * 2 + length(lang)",
+            "reduce_script": "sum",
+        }}},
+    )
+    return out["weighted"]
+
+
+ORACLES["dsl_agg_scripted_metric"] = """
+SELECT round(sum((n_chars * 2 + length(lang))::DOUBLE), 4) AS value
+FROM documents WHERE n_chars >= 100
+"""
+SPARK_QUERIES["dsl_agg_scripted_metric"] = q_dsl_agg_scripted_metric
+
+
+def q_dsl_agg_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_script pipeline agg: a computed column over the parent
+    bucket frame (`params.sum_chars / params.doc_count` → SQL over
+    bucket columns)."""
+    out = _agg_engine(spark, sf_dir).search_aggs(
+        {"bool": {"filter": {"exists": {"field": "text"}}}},
+        {"chars_rate": {"bucket_script": {
+            "of": {"terms": {"field": "lang", "size": 10},
+                   "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}},
+            "script": "sum_chars / doc_count",
+            "as": "chars_per_doc",
+        }}},
+    )
+    return out["chars_rate"]
+
+
+ORACLES["dsl_agg_bucket_script"] = """
+WITH b AS (
+  SELECT lang AS key, count(*) AS doc_count,
+         round(sum(n_chars::DOUBLE), 4) AS sum_chars
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang ORDER BY doc_count DESC, key LIMIT 10
+)
+SELECT key, doc_count, sum_chars,
+       round(sum_chars / doc_count, 4) AS chars_per_doc
+FROM b
+"""
+SPARK_QUERIES["dsl_agg_bucket_script"] = q_dsl_agg_bucket_script
+
+
+CC_IV = "1d"
+
+
+def q_dsl_agg_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulative_cardinality: exact per-bucket cumulative distinct
+    users — each user counts at its FIRST bucket (groupBy user → min
+    bucket), then one cumulative sum over the small bucket frame.
+    Never a distinct-per-prefix rescan (compiler branch)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"cumulative_cardinality": {
+        "field": "ts", "fixed_interval": CC_IV, "value_field": "user_id",
+    }})
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "cumulative_cardinality",
+    )
+
+
+ORACLES["dsl_agg_cumulative_cardinality"] = """
+WITH bk AS (
+  SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket, user_id
+  FROM events
+),
+per_bucket AS (SELECT bucket, count(*) AS doc_count FROM bk GROUP BY bucket),
+firsts AS (
+  SELECT min_bucket AS bucket, count(*) AS new_vals
+  FROM (SELECT user_id, min(bucket) AS min_bucket FROM bk GROUP BY user_id)
+  GROUP BY min_bucket
+)
+SELECT strftime(p.bucket, '%Y-%m-%d %H:%M:%S') AS bucket, p.doc_count,
+       (sum(coalesce(f.new_vals, 0)) OVER (ORDER BY p.bucket))::BIGINT
+         AS cumulative_cardinality
+FROM per_bucket p LEFT JOIN firsts f USING (bucket)
+ORDER BY p.bucket
+"""
+SPARK_QUERIES["dsl_agg_cumulative_cardinality"] = q_dsl_agg_cumulative_cardinality
+
+
+def q_dsl_agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_centroid: unweighted coordinate mean over the derived geo
+    frame (same synthetic lat/lon mapping as the geo queries)."""
+    eng = _agg_engine(spark, sf_dir)
+    return eng._compile_agg(_geo_docs(spark, sf_dir), {"geo_centroid": {}})
+
+
+ORACLES["dsl_agg_geo_centroid"] = f"""
+WITH g AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents
+)
+SELECT round(avg(lat), 4) AS lat, round(avg(lon), 4) AS lon,
+       count(*) AS count FROM g
+"""
+SPARK_QUERIES["dsl_agg_geo_centroid"] = q_dsl_agg_geo_centroid
+
+
+MGET_IDS = [3, 17, 42, 99, 123]
+
+
+def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mget endpoint: id-list fetch as ONE pruned scan — the IN
+    predicate is pushed to the parquet reader."""
+    return _agg_engine(spark, sf_dir).mget(MGET_IDS)
+
+
+ORACLES["mget_docs"] = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in MGET_IDS)})
+ORDER BY doc_id
+"""
+SPARK_QUERIES["mget_docs"] = q_mget_docs
+
+
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_field_caps endpoint: per-field capabilities from table schemas
+    (plan-time metadata only; both engines derive from the SAME
+    parquet schemas, so the mapping itself is what's verified)."""
+    return _agg_engine(spark, sf_dir).field_caps(
+        tables=("documents", "events", "embeddings")
+    )
+
+
+ORACLES["field_caps"] = """
+WITH caps AS (
+  SELECT table_name AS tbl, column_name AS field,
+         CASE data_type
+           WHEN 'BIGINT' THEN 'long'
+           WHEN 'INTEGER' THEN 'integer'
+           WHEN 'SMALLINT' THEN 'short'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'FLOAT' THEN 'float'
+           WHEN 'VARCHAR' THEN 'text'
+           WHEN 'TIMESTAMP' THEN 'date'
+           WHEN 'DATE' THEN 'date'
+           WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'FLOAT[]' THEN 'knn_vector'
+           WHEN 'DOUBLE[]' THEN 'knn_vector'
+           ELSE 'object'
+         END AS type
+  FROM information_schema.columns
+  WHERE table_name IN ('documents', 'events', 'embeddings')
+)
+SELECT tbl, field, type, true AS searchable,
+       type NOT IN ('text', 'object') AS aggregatable
+FROM caps ORDER BY tbl, field
+"""
+SPARK_QUERIES["field_caps"] = q_field_caps
+
+
+def q_scroll_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_scroll endpoint, page 2: pagination without server-side cursor
+    state — every page is a (from, size) window over the SAME
+    deterministic plan, so any executor count serves page N+1."""
+    eng = _agg_engine(spark, sf_dir)
+    pages = eng.scroll({"match": {"field": "text", "query": BM25_QUERY}}, size=K)
+    next(pages)
+    return next(pages).select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["scroll_page2"] = ORACLES["bm25_match"].replace(
+    f"LIMIT {K}", f"LIMIT {K} OFFSET {K}"
+)
+SPARK_QUERIES["scroll_page2"] = q_scroll_page2
+
+
+SEARCH_TEMPLATE = (
+    '{"query": {"match": {"field": "text", "query": "{{q}}"}}, "size": "{{k}}"}'
+)
+
+
+def q_search_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_search/template endpoint: mustache {{param}} substitution into
+    a DSL body, then the normal search path — result must equal the
+    directly-written match query (same oracle as bm25_match)."""
+    out = _agg_engine(spark, sf_dir).search_template(
+        SEARCH_TEMPLATE, {"q": BM25_QUERY, "k": K}
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["search_template_match"] = ORACLES["bm25_match"]
+SPARK_QUERIES["search_template_match"] = q_search_template_match
+
+
+def q_search_fetch_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetch phase (_source filtering + script_fields): hits broadcast
+    back onto the doc scan; only the requested columns are projected
+    (pruning reaches the reader) and script fields evaluate as
+    Catalyst expressions in the same projection."""
+    eng = _agg_engine(spark, sf_dir)
+    hits = eng.search({"match": {"field": "text", "query": BM25_QUERY}}, size=K)
+    out = eng.fetch(
+        hits,
+        source=["lang", "n_chars"],
+        script_fields={"chars_per_100": "round(n_chars / 100.0D, 4)"},
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        "lang", "n_chars", "chars_per_100",
+    )
+
+
+ORACLES["search_fetch_fields"] = f"""
+WITH hits AS ({ORACLES["bm25_match"]})
+SELECT h.doc_id, h.score, d.lang, d.n_chars,
+       round(d.n_chars / 100.0, 4) AS chars_per_100
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.score DESC, h.doc_id
+"""
+SPARK_QUERIES["search_fetch_fields"] = q_search_fetch_fields
+
+
+COMPLETION_PREFIX = "sc"
+
+
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """completion suggester: weighted prefix completions — the suggest
+    frame (input phrase, weight) is an ingest artifact (leading-bigram
+    phrase, weight = doc frequency); query time is a prefix range scan
+    + TakeOrdered by weight (the FST lookup analogue)."""
+    d = catalog.table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    phrases = (
+        d.select(toks.alias("l"))
+        .where(F.size("l") >= 2)
+        .select(F.concat_ws(" ", F.col("l")[0], F.col("l")[1]).alias("input"))
+        .groupBy("input")
+        .agg(F.count("*").alias("weight"))
+    )
+    return (
+        phrases.where(F.col("input").startswith(COMPLETION_PREFIX))
+        .orderBy(F.col("weight").desc(), "input")
+        .limit(5)
+    )
+
+
+ORACLES["completion_suggest"] = f"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+  FROM documents
+),
+phrases AS (
+  SELECT l[1] || ' ' || l[2] AS input, count(*) AS weight
+  FROM t WHERE len(l) >= 2 GROUP BY 1
+)
+SELECT input, weight FROM phrases
+WHERE input LIKE '{COMPLETION_PREFIX}%'
+ORDER BY weight DESC, input LIMIT 5
+"""
+SPARK_QUERIES["completion_suggest"] = q_completion_suggest
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -1,0 +1,279 @@
+"""Endpoint parity: _mget, _field_caps, _scroll, _search/template,
+fetch phase (_source + script_fields), and the round-3-session-4
+aggregations (auto_date_histogram, top_metrics, MAD, boxplot,
+scripted_metric, bucket_script, cumulative_cardinality, date_range,
+geo_centroid).
+
+Reference surface: the REST action layer the survey maps to engine
+methods (SURVEY.md §4) — scroll/PIT pagination, mustache search
+templates, field capabilities, multi-get, and the fetch phase's
+source filtering + script fields.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark import catalog
+from neural_search_spark.plans.compiler import Engine
+
+from .conftest import SF_CORRECT
+
+MATCH = {"match": {"field": "text", "query": "spark join stream window"}}
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark, SF_CORRECT)
+
+
+# -- _mget ------------------------------------------------------------------
+
+
+def test_mget_returns_exactly_requested_ids(eng):
+    ids = [5, 11, 400]
+    rows = eng.mget(ids).collect()
+    assert [r["doc_id"] for r in rows] == sorted(ids)
+
+
+def test_mget_missing_ids_are_absent_not_errors(eng):
+    rows = eng.mget([5, 10_000_000]).collect()
+    assert [r["doc_id"] for r in rows] == [5]
+
+
+# -- _field_caps ------------------------------------------------------------
+
+
+def test_field_caps_types_and_aggregatability(eng):
+    caps = {
+        (r["tbl"], r["field"]): r
+        for r in eng.field_caps(tables=("documents", "embeddings")).collect()
+    }
+    assert caps[("documents", "text")]["type"] == "text"
+    assert caps[("documents", "text")]["aggregatable"] is False
+    assert caps[("documents", "n_chars")]["type"] == "long"
+    assert caps[("documents", "n_chars")]["aggregatable"] is True
+    assert caps[("embeddings", "embedding")]["type"] == "knn_vector"
+    # every field is searchable (the engine can filter on any column)
+    assert all(r["searchable"] for r in caps.values())
+
+
+# -- _scroll ----------------------------------------------------------------
+
+
+def test_scroll_pages_concatenate_to_deep_search(eng):
+    deep = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in eng.search(MATCH, size=30).collect()
+    ]
+    paged = []
+    for i, page in enumerate(eng.scroll(MATCH, size=10)):
+        paged.extend(
+            (r["doc_id"], round(r["score"], 4)) for r in page.collect()
+        )
+        if i == 2:
+            break
+    assert paged == deep
+
+
+def test_scroll_terminates_on_exhaustion(eng):
+    # a filter-only bool matches a fixed finite set; scroll must stop
+    n = eng.count({"bool": {"filter": {"term": {"lang": "de"}}}})
+    pages = list(
+        eng.scroll(
+            {"bool": {"filter": {"term": {"lang": "de"}}}}, size=max(1, n // 2 + 1)
+        )
+    )
+    assert 1 <= len(pages) <= 3
+    assert sum(p.count() for p in pages) == n
+
+
+# -- _search/template -------------------------------------------------------
+
+
+def test_search_template_native_type_substitution(eng):
+    out = eng.search_template(
+        {"query": {"match": {"field": "text", "query": "{{q}}"}}, "size": "{{k}}"},
+        {"q": "spark join", "k": 3},
+    )
+    assert out.count() == 3
+
+
+def test_search_template_string_embedding(eng):
+    # placeholder inside a longer string substitutes textually
+    direct = eng.search(
+        {"match": {"field": "text", "query": "spark join"}}, size=5
+    ).collect()
+    templated = eng.search_template(
+        '{"query": {"match": {"field": "text", "query": "spark {{w}}"}}, "size": 5}',
+        {"w": "join"},
+    ).collect()
+    assert [r["doc_id"] for r in templated] == [r["doc_id"] for r in direct]
+
+
+def test_search_template_equals_direct_query(eng):
+    direct = eng.search(MATCH, size=10).collect()
+    templated = eng.search_template(
+        {"query": MATCH, "size": 10}, {}
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 4)) for r in templated] == [
+        (r["doc_id"], round(r["score"], 4)) for r in direct
+    ]
+
+
+# -- fetch phase ------------------------------------------------------------
+
+
+def test_fetch_projects_only_requested_source(eng):
+    hits = eng.search(MATCH, size=5)
+    out = eng.fetch(hits, source=["lang"], script_fields={"dbl": "n_chars * 2"})
+    assert out.columns == ["doc_id", "score", "lang", "dbl"]
+    row = out.first()
+    assert row["dbl"] is not None
+
+
+def test_fetch_prunes_text_column_from_scan(eng, spark):
+    # _source filtering must reach the reader: a fetch that never asks
+    # for `text` must not read it (column pruning in ReadSchema)
+    hits = eng.search(MATCH, size=5)
+    plan = (
+        eng.fetch(hits, source=["n_chars"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "documents" in ln
+    ]
+    fetch_scans = [ln for ln in scans if "n_chars" in ln]
+    assert fetch_scans, "expected a documents scan with ReadSchema"
+    assert any("text" not in ln for ln in fetch_scans)
+
+
+# -- new aggregations -------------------------------------------------------
+
+
+def test_auto_date_histogram_respects_bucket_target(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(
+        ev, {"auto_date_histogram": {"field": "ts", "buckets": 12}}
+    ).collect()
+    assert 1 <= len(out) <= 12
+    ivs = {r["interval_s"] for r in out}
+    assert len(ivs) == 1
+    from neural_search_spark.plans.compiler import _AUTO_DH_LADDER
+
+    assert ivs.pop() in _AUTO_DH_LADDER
+    assert sum(r["doc_count"] for r in out) == ev.count()
+
+
+def test_auto_date_histogram_narrow_span_picks_finer_interval(eng, spark):
+    # restricting the frame to one day must select a smaller interval
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    day = ev.where(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    wide = eng._compile_agg(
+        ev, {"auto_date_histogram": {"field": "ts", "buckets": 12}}
+    ).first()["interval_s"]
+    narrow = eng._compile_agg(
+        day, {"auto_date_histogram": {"field": "ts", "buckets": 12}}
+    ).first()["interval_s"]
+    assert narrow < wide
+
+
+def test_date_range_buckets_partition_the_frame(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = {
+        r["key"]: r["doc_count"]
+        for r in eng._compile_agg(ev, {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-15 00:00:00", "key": "a"},
+            {"from": "2024-01-15 00:00:00", "key": "b"},
+        ]}}).collect()
+    }
+    assert out["a"] + out["b"] == ev.count()
+
+
+def test_top_metrics_matches_manual_sort(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"top_metrics": {
+        "sort": {"value": "desc"}, "size": 3, "id_field": "event_id",
+        "metrics": [{"field": "user_id"}],
+    }}).collect()
+    manual = (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .select("event_id", "value", "user_id")
+        .limit(3)
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in manual]
+
+
+def test_mad_matches_numpy(eng, spark):
+    import numpy as np
+
+    d = catalog.table(spark, SF_CORRECT, "documents")
+    vals = np.array([r["n_chars"] for r in d.select("n_chars").collect()], float)
+    expect = float(np.median(np.abs(vals - np.median(vals))))
+    got = eng._compile_agg(
+        d, {"median_absolute_deviation": {"field": "n_chars"}}
+    ).first()["mad"]
+    assert got == pytest.approx(expect, abs=1e-3)
+
+
+def test_boxplot_quartiles_ordered(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    r = eng._compile_agg(ev, {"boxplot": {"field": "value"}}).first()
+    assert r["min"] <= r["q1"] <= r["q2"] <= r["q3"] <= r["max"]
+
+
+def test_scripted_metric_reduce_modes(eng, spark):
+    d = catalog.table(spark, SF_CORRECT, "documents")
+    total = eng._compile_agg(d, {"scripted_metric": {
+        "map_script": "n_chars", "reduce_script": "sum"}}).first()["value"]
+    mx = eng._compile_agg(d, {"scripted_metric": {
+        "map_script": "n_chars", "reduce_script": "max"}}).first()["value"]
+    agg = d.agg(F.sum("n_chars"), F.max("n_chars")).first()
+    assert total == float(agg[0])
+    assert mx == float(agg[1])
+
+
+def test_bucket_script_computes_ratio(eng, spark):
+    d = catalog.table(spark, SF_CORRECT, "documents")
+    out = eng._compile_agg(d, {"bucket_script": {
+        "of": {"terms": {"field": "lang", "size": 5},
+               "aggs": {"s": {"sum": {"field": "n_chars"}}}},
+        "script": "s / doc_count", "as": "ratio",
+    }}).collect()
+    for r in out:
+        assert r["ratio"] == pytest.approx(r["s"] / r["doc_count"], abs=1e-3)
+
+
+def test_cumulative_cardinality_monotone_and_exact_total(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"cumulative_cardinality": {
+        "field": "ts", "fixed_interval": "1d", "value_field": "user_id",
+    }}).collect()
+    cum = [r["cumulative_cardinality"] for r in out]
+    assert cum == sorted(cum)
+    assert cum[-1] == ev.select("user_id").distinct().count()
+
+
+def test_geo_centroid_mean(eng, spark):
+    d = catalog.table(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 10).cast("double").alias("lat"),
+        (F.col("doc_id") % 7).cast("double").alias("lon"),
+    )
+    r = eng._compile_agg(d, {"geo_centroid": {}}).first()
+    m = d.agg(F.avg("lat"), F.avg("lon"), F.count("*")).first()
+    assert r["lat"] == pytest.approx(float(m[0]), abs=1e-3)
+    assert r["lon"] == pytest.approx(float(m[1]), abs=1e-3)
+    assert r["count"] == m[2]
+
+
+def test_single_leaf_pagination_offsets(eng):
+    # the default search branch must honor from_ (round-2 ADVICE noted
+    # function_score; this covers the single-leaf path)
+    top20 = [r["doc_id"] for r in eng.search(MATCH, size=20).collect()]
+    page2 = [r["doc_id"] for r in eng.search(MATCH, size=10, from_=10).collect()]
+    assert page2 == top20[10:]
