@@ -127,6 +127,8 @@ HEADLINE = [
     "scroll_page2",
     "search_fetch_fields",
     "completion_suggest",
+    "intervals_ordered",
+    "combined_fields",
 ]
 
 

@@ -1064,7 +1064,8 @@ class Engine:
         if kind in (
             "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
             "stats_bucket", "serial_diff", "bucket_selector", "bucket_sort",
-            "bucket_script",
+            "bucket_script", "percentiles_bucket", "extended_stats_bucket",
+            "normalize", "moving_fn",
         ):
             # sibling pipeline aggregations (OpenSearch `buckets_path`
             # family): the parent bucket agg compiles first; the
@@ -1103,6 +1104,63 @@ class Engine:
                     out = out.offset(int(body["from"]))
                 return out.limit(int(body.get("size", 10)))
             c = F.col(metric).cast("double")
+            if kind == "percentiles_bucket":
+                # exact percentiles of a metric ACROSS the bucket frame
+                percents = [float(p) for p in body.get("percents", [25, 50, 75])]
+                one = parent.agg(
+                    *[
+                        F.round(F.percentile(c, F.lit(p / 100.0)), 4).alias(f"p{i}")
+                        for i, p in enumerate(percents)
+                    ]
+                )
+                stack = ", ".join(f"{p}D, `p{i}`" for i, p in enumerate(percents))
+                return one.selectExpr(
+                    f"stack({len(percents)}, {stack}) AS (percent, value)"
+                )
+            if kind == "extended_stats_bucket":
+                return parent.agg(
+                    F.count(c).alias("count"),
+                    F.round(F.min(c), 4).alias("min"),
+                    F.round(F.max(c), 4).alias("max"),
+                    F.round(F.avg(c), 4).alias("avg"),
+                    F.round(F.sum(c), 4).alias("sum"),
+                    F.round(F.var_pop(c), 4).alias("variance"),
+                    F.round(F.stddev_pop(c), 4).alias("std_deviation"),
+                )
+            if kind == "normalize":
+                # normalize pipeline agg: rescale the metric over the
+                # SMALL bucket frame (unpartitioned window is bounded
+                # by bucket count, never the corpus)
+                method = body.get("method", "percent_of_sum")
+                w_all = _W.partitionBy().rowsBetween(
+                    _W.unboundedPreceding, _W.unboundedFollowing
+                )
+                if method == "percent_of_sum":
+                    out_c = c / F.sum(c).over(w_all)
+                elif method == "rescale_0_1":
+                    lo, hi = F.min(c).over(w_all), F.max(c).over(w_all)
+                    out_c = (c - lo) / (hi - lo)
+                elif method == "rescale_0_100":
+                    lo, hi = F.min(c).over(w_all), F.max(c).over(w_all)
+                    out_c = (c - lo) / (hi - lo) * 100.0
+                elif method == "z-score":
+                    out_c = (c - F.avg(c).over(w_all)) / F.stddev_pop(c).over(w_all)
+                else:
+                    raise ValueError(f"unsupported normalize method: {method}")
+                return parent.withColumn(
+                    body.get("as", "normalized"), F.round(out_c, 4)
+                )
+            if kind == "moving_fn":
+                fn = {
+                    "max": F.max, "min": F.min, "sum": F.sum, "avg": F.avg,
+                }[body.get("fn", "max")]
+                window_n = int(body.get("window", 3))
+                order_col = body.get("sort", parent.columns[0])
+                w = _W.orderBy(order_col).rowsBetween(-(window_n - 1), 0)
+                return parent.withColumn(
+                    f"moving_{body.get('fn', 'max')}",
+                    F.round(fn(c).over(w), 4),
+                )
             if kind == "serial_diff":
                 lag_n = int(body.get("lag", 1))
                 order_col = body.get("sort", parent.columns[0])
@@ -1496,6 +1554,71 @@ class Engine:
                 )
                 .select("bucket", "doc_count", "cumulative_cardinality")
                 .orderBy("bucket")
+            )
+        if kind == "rate":
+            # rate agg: per-bucket event count normalized to `unit`
+            # (e.g. day buckets reported as an hourly rate) — the
+            # normalization is a constant factor folded into the
+            # projection, so the plan is exactly a date_histogram
+            _u = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+            biv = body["fixed_interval"]
+            bucket_s = int(biv[:-1]) * _u[biv[-1]]
+            unit_s = _u[body.get("unit", "h")[-1]] * int(
+                body.get("unit", "1h")[:-1] or 1
+            )
+            ep = F.col(body["field"]).cast("timestamp").cast("long")
+            bucket = F.timestamp_seconds(
+                (F.floor(ep / bucket_s) * bucket_s).cast("long")
+            ).alias("bucket")
+            return (
+                df.groupBy(bucket)
+                .agg(F.count("*").alias("doc_count"))
+                .withColumn(
+                    "rate",
+                    F.round(
+                        F.col("doc_count") * (float(unit_s) / float(bucket_s)), 4
+                    ),
+                )
+                .orderBy("bucket")
+            )
+        if kind == "t_test":
+            # t_test agg (Welch's unpaired two-sample): both samples
+            # are conditional aggregates over ONE scan — no per-group
+            # re-scan; var_samp ignores the NULLs the CASE injects
+            c = F.col(body["field"]).cast("double")
+            pa = F.expr(compile_filter(body["a"]))
+            pb = F.expr(compile_filter(body["b"]))
+            ca = F.when(pa, c)
+            cb = F.when(pb, c)
+            one = df.agg(
+                F.count(ca).cast("double").alias("__na"),
+                F.avg(ca).alias("__ma"),
+                F.var_samp(ca).alias("__va"),
+                F.count(cb).cast("double").alias("__nb"),
+                F.avg(cb).alias("__mb"),
+                F.var_samp(cb).alias("__vb"),
+            )
+            sea = F.col("__va") / F.col("__na")
+            seb = F.col("__vb") / F.col("__nb")
+            t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sea + seb)
+            dof = F.pow(sea + seb, 2) / (
+                F.pow(sea, 2) / (F.col("__na") - 1.0)
+                + F.pow(seb, 2) / (F.col("__nb") - 1.0)
+            )
+            return one.select(
+                F.round(t, 4).alias("t"),
+                F.round(dof, 4).alias("df"),
+                F.col("__na").cast("bigint").alias("n_a"),
+                F.col("__nb").cast("bigint").alias("n_b"),
+            )
+        if kind == "geo_bounds":
+            lat = F.col(body.get("lat_field", "lat")).cast("double")
+            lon = F.col(body.get("lon_field", "lon")).cast("double")
+            return df.agg(
+                F.round(F.max(lat), 4).alias("top"),
+                F.round(F.min(lon), 4).alias("left"),
+                F.round(F.min(lat), 4).alias("bottom"),
+                F.round(F.max(lon), 4).alias("right"),
             )
         if kind == "geo_centroid":
             # geo_centroid: arithmetic mean of coordinates (OpenSearch

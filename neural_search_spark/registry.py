@@ -5422,6 +5422,11 @@ PRIORITY_50 = [
     "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
     "mget_docs", "field_caps", "scroll_page2", "search_template_match",
     "search_fetch_fields", "completion_suggest",
+    "span_or", "span_first", "intervals_ordered", "match_bool_prefix",
+    "combined_fields", "terms_lookup",
+    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
+    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
+    "dsl_agg_t_test", "dsl_agg_geo_bounds",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -9456,6 +9461,452 @@ WHERE input LIKE '{COMPLETION_PREFIX}%'
 ORDER BY weight DESC, input LIMIT 5
 """
 SPARK_QUERIES["completion_suggest"] = q_completion_suggest
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 batch 2: Lucene span/interval depth (span_or,
+# span_first, intervals), match_bool_prefix, combined_fields (BM25F-style
+# unified stats), terms lookup
+# ---------------------------------------------------------------------------
+
+# shared BM25 tail for the span-family oracles: doclen / corpus stats
+_SQL_DOCLEN_STATS = """
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen)
+"""
+# 0-based positional postings (matches Spark posexplode)
+_SQL_POSITIONS = """
+toks AS (
+  SELECT d.doc_id, d.l[CAST(t.i AS INT)] AS token, CAST(t.i - 1 AS INT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+        FROM documents) d,
+       LATERAL unnest(range(1, len(d.l) + 1)) t(i)
+)
+"""
+_SQL_BM25_TAIL = """
+dfs AS (SELECT count(*)::DOUBLE AS df FROM matched),
+scored AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (m.tf * (1.2 + 1.0))
+         / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS score
+  FROM matched m JOIN doclen d USING (doc_id)
+  CROSS JOIN dfs f CROSS JOIN stats s
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT
+"""
+
+SPAN_OR_TERMS = ["table", "vector"]
+
+
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_or: union of the clause spans — combined occurrence count
+    scored as one pseudo-term (operators/bm25.py::span_or_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_or": {"terms": SPAN_OR_TERMS}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_or"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+{_SQL_DOCLEN_STATS.strip().rstrip()},
+matched AS (
+  SELECT doc_id, sum(weight)::DOUBLE AS tf FROM post
+  WHERE token IN ({", ".join(f"'{t}'" for t in SPAN_OR_TERMS)})
+  GROUP BY doc_id
+),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["span_or"] = q_span_or
+
+
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 5
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first: the term within the first `end` positions; tf counts
+    only qualifying occurrences (bm25.py::span_first_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_first": {"term": SPAN_FIRST_TERM, "end": SPAN_FIRST_END}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_first"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+matched AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM toks
+  WHERE token = '{SPAN_FIRST_TERM}' AND pos < {SPAN_FIRST_END}
+  GROUP BY doc_id
+),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["span_first"] = q_span_first
+
+
+IV_TERMS, IV_MAX_GAPS = ["spark", "join", "window"], 8
+
+
+def q_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals (ordered match, max_gaps): tf = first-term occurrences
+    starting a greedy ordered chain through all terms with span ≤
+    (m-1)+max_gaps (bm25.py::intervals_topk; chain anchoring
+    divergence documented there)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"intervals": {"terms": IV_TERMS, "max_gaps": IV_MAX_GAPS}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_IV_SPAN = len(IV_TERMS) - 1 + IV_MAX_GAPS
+_IV_CHAIN = (
+    "list_min(list_filter(p2, r -> r > list_min(list_filter(p1, q -> q > p))))"
+)
+ORACLES["intervals_ordered"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+pl AS (
+  SELECT doc_id, token, list_sort(list(pos)) AS ps FROM toks
+  WHERE token IN ({", ".join(f"'{t}'" for t in IV_TERMS)})
+  GROUP BY doc_id, token
+),
+j AS (
+  SELECT a.doc_id, a.ps AS p0, b.ps AS p1, c.ps AS p2
+  FROM pl a JOIN pl b USING (doc_id) JOIN pl c USING (doc_id)
+  WHERE a.token = '{IV_TERMS[0]}' AND b.token = '{IV_TERMS[1]}'
+    AND c.token = '{IV_TERMS[2]}'
+),
+m0 AS (
+  SELECT doc_id,
+         len(list_filter(p0, p -> {_IV_CHAIN} IS NOT NULL
+             AND {_IV_CHAIN} - p <= {_IV_SPAN}))::DOUBLE AS tf
+  FROM j
+),
+matched AS (SELECT doc_id, tf FROM m0 WHERE tf > 0),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["intervals_ordered"] = q_intervals_ordered
+
+
+MBP_QUERY = "stream win"
+
+
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix: leading tokens score as BM25 should-terms,
+    the last token is a prefix query under the constant-score
+    multi-term rewrite (1.0 per matching doc)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"match_bool_prefix": {"field": "text", "query": MBP_QUERY}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["match_bool_prefix"] = f"""
+WITH post AS ({SQL_TF_POSTINGS}),
+{_SQL_DOCLEN_STATS.strip()},
+tdf AS (
+  SELECT count(*)::DOUBLE AS df FROM post WHERE token = 'stream'
+),
+bm AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.weight * (1.2 + 1.0))
+         / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS score
+  FROM post p JOIN doclen d USING (doc_id)
+  CROSS JOIN tdf f CROSS JOIN stats s
+  WHERE p.token = 'stream'
+),
+pd AS (
+  SELECT DISTINCT doc_id, 1.0 AS score FROM post WHERE token LIKE 'win%'
+),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM pd),
+s2 AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM s2 ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["match_bool_prefix"] = q_match_bool_prefix
+
+
+CF_TITLE_W = 2.0
+CF_TITLE_TOKENS = 8  # = plans.compiler.Engine.TITLE_TOKENS (asserted in tests)
+
+
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combined_fields: BM25F-style UNIFIED term statistics — tf and
+    doc length merge across (text, title^2) with field weights BEFORE
+    one BM25 pass, vs multi_match's per-field scoring
+    (bm25.py::combined_fields_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"combined_fields": {"query": BM25_QUERY,
+                             "fields": ["text", f"title^{CF_TITLE_W}"]}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["combined_fields"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+  FROM documents
+),
+q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+text_tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(l) AS token FROM base)
+  GROUP BY doc_id, token
+),
+title AS (SELECT doc_id, list_slice(l, 1, {CF_TITLE_TOKENS}) AS tl FROM base),
+title_tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tl) AS token FROM title)
+  GROUP BY doc_id, token
+),
+tfc AS (
+  SELECT doc_id, token, sum(tf) AS tf FROM (
+    SELECT t.doc_id, t.token, t.tf * 1.0 AS tf FROM text_tf t JOIN q USING (token)
+    UNION ALL
+    SELECT t.doc_id, t.token, t.tf * {CF_TITLE_W} FROM title_tf t JOIN q USING (token)
+  ) GROUP BY doc_id, token
+),
+dlc AS (
+  SELECT doc_id, sum(dl) AS dl FROM (
+    SELECT doc_id, len(l)::DOUBLE * 1.0 AS dl FROM base
+    UNION ALL
+    SELECT doc_id, len(tl)::DOUBLE * {CF_TITLE_W} FROM title
+  ) GROUP BY doc_id
+),
+cstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dlc),
+dfs AS (SELECT token, count(*)::DOUBLE AS df FROM tfc GROUP BY token),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * (1.2 + 1.0))
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM tfc t JOIN dfs f USING (token) JOIN dlc d USING (doc_id)
+  CROSS JOIN cstats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["combined_fields"] = q_combined_fields
+
+
+TL_DOC_ID = 7
+
+
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms lookup: filter values come from ANOTHER document's field
+    (driver-side point-read hoisting, like query-vector inference),
+    then a constant-score filter."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"terms_lookup": {"field": "lang", "id": TL_DOC_ID, "path": "lang"}},
+        size=K,
+    )
+    return out.select("doc_id", "score")
+
+
+ORACLES["terms_lookup"] = f"""
+SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+WHERE lang = (SELECT lang FROM documents WHERE doc_id = {TL_DOC_ID})
+ORDER BY doc_id LIMIT {K}
+"""
+SPARK_QUERIES["terms_lookup"] = q_terms_lookup
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 batch 3: pipeline/statistical agg completion —
+# percentiles_bucket, extended_stats_bucket, normalize, moving_fn, rate,
+# t_test (Welch), geo_bounds
+# ---------------------------------------------------------------------------
+
+_SQL_DAILY = """
+daily AS (
+  SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+"""
+
+
+def q_dsl_agg_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles_bucket: exact percentiles of a metric ACROSS the
+    parent's bucket frame (daily event counts)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"percentiles_bucket": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "percents": [25, 50, 75, 90],
+    }})
+
+
+ORACLES["dsl_agg_percentiles_bucket"] = f"""
+WITH {_SQL_DAILY.strip()}
+SELECT 25.0::DOUBLE AS percent,
+       round(quantile_cont(doc_count::DOUBLE, 0.25), 4) AS value FROM daily
+UNION ALL
+SELECT 50.0::DOUBLE, round(quantile_cont(doc_count::DOUBLE, 0.50), 4) FROM daily
+UNION ALL
+SELECT 75.0::DOUBLE, round(quantile_cont(doc_count::DOUBLE, 0.75), 4) FROM daily
+UNION ALL
+SELECT 90.0::DOUBLE, round(quantile_cont(doc_count::DOUBLE, 0.90), 4) FROM daily
+"""
+SPARK_QUERIES["dsl_agg_percentiles_bucket"] = q_dsl_agg_percentiles_bucket
+
+
+def q_dsl_agg_extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats_bucket: variance/std of daily counts — one agg
+    over the small bucket frame."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"extended_stats_bucket": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count",
+    }})
+
+
+ORACLES["dsl_agg_extended_stats_bucket"] = f"""
+WITH {_SQL_DAILY.strip()}
+SELECT count(doc_count) AS count,
+       round(min(doc_count::DOUBLE), 4) AS min,
+       round(max(doc_count::DOUBLE), 4) AS max,
+       round(avg(doc_count::DOUBLE), 4) AS avg,
+       round(sum(doc_count::DOUBLE), 4) AS sum,
+       round(var_pop(doc_count::DOUBLE), 4) AS variance,
+       round(stddev_pop(doc_count::DOUBLE), 4) AS std_deviation
+FROM daily
+"""
+SPARK_QUERIES["dsl_agg_extended_stats_bucket"] = q_dsl_agg_extended_stats_bucket
+
+
+def q_dsl_agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize pipeline agg (percent_of_sum) over a terms parent —
+    the rescale window runs over the bounded bucket frame only."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"normalize": {
+        "of": {"terms": {"field": "event_type", "size": 10}},
+        "metric": "doc_count", "method": "percent_of_sum", "as": "share",
+    }})
+
+
+ORACLES["dsl_agg_normalize"] = """
+WITH b AS (
+  SELECT event_type AS key, count(*) AS doc_count
+  FROM events GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+)
+SELECT key, doc_count,
+       round(doc_count::DOUBLE / sum(doc_count::DOUBLE) OVER (), 4) AS share
+FROM b
+"""
+SPARK_QUERIES["dsl_agg_normalize"] = q_dsl_agg_normalize
+
+
+def q_dsl_agg_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn(max, window 7) over daily buckets."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"moving_fn": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "fn": "max", "window": 7, "sort": "bucket",
+    }})
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "moving_max",
+    )
+
+
+ORACLES["dsl_agg_moving_fn"] = f"""
+WITH {_SQL_DAILY.strip()}
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, doc_count,
+       round(max(doc_count::DOUBLE) OVER (
+         ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS moving_max
+FROM daily ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_moving_fn"] = q_dsl_agg_moving_fn
+
+
+def q_dsl_agg_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate agg: daily buckets reported as an hourly rate — the
+    normalization folds into the projection (plan = date_histogram)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"rate": {
+        "field": "ts", "fixed_interval": "1d", "unit": "1h",
+    }})
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "rate",
+    )
+
+
+ORACLES["dsl_agg_rate"] = f"""
+WITH {_SQL_DAILY.strip()}
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, doc_count,
+       round(doc_count::DOUBLE * (3600.0 / 86400.0), 4) AS rate
+FROM daily ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_rate"] = q_dsl_agg_rate
+
+
+def q_dsl_agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_test agg (Welch's unpaired): click vs view event values —
+    both samples are conditional aggregates over ONE scan."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    return eng._compile_agg(ev, {"t_test": {
+        "field": "value",
+        "a": {"term": {"event_type": "click"}},
+        "b": {"term": {"event_type": "view"}},
+    }})
+
+
+ORACLES["dsl_agg_t_test"] = """
+WITH s AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN value END)::DOUBLE AS na,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+         count(CASE WHEN event_type = 'view' THEN value END)::DOUBLE AS nb,
+         avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+         var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb
+  FROM events
+)
+SELECT round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1.0) + pow(vb / nb, 2) / (nb - 1.0)),
+             4) AS df,
+       na::BIGINT AS n_a, nb::BIGINT AS n_b
+FROM s
+"""
+SPARK_QUERIES["dsl_agg_t_test"] = q_dsl_agg_t_test
+
+
+def q_dsl_agg_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounds: the tightest box around all points — one agg pass
+    over the derived geo frame."""
+    eng = _agg_engine(spark, sf_dir)
+    return eng._compile_agg(_geo_docs(spark, sf_dir), {"geo_bounds": {}})
+
+
+ORACLES["dsl_agg_geo_bounds"] = f"""
+WITH g AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents
+)
+SELECT round(max(lat), 4) AS top, round(min(lon), 4) AS "left",
+       round(min(lat), 4) AS bottom, round(max(lon), 4) AS "right"
+FROM g
+"""
+SPARK_QUERIES["dsl_agg_geo_bounds"] = q_dsl_agg_geo_bounds
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -277,3 +277,76 @@ def test_single_leaf_pagination_offsets(eng):
     top20 = [r["doc_id"] for r in eng.search(MATCH, size=20).collect()]
     page2 = [r["doc_id"] for r in eng.search(MATCH, size=10, from_=10).collect()]
     assert page2 == top20[10:]
+
+
+# -- batch-3 pipeline/statistical aggs ---------------------------------------
+
+
+def test_percentiles_bucket_monotone(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"percentiles_bucket": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "percents": [10, 50, 90],
+    }}).collect()
+    vals = [r["value"] for r in sorted(out, key=lambda r: r["percent"])]
+    assert vals == sorted(vals)
+
+
+def test_normalize_percent_of_sum_sums_to_one(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"normalize": {
+        "of": {"terms": {"field": "event_type", "size": 10}},
+        "metric": "doc_count", "method": "percent_of_sum", "as": "share",
+    }}).collect()
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_normalize_rescale_bounds(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"normalize": {
+        "of": {"terms": {"field": "event_type", "size": 10}},
+        "metric": "doc_count", "method": "rescale_0_1", "as": "r",
+    }}).collect()
+    rs = [r["r"] for r in out]
+    assert min(rs) == 0.0 and max(rs) == 1.0
+
+
+def test_moving_fn_max_dominates_value(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"moving_fn": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "fn": "max", "window": 7, "sort": "bucket",
+    }}).collect()
+    for r in out:
+        assert r["moving_max"] >= r["doc_count"]
+
+
+def test_rate_scales_doc_count(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"rate": {
+        "field": "ts", "fixed_interval": "1d", "unit": "1h"}}).collect()
+    for r in out:
+        assert r["rate"] == pytest.approx(r["doc_count"] / 24.0, abs=1e-3)
+
+
+def test_t_test_zero_for_identical_samples(eng, spark):
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    r = eng._compile_agg(ev, {"t_test": {
+        "field": "value",
+        "a": {"term": {"event_type": "click"}},
+        "b": {"term": {"event_type": "click"}},
+    }}).first()
+    assert r["t"] == pytest.approx(0.0, abs=1e-6)
+    assert r["n_a"] == r["n_b"]
+
+
+def test_geo_bounds_contains_centroid(eng, spark):
+    d = catalog.table(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 10).cast("double").alias("lat"),
+        (F.col("doc_id") % 7).cast("double").alias("lon"),
+    )
+    box = eng._compile_agg(d, {"geo_bounds": {}}).first()
+    cen = eng._compile_agg(d, {"geo_centroid": {}}).first()
+    assert box["bottom"] <= cen["lat"] <= box["top"]
+    assert box["left"] <= cen["lon"] <= box["right"]

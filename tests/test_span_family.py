@@ -1,0 +1,126 @@
+"""Span-family depth: span_or, span_first, intervals (ordered,
+max_gaps), match_bool_prefix, combined_fields (BM25F-style unified
+stats), terms lookup.
+
+Golden micro-corpus cases pin the positional semantics exactly;
+corpus-level invariants run at sf0.01 through the Engine DSL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators import bm25 as B
+from neural_search_spark.plans.compiler import Engine
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark, SF_CORRECT)
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # adjacent ordered chain
+            (2, "a x b c"),        # chain with one gap
+            (3, "c b a"),          # terms present, wrong order
+            (4, "a a b b c"),      # two chain starts
+            (5, "a b"),            # missing final term
+        ],
+        "doc_id long, text string",
+    )
+    return B.build_positional(docs), B.build_bm25(docs)
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def test_intervals_adjacent_only_at_zero_gaps(micro):
+    pos, idx = micro
+    out = B.intervals_topk(pos, idx, ["a", "b", "c"], max_gaps=0, k=10)
+    # doc 1 (a b c) and doc 4 (…b b c: a@1→b@2? a@0→b@2 gap; greedy
+    # from a@0 chains b@2,c@4 span 4 > 2; from a@1 chains b@2,c@4 span 3 > 2)
+    assert _ids(out) == {1}
+
+
+def test_intervals_gap_widens_matches(micro):
+    pos, idx = micro
+    g0 = _ids(B.intervals_topk(pos, idx, ["a", "b", "c"], max_gaps=0, k=10))
+    g2 = _ids(B.intervals_topk(pos, idx, ["a", "b", "c"], max_gaps=2, k=10))
+    assert g0 <= g2
+    assert 2 in g2  # a x b c needs one gap
+    assert 3 not in g2  # wrong order never matches
+    assert 5 not in g2  # missing term never matches
+
+
+def test_intervals_order_is_required(micro):
+    pos, idx = micro
+    out = B.intervals_topk(pos, idx, ["c", "b", "a"], max_gaps=0, k=10)
+    assert _ids(out) == {3}
+
+
+def test_span_or_tf_is_total_occurrences(micro):
+    pos, idx = micro
+    out = {r["doc_id"]: r["score"] for r in
+           B.span_or_topk(pos, idx, ["a", "b"], k=10).collect()}
+    # doc 4 has a,a,b,b (tf 4) — must outscore doc 1 (tf 2, same dl? no,
+    # dl differs; just assert membership and that tf>0 docs all appear)
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_span_first_counts_only_early_positions(micro):
+    pos, idx = micro
+    # "b" at pos<1 appears in no doc; at pos<2 in docs 1, 3, 5 (b@1)
+    assert _ids(B.span_first_topk(pos, idx, "b", end=1, k=10)) == set()
+    assert _ids(B.span_first_topk(pos, idx, "b", end=2, k=10)) == {1, 3, 5}
+
+
+def test_span_first_subset_of_wider_window(eng):
+    narrow = {r["doc_id"] for r in eng.search(
+        {"span_first": {"term": "spark", "end": 2}}, size=1000).collect()}
+    wide = {r["doc_id"] for r in eng.search(
+        {"span_first": {"term": "spark", "end": 10}}, size=1000).collect()}
+    assert narrow <= wide
+
+
+def test_match_bool_prefix_matches_either_side(eng, spark):
+    hits = eng.search(
+        {"match_bool_prefix": {"field": "text", "query": "stream win"}}, size=10
+    )
+    docs = eng.documents().select("doc_id", "text")
+    joined = hits.join(docs, "doc_id").collect()
+    for r in joined:
+        toks = r["text"].lower().split()
+        assert "stream" in toks or any(t.startswith("win") for t in toks)
+
+
+def test_combined_fields_single_field_equals_bm25(eng):
+    cf = eng.search(
+        {"combined_fields": {"query": "spark join", "fields": ["text"]}}, size=10
+    ).collect()
+    bm = eng.search(
+        {"match": {"field": "text", "query": "spark join"}}, size=10
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 4)) for r in cf] == [
+        (r["doc_id"], round(r["score"], 4)) for r in bm
+    ]
+
+
+def test_combined_fields_title_constant_matches_engine_projection():
+    from neural_search_spark import registry
+
+    assert registry.CF_TITLE_TOKENS == Engine.TITLE_TOKENS
+
+
+def test_terms_lookup_matches_manual_filter(eng):
+    out = eng.search(
+        {"terms_lookup": {"field": "lang", "id": 7, "path": "lang"}}, size=1000
+    )
+    lang = eng.documents().where(F.col("doc_id") == 7).first()["lang"]
+    manual = eng.documents().where(F.col("lang") == lang).count()
+    assert out.count() == min(manual, 1000)
