@@ -129,6 +129,8 @@ HEADLINE = [
     "completion_suggest",
     "intervals_ordered",
     "combined_fields",
+    "nested_inner_hits",
+    "cross_index_search",
 ]
 
 

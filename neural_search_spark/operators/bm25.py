@@ -789,27 +789,23 @@ def intervals_topk(
     return _bm25_from_tf(matched, index, k, id_col)
 
 
-def combined_fields_topk(
-    indexes: list[tuple[BM25Index, float]],
-    query: str,
-    k: int = 10,
-    id_col: str = "doc_id",
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """`combined_fields` query: BM25 over a virtual field whose term
-    frequencies and lengths are the per-field values merged with field
-    weights (the BM25F-style single-stats combination OpenSearch
-    documents — unlike multi_match, term statistics are UNIFIED across
-    fields, not per-field). All stats derive lazily from the field
-    indexes; the 1-row combined avgdl is broadcast, never collected."""
-    terms = sorted({t for t in query.lower().split() if t})
-    spark = indexes[0][0].postings.sparkSession
-    from .retrieval import token_frame
+@dataclass
+class CombinedFieldsIndex:
+    """Weight-merged virtual-field index for `combined_fields` — an
+    INGEST artifact (like BM25Index): build once per field set, reuse
+    per query. `postings` carries the merged tf for EVERY token, so
+    query time is one broadcast token join + score."""
 
-    q = token_frame(spark, dict.fromkeys(terms, 1.0)).select("token")
+    postings: DataFrame  # (doc_id, token, tf) weight-merged
+    doclen: DataFrame  # (doc_id, dl) weight-merged
+    stats: DataFrame  # 1-row (__n, __avgdl) — stays lazy, broadcast at use
+
+
+def build_combined_fields(
+    indexes: list[tuple[BM25Index, float]], id_col: str = "doc_id"
+) -> CombinedFieldsIndex:
     tf_parts = [
-        idx.postings.join(F.broadcast(q), "token").select(
+        idx.postings.select(
             F.col(id_col), "token", (F.col("tf") * F.lit(w)).alias("tf")
         )
         for idx, w in indexes
@@ -829,6 +825,38 @@ def combined_fields_topk(
     stats = dlc.agg(
         F.count("*").cast("double").alias("__n"), F.avg("dl").alias("__avgdl")
     )
+    return CombinedFieldsIndex(postings=tfc, doclen=dlc, stats=stats)
+
+
+def combined_fields_topk(
+    indexes: list[tuple[BM25Index, float]] | CombinedFieldsIndex,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """`combined_fields` query: BM25 over a virtual field whose term
+    frequencies and lengths are the per-field values merged with field
+    weights (the BM25F-style single-stats combination OpenSearch
+    documents — unlike multi_match, term statistics are UNIFIED across
+    fields, not per-field). Pass a prebuilt (cached/persisted)
+    CombinedFieldsIndex for the production path — the per-query work
+    is then a broadcast token join + one score agg; a raw index list
+    builds the artifact inline (small-corpus convenience)."""
+    cidx = (
+        indexes
+        if isinstance(indexes, CombinedFieldsIndex)
+        else build_combined_fields(indexes, id_col)
+    )
+    terms = sorted({t for t in query.lower().split() if t})
+    spark = cidx.postings.sparkSession
+    from .retrieval import token_frame
+
+    q = token_frame(spark, dict.fromkeys(terms, 1.0)).select("token")
+    tfc = cidx.postings.join(F.broadcast(q), "token")
+    dlc = cidx.doclen
+    stats = cidx.stats
     df_tbl = tfc.groupBy("token").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
         F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)

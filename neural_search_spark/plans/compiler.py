@@ -504,6 +504,19 @@ class Engine:
         if qtype == "match_phrase":
             if "query" not in body:
                 raise ValueError("match_phrase query requires 'query'")
+            slop = int(body.get("slop", 0))
+            if slop > 0:
+                # sloppy phrase: ordered greedy chains within
+                # (m-1)+slop positions — the intervals machinery.
+                # Divergence note: Lucene's sloppy phrase also accepts
+                # out-of-order arrangements (each transposition costs
+                # 2 slop); the ordered subset is what's implemented,
+                # which agrees for in-order text
+                return B.intervals_topk(
+                    self.positional_index(), self.bm25_index(),
+                    [t for t in body["query"].lower().split() if t],
+                    max_gaps=slop, k=k,
+                )
             return B.phrase_topk(
                 self.positional_index(), self.bm25_index(), body["query"], k=k,
                 candidate_ids=candidate_ids,
@@ -669,11 +682,24 @@ class Engine:
             # across weighted fields (vs multi_match's per-field
             # scoring) — tf and dl merge with field weights before a
             # single BM25 pass
-            fields = []
+            fields, key_parts = [], []
             for f_ in body["fields"]:
                 name_, _, w_ = f_.partition("^")
                 fields.append((self.field_index(name_), float(w_ or 1.0)))
-            return B.combined_fields_topk(fields, body["query"], k=k)
+                key_parts.append((name_, float(w_ or 1.0)))
+            # the merged virtual-field stats are an INGEST artifact:
+            # build + persist once per field set, reuse per query
+            ckey = tuple(key_parts)
+            if not hasattr(self, "_combined_idx"):
+                self._combined_idx: dict[tuple, B.CombinedFieldsIndex] = {}
+            if ckey not in self._combined_idx:
+                cidx = B.build_combined_fields(fields)
+                cidx.postings.persist()
+                cidx.doclen.persist()
+                self._combined_idx[ckey] = cidx
+            return B.combined_fields_topk(
+                self._combined_idx[ckey], body["query"], k=k
+            )
         if qtype == "terms_lookup":
             # terms lookup (OpenSearch `terms` with a lookup body):
             # the filter values come from ANOTHER document's field —
@@ -990,6 +1016,70 @@ class Engine:
         for name_, expr_ in (script_fields or {}).items():
             cols.append(F.expr(expr_).alias(name_))
         return out.select(*cols).orderBy(F.col("score").desc(), "doc_id")
+
+    def profile(self, query: dict[str, Any], size: int = DEFAULT_K) -> dict[str, int]:
+        """The `_search?profile=true` analogue: deterministic physical-
+        plan features of the compiled query instead of Lucene's timing
+        tree (wall times are non-reproducible; plan shape is what a
+        user tunes against). Counts Exchange (shuffle), broadcast
+        joins, sort-merge joins, TakeOrdered top-k nodes, nested-loop
+        joins, and single-partition exchanges — the same red/green
+        flags PLANS.md tracks repo-wide."""
+        import io
+        import re as _re
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            self.search(query, size=size).explain("formatted")
+        txt = buf.getvalue()
+        return {
+            "shuffles": len(_re.findall(r"\(\d+\) Exchange\b", txt)),
+            "broadcast_joins": len(_re.findall(r"\(\d+\) BroadcastHashJoin", txt)),
+            "sort_merge_joins": len(_re.findall(r"\(\d+\) SortMergeJoin", txt)),
+            "top_k_nodes": len(_re.findall(r"TakeOrderedAndProject", txt)),
+            "nested_loop_joins": len(
+                _re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", txt)
+            ),
+            "single_partition_exchanges": len(
+                _re.findall(r"Exchange SinglePartition", txt)
+            ),
+        }
+
+    def cached_search(
+        self,
+        query: dict[str, Any],
+        pipeline: dict[str, Any] | None = None,
+        size: int = DEFAULT_K,
+        from_: int = 0,
+    ) -> DataFrame:
+        """Request-cache analogue (`indices.requests.cache`): the first
+        execution of a (query, pipeline, size, from) key persists its
+        hit frame; repeats return the persisted frame without
+        recompute. Keyed on the canonical JSON of the request — the
+        same shard-request-key idea, minus shards. `request_cache_stats`
+        exposes hit/miss counters (S7 stats parity)."""
+        import json as _json
+
+        key = _json.dumps(
+            {"q": query, "p": pipeline, "s": size, "f": from_},
+            sort_keys=True, default=str,
+        )
+        if not hasattr(self, "_request_cache"):
+            self._request_cache: dict[str, DataFrame] = {}
+            self._request_cache_stats = {"hits": 0, "misses": 0}
+        if key in self._request_cache:
+            self._request_cache_stats["hits"] += 1
+            return self._request_cache[key]
+        self._request_cache_stats["misses"] += 1
+        out = self.search(query, pipeline, size=size, from_=from_).persist()
+        self._request_cache[key] = out
+        return out
+
+    def request_cache_stats(self) -> dict[str, int]:
+        return dict(
+            getattr(self, "_request_cache_stats", {"hits": 0, "misses": 0})
+        )
 
     # -- aggregations (OpenSearch `aggs` body) -----------------------------
     def search_aggs(
@@ -2451,3 +2541,29 @@ def _agentic_translate(question: str) -> dict:
             ]
         }
     }
+
+
+def cross_index_search(
+    engines: dict[str, "Engine"],
+    query: dict[str, Any],
+    size: int = DEFAULT_K,
+) -> DataFrame:
+    """Cross-cluster / multi-index search (the `cluster:index` fan-out
+    OpenSearch CCS performs): the SAME query compiles independently
+    against every engine — per-index corpus statistics, exactly like
+    CCS scoring each cluster with its own idf/avgdl — then the
+    per-index top-`size` frames union with index provenance and
+    re-sort. One Spark job schedules every sub-plan; each remote's
+    result frame is ≤ size rows, so the merge is a TakeOrdered over
+    |indices|·size rows, never a corpus-wide shuffle."""
+    frames = []
+    for name, eng in engines.items():
+        frames.append(
+            eng.search(query, size=size).select(
+                F.lit(name).alias("idx"), "doc_id", "score"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy(F.col("score").desc(), "idx", "doc_id").limit(size)

@@ -5427,6 +5427,7 @@ PRIORITY_50 = [
     "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
     "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
     "dsl_agg_t_test", "dsl_agg_geo_bounds",
+    "match_phrase_slop", "nested_inner_hits", "cross_index_search",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -9907,6 +9908,194 @@ SELECT round(max(lat), 4) AS top, round(min(lon), 4) AS "left",
 FROM g
 """
 SPARK_QUERIES["dsl_agg_geo_bounds"] = q_dsl_agg_geo_bounds
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 batch 4: sloppy match_phrase, nested inner_hits,
+# cross-index (CCS-analogue) search
+# ---------------------------------------------------------------------------
+
+MPS_TERMS, MPS_SLOP = ["table", "scan"], 3
+
+
+def q_match_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop: ordered greedy chains within
+    (m-1)+slop positions via the intervals machinery (compiler
+    match_phrase branch; ordered-subset divergence documented)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"match_phrase": {"field": "text",
+                          "query": " ".join(MPS_TERMS), "slop": MPS_SLOP}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["match_phrase_slop"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+pl AS (
+  SELECT doc_id, token, list_sort(list(pos)) AS ps FROM toks
+  WHERE token IN ('{MPS_TERMS[0]}', '{MPS_TERMS[1]}')
+  GROUP BY doc_id, token
+),
+j AS (
+  SELECT a.doc_id, a.ps AS p0, b.ps AS p1
+  FROM pl a JOIN pl b USING (doc_id)
+  WHERE a.token = '{MPS_TERMS[0]}' AND b.token = '{MPS_TERMS[1]}'
+),
+m0 AS (
+  SELECT doc_id,
+         len(list_filter(p0, p -> list_min(list_filter(p1, q -> q > p)) IS NOT NULL
+             AND list_min(list_filter(p1, q -> q > p)) - p <= {1 + MPS_SLOP}))::DOUBLE AS tf
+  FROM j
+),
+matched AS (SELECT doc_id, tf FROM m0 WHERE tf > 0),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["match_phrase_slop"] = q_match_phrase_slop
+
+
+def q_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested chunk retrieval WITH inner_hits: parent score = max chunk
+    score (R2), and each hit carries its best-matching chunk (index +
+    text) — the OpenSearch nested `inner_hits` payload. One window
+    rank per doc over the chunk frame; no second scoring pass."""
+    from pyspark.sql import Window as _W
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    chunks = C.chunk_fixed_token(F.col("text"), CHUNK_TOKEN_LIMIT, CHUNK_OVERLAP_RATE)
+    exploded = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    toks = S.tokens(F.col("chunk"))
+    score = F.lit(0.0)
+    for t, w in CHUNK_QUERY_TOKENS.items():
+        score = score + F.lit(float(w)) * F.size(
+            F.filter(toks, lambda x: x == t)
+        ).cast("double")
+    scored = exploded.select("doc_id", "chunk_idx", "chunk", score.alias("score"))
+    w = _W.partitionBy("doc_id").orderBy(F.col("score").desc(), "chunk_idx")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.orderBy(F.col("score").desc(), "doc_id")
+        .limit(K)
+        .select("doc_id", F.round("score", 4).alias("score"),
+                "chunk_idx", "chunk")
+    )
+
+
+ORACLES["nested_inner_hits"] = f"""
+WITH chunks AS (
+  SELECT doc_id, s.idx AS chunk_idx, s.chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(toks) - 1) // {_CHUNK_TOK_STRIDE} + 1),
+             i -> {{'idx': i,
+                    'chunk': array_to_string(list_slice(toks, i * {_CHUNK_TOK_STRIDE} + 1,
+                                                        i * {_CHUNK_TOK_STRIDE} + {CHUNK_TOKEN_LIMIT}), ' ')}})) AS s
+    FROM (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+      FROM documents
+    )
+    WHERE len(toks) >= 1
+  )
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx, chunk, {_R2_SCORE_SQL} AS score
+  FROM (SELECT doc_id, chunk_idx, chunk,
+               list_filter(regexp_split_to_array(chunk, '\\s+'), t -> t != '') AS ctoks
+        FROM chunks)
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, chunk_idx) AS rn
+  FROM chunk_scores
+)
+SELECT doc_id, round(score, 4) AS score, chunk_idx, chunk
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["nested_inner_hits"] = q_nested_inner_hits
+
+
+REMOTE_SF = "/root/testdata/sf0.001"
+
+
+def _bm25_cte(prefix: str, table: str) -> str:
+    """Per-index BM25 CTE chain (post/doclen/stats/dfs/scored) — each
+    index scores with ITS OWN corpus statistics, the CCS contract."""
+    return f"""
+{prefix}_post AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS weight
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS token
+    FROM {table}
+  )
+  GROUP BY doc_id, token
+),
+{prefix}_doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM {table}
+),
+{prefix}_stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM {prefix}_doclen),
+{prefix}_dfs AS (
+  SELECT p.token, count(*)::DOUBLE AS df
+  FROM {prefix}_post p JOIN q USING (token) GROUP BY p.token
+),
+{prefix}_scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.weight * (1.2 + 1.0))
+           / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM {prefix}_post p
+  JOIN q USING (token)
+  JOIN {prefix}_dfs f ON f.token = p.token
+  JOIN {prefix}_doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN {prefix}_stats s
+  GROUP BY p.doc_id
+),
+{prefix}_top AS (
+  SELECT doc_id, score FROM {prefix}_scored
+  ORDER BY score DESC, doc_id LIMIT {K}
+)"""
+
+
+def q_cross_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster / multi-index search (CCS analogue): one query
+    fanned out over TWO indexes (this corpus + the sf0.001 'remote'),
+    each scored with its own corpus statistics, merged with index
+    provenance (plans/compiler.py::cross_index_search)."""
+    from .plans.compiler import Engine, cross_index_search
+
+    engines = {
+        "local": _agg_engine(spark, sf_dir),
+        "remote": Engine(spark, REMOTE_SF),
+    }
+    out = cross_index_search(
+        engines, {"match": {"field": "text", "query": BM25_QUERY}}, size=K
+    )
+    return out.select("idx", "doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["cross_index_search"] = f"""
+WITH q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+{_bm25_cte("l", "documents").strip()},
+{_bm25_cte("r", f"read_parquet('{REMOTE_SF}/documents.parquet')").strip()},
+u AS (
+  SELECT 'local' AS idx, doc_id, score FROM l_top
+  UNION ALL
+  SELECT 'remote', doc_id, score FROM r_top
+)
+SELECT idx, doc_id, round(score, 4) AS score
+FROM u ORDER BY score DESC, idx, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["cross_index_search"] = q_cross_index_search
 
 
 # apply the contract ordering ONCE, after every registration — the

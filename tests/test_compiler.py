@@ -748,7 +748,7 @@ def test_search_aggs_unknown_kind_raises(engine):
     with _pt.raises(ValueError, match="unsupported aggregation"):
         engine.search_aggs(
             {"bool": {"filter": "n_chars >= 0"}},
-            {"x": {"geo_centroid": {"field": "n_chars"}}},
+            {"x": {"no_such_agg_kind": {"field": "n_chars"}}},
         )
 
 

@@ -350,3 +350,71 @@ def test_geo_bounds_contains_centroid(eng, spark):
     cen = eng._compile_agg(d, {"geo_centroid": {}}).first()
     assert box["bottom"] <= cen["lat"] <= box["top"]
     assert box["left"] <= cen["lon"] <= box["right"]
+
+
+# -- batch-4: profile, request cache, cross-index, sloppy phrase -------------
+
+
+def test_profile_reports_plan_features(eng):
+    prof = eng.profile(MATCH)
+    assert set(prof) == {
+        "shuffles", "broadcast_joins", "sort_merge_joins", "top_k_nodes",
+        "nested_loop_joins", "single_partition_exchanges",
+    }
+    assert prof["top_k_nodes"] >= 1  # every search ends in a TakeOrdered
+    assert prof["single_partition_exchanges"] == 0  # scale red flag
+
+
+def test_cached_search_hits_and_equals_uncached(eng):
+    q = {"match": {"field": "text", "query": "spark join"}}
+    base = eng.request_cache_stats()
+    a = eng.cached_search(q, size=5).collect()
+    b = eng.cached_search(q, size=5).collect()
+    stats = eng.request_cache_stats()
+    assert stats["misses"] == base["misses"] + 1
+    assert stats["hits"] == base["hits"] + 1
+    direct = eng.search(q, size=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in direct]
+
+
+def test_cached_search_distinct_keys_miss(eng):
+    q = {"match": {"field": "text", "query": "spark join"}}
+    before = eng.request_cache_stats()["misses"]
+    eng.cached_search(q, size=7).collect()   # different size → new key
+    assert eng.request_cache_stats()["misses"] == before + 1
+
+
+def test_cross_index_search_provenance_and_per_index_stats(eng, spark):
+    from neural_search_spark.plans.compiler import cross_index_search
+
+    remote = Engine(spark, "/root/testdata/sf0.001")
+    out = cross_index_search(
+        {"local": eng, "remote": remote}, MATCH, size=20
+    ).collect()
+    idxs = {r["idx"] for r in out}
+    assert idxs <= {"local", "remote"}
+    # per-index scoring: the same doc_id can appear once per index with
+    # DIFFERENT scores (different corpus stats) — assert no (idx, doc)
+    # duplicates rather than global doc uniqueness
+    assert len({(r["idx"], r["doc_id"]) for r in out}) == len(out)
+
+
+def test_match_phrase_slop_superset_of_exact(eng):
+    exact = {r["doc_id"] for r in eng.search(
+        {"match_phrase": {"field": "text", "query": "table scan"}},
+        size=1000).collect()}
+    sloppy = {r["doc_id"] for r in eng.search(
+        {"match_phrase": {"field": "text", "query": "table scan", "slop": 3}},
+        size=1000).collect()}
+    assert exact <= sloppy
+    assert len(sloppy) > len(exact)  # slop must widen on this corpus
+
+
+def test_nested_inner_hits_chunk_contains_scoring_token(spark):
+    from neural_search_spark import registry
+
+    out = registry.SPARK_QUERIES["nested_inner_hits"](spark, SF_CORRECT).collect()
+    assert len(out) == 10
+    for r in out:
+        if r["score"] > 0:
+            assert any(t in r["chunk"].split() for t in ("spark", "join"))

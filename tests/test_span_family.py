@@ -124,3 +124,16 @@ def test_terms_lookup_matches_manual_filter(eng):
     lang = eng.documents().where(F.col("doc_id") == 7).first()["lang"]
     manual = eng.documents().where(F.col("lang") == lang).count()
     assert out.count() == min(manual, 1000)
+
+
+def test_combined_fields_index_cached_across_queries(spark):
+    eng2 = Engine(spark, SF_CORRECT)
+    eng2.search({"combined_fields": {
+        "query": "spark join", "fields": ["text", "title^2.0"]}}, size=5).collect()
+    assert len(eng2._combined_idx) == 1
+    eng2.search({"combined_fields": {
+        "query": "window merge", "fields": ["text", "title^2.0"]}}, size=5).collect()
+    assert len(eng2._combined_idx) == 1  # same field set → cached artifact
+    eng2.search({"combined_fields": {
+        "query": "spark", "fields": ["text"]}}, size=5).collect()
+    assert len(eng2._combined_idx) == 2  # new field set → new artifact
