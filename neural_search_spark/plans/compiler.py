@@ -1081,6 +1081,53 @@ class Engine:
             getattr(self, "_request_cache_stats", {"hits": 0, "misses": 0})
         )
 
+    def rescore(
+        self,
+        query: dict[str, Any],
+        rescore_query: dict[str, Any],
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        size: int = DEFAULT_K,
+    ) -> DataFrame:
+        """The `rescore` search body (second-phase weighted rescoring):
+        final = query_weight·orig + rescore_query_weight·rescore over
+        the top-`window_size` hits; window docs the rescore query
+        misses keep their weighted original score. The rescore query
+        evaluates ONLY on the window's candidates (broadcast semi into
+        the token-pruned scans) — the corpus is never re-scanned,
+        matching Lucene's rescorer contract."""
+        window = self.search(query, size=window_size).select(
+            "doc_id", F.col("score").alias("__orig")
+        )
+        cand = window.select("doc_id")
+        (rtype, rbody), = rescore_query.items()
+        if rtype == "match":
+            rs = B.bm25_scores(
+                self.bm25_index(), rbody["query"], candidate_ids=cand
+            )
+        elif rtype == "match_phrase":
+            rs = B.phrase_topk(
+                self.positional_index(), self.bm25_index(), rbody["query"],
+                k=window_size, candidate_ids=cand,
+            )
+        else:
+            raise ValueError(f"unsupported rescore query type: {rtype}")
+        rs = rs.select("doc_id", F.col("score").alias("__re"))
+        return (
+            window.join(rs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(float(query_weight)) * F.col("__orig")
+                    + F.lit(float(rescore_query_weight))
+                    * F.coalesce(F.col("__re"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(size)
+        )
+
     # -- aggregations (OpenSearch `aggs` body) -----------------------------
     def search_aggs(
         self,
@@ -2313,7 +2360,23 @@ class Engine:
             base = self.search(body["query"], None, size=window).select(
                 "doc_id", F.col("score").alias("_score")
             )
-            joined = F.broadcast(base).join(self.documents(), "doc_id")
+            params = body.get("params") or {}
+            if "query_vector" in params:
+                # painless vector functions (cosineSimilarity/dotProduct
+                # over a stored knn field): the query vector enters the
+                # plan as a literal (inference hoisting) and the script
+                # references `cosine_sim` / `dot_product` columns —
+                # evaluated only over the window's candidates
+                from ..functions import vector as VEC
+
+                qv = [float(x) for x in params["query_vector"]]
+                joined = F.broadcast(base).join(self.corpus(), "doc_id")
+                emb = VEC.as_double(F.col("embedding"))
+                joined = joined.withColumn(
+                    "cosine_sim", VEC.cosine(emb, VEC.lit_vector(qv))
+                ).withColumn("dot_product", VEC.dot(emb, VEC.lit_vector(qv)))
+            else:
+                joined = F.broadcast(base).join(self.documents(), "doc_id")
             result = (
                 joined.select(
                     "doc_id", F.expr(body["script"]).cast("double").alias("score")
@@ -2547,6 +2610,7 @@ def cross_index_search(
     engines: dict[str, "Engine"],
     query: dict[str, Any],
     size: int = DEFAULT_K,
+    indices_boost: dict[str, float] | None = None,
 ) -> DataFrame:
     """Cross-cluster / multi-index search (the `cluster:index` fan-out
     OpenSearch CCS performs): the SAME query compiles independently
@@ -2558,9 +2622,12 @@ def cross_index_search(
     |indices|·size rows, never a corpus-wide shuffle."""
     frames = []
     for name, eng in engines.items():
+        boost = float((indices_boost or {}).get(name, 1.0))
         frames.append(
             eng.search(query, size=size).select(
-                F.lit(name).alias("idx"), "doc_id", "score"
+                F.lit(name).alias("idx"),
+                "doc_id",
+                (F.lit(boost) * F.col("score")).alias("score"),
             )
         )
     out = frames[0]

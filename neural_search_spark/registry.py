@@ -5428,6 +5428,7 @@ PRIORITY_50 = [
     "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
     "dsl_agg_t_test", "dsl_agg_geo_bounds",
     "match_phrase_slop", "nested_inner_hits", "cross_index_search",
+    "script_score_cosine", "rescore_weighted", "cross_index_boosted",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -10096,6 +10097,133 @@ SELECT idx, doc_id, round(score, 4) AS score
 FROM u ORDER BY score DESC, idx, doc_id LIMIT {K}
 """
 SPARK_QUERIES["cross_index_search"] = q_cross_index_search
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 batch 5: painless vector functions in script_score,
+# weighted second-phase rescore, indices_boost in cross-index search
+# ---------------------------------------------------------------------------
+
+SSV_WINDOW = 30
+
+
+def q_script_score_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score with painless vector functions
+    (`cosineSimilarity(params.query_vector, 'embedding') + 1.0`): the
+    query vector enters the plan as a literal; cosine evaluates ONLY
+    over the window's candidates (broadcast window onto the corpus)."""
+    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    out = _agg_engine(spark, sf_dir).search(
+        {"script_score": {
+            "query": {"match": {"field": "text", "query": BM25_QUERY}},
+            "script": "cosine_sim + 1.0",
+            "params": {"query_vector": qv},
+            "window": SSV_WINDOW,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# window CTEs must carry UNROUNDED scores (the Spark window does) so
+# boundary membership and weighted sums agree to the final round(·,4)
+_BM25_RAW = ORACLES["bm25_match"].replace("round(score, 4) AS score", "score")
+
+ORACLES["script_score_cosine"] = f"""
+WITH hits AS ({_BM25_RAW.replace(f"LIMIT {K}", f"LIMIT {SSV_WINDOW}")}),
+qv AS {SQL_QVEC},
+s AS (
+  SELECT h.doc_id,
+         {_sql_cos('e.embedding::DOUBLE[]', 'qv.qe')} + 1.0 AS score
+  FROM hits h JOIN embeddings e ON e.vec_id = h.doc_id, qv
+)
+SELECT doc_id, round(score, 4) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["script_score_cosine"] = q_script_score_cosine
+
+
+RS_WINDOW, RS_QW, RS_RQW = 30, 1.0, 2.0
+RS_PHRASE = ["table", "scan"]
+
+
+def q_rescore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore body: query_weight·orig + rescore_query_weight·phrase
+    over the top-window hits; the phrase query scores ONLY the
+    window's candidates (Engine.rescore)."""
+    out = _agg_engine(spark, sf_dir).rescore(
+        {"match": {"field": "text", "query": BM25_QUERY}},
+        {"match_phrase": {"query": " ".join(RS_PHRASE)}},
+        window_size=RS_WINDOW, query_weight=RS_QW,
+        rescore_query_weight=RS_RQW, size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["rescore_weighted"] = f"""
+WITH w AS ({_BM25_RAW.replace(f"LIMIT {K}", f"LIMIT {RS_WINDOW}")}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+alltfs AS (
+  SELECT doc_id, len(l)::DOUBLE AS dl,
+         len(list_filter(range(1, len(l) - {len(RS_PHRASE)} + 2),
+             i -> l[i] = '{RS_PHRASE[0]}' AND l[i+1] = '{RS_PHRASE[1]}'))::DOUBLE AS tf
+  FROM toks
+),
+cstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM alltfs),
+wtfs AS (SELECT t.* FROM alltfs t JOIN w USING (doc_id)),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM wtfs WHERE tf > 0),
+re AS (
+  SELECT doc_id,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)) AS rescore
+  FROM wtfs CROSS JOIN cstats s CROSS JOIN dfs f
+  WHERE tf > 0
+)
+SELECT w.doc_id,
+       round({RS_QW} * w.score + {RS_RQW} * coalesce(re.rescore, 0.0), 4) AS score
+FROM w LEFT JOIN re USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["rescore_weighted"] = q_rescore_weighted
+
+
+CIB_REMOTE_BOOST = 2.0
+
+
+def q_cross_index_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-index search with indices_boost: per-index score
+    multipliers applied before the provenance merge."""
+    from .plans.compiler import Engine, cross_index_search
+
+    engines = {
+        "local": _agg_engine(spark, sf_dir),
+        "remote": Engine(spark, REMOTE_SF),
+    }
+    out = cross_index_search(
+        engines, {"match": {"field": "text", "query": BM25_QUERY}}, size=K,
+        indices_boost={"remote": CIB_REMOTE_BOOST},
+    )
+    return out.select("idx", "doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["cross_index_boosted"] = f"""
+WITH q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+{_bm25_cte("l", "documents").strip()},
+{_bm25_cte("r", f"read_parquet('{REMOTE_SF}/documents.parquet')").strip()},
+u AS (
+  SELECT 'local' AS idx, doc_id, 1.0 * score AS score FROM l_top
+  UNION ALL
+  SELECT 'remote', doc_id, {CIB_REMOTE_BOOST} * score FROM r_top
+)
+SELECT idx, doc_id, round(score, 4) AS score
+FROM u ORDER BY score DESC, idx, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["cross_index_boosted"] = q_cross_index_boosted
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -137,3 +137,61 @@ def test_combined_fields_index_cached_across_queries(spark):
     eng2.search({"combined_fields": {
         "query": "spark", "fields": ["text"]}}, size=5).collect()
     assert len(eng2._combined_idx) == 2  # new field set → new artifact
+
+
+# -- batch-5: vector script_score, weighted rescore, indices_boost ----------
+
+
+def test_rescore_zero_weight_equals_plain_search(eng):
+    q = {"match": {"field": "text", "query": "spark join stream window"}}
+    plain = [(r["doc_id"], round(r["score"], 4)) for r in
+             eng.search(q, size=10).collect()]
+    rescored = [(r["doc_id"], round(r["score"], 4)) for r in
+                eng.rescore(q, {"match_phrase": {"query": "table scan"}},
+                            window_size=10, query_weight=1.0,
+                            rescore_query_weight=0.0, size=10).collect()]
+    assert rescored == plain
+
+
+def test_rescore_promotes_phrase_matches(eng):
+    q = {"match": {"field": "text", "query": "spark join stream window"}}
+    out = eng.rescore(q, {"match_phrase": {"query": "table scan"}},
+                      window_size=30, query_weight=1.0,
+                      rescore_query_weight=5.0, size=30)
+    rows = out.join(eng.documents().select("doc_id", "text"), "doc_id") \
+              .orderBy(F.col("score").desc(), "doc_id").collect()
+    has_phrase = ["table scan" in r["text"] for r in rows]
+    # with a heavy rescore weight, every phrase-matching doc in the
+    # window must outrank every non-matching one it ties with on base
+    if any(has_phrase):
+        first_without = has_phrase.index(False) if False in has_phrase else len(rows)
+        assert any(has_phrase[:max(first_without, 1)])
+
+
+def test_script_score_cosine_range(eng, spark):
+    from neural_search_spark import catalog as cat
+
+    qv = cat.query_vector(spark, SF_CORRECT, 42)
+    out = eng.search({"script_score": {
+        "query": {"match": {"field": "text", "query": "spark join"}},
+        "script": "cosine_sim + 1.0",
+        "params": {"query_vector": qv}, "window": 20,
+    }}, size=20).collect()
+    for r in out:
+        assert 0.0 <= r["score"] <= 2.0 + 1e-9
+
+
+def test_cross_index_boost_scales_remote(eng, spark):
+    from neural_search_spark.plans.compiler import Engine, cross_index_search
+
+    remote = Engine(spark, "/root/testdata/sf0.001")
+    q = {"match": {"field": "text", "query": "spark join stream window"}}
+    plain = {(r["idx"], r["doc_id"]): r["score"] for r in cross_index_search(
+        {"local": eng, "remote": remote}, q, size=50).collect()}
+    boosted = {(r["idx"], r["doc_id"]): r["score"] for r in cross_index_search(
+        {"local": eng, "remote": remote}, q, size=50,
+        indices_boost={"remote": 3.0}).collect()}
+    for key, s in boosted.items():
+        if key in plain:
+            factor = 3.0 if key[0] == "remote" else 1.0
+            assert s == pytest.approx(plain[key] * factor, rel=1e-9)
