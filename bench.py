@@ -131,6 +131,19 @@ HEADLINE = [
     "combined_fields",
     "nested_inner_hits",
     "cross_index_search",
+    # round-12 additions (rescore/script_score, span completion,
+    # parent/child join-field family, script sort)
+    "rescore_weighted",
+    "script_score_cosine",
+    "span_near",
+    "span_not",
+    "distance_feature",
+    "has_child_sum",
+    "has_parent_inherit",
+    "dsl_agg_children",
+    "dsl_agg_nested_reverse",
+    "dsl_agg_moving_percentiles",
+    "sort_script_page",
 ]
 
 

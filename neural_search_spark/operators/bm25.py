@@ -789,6 +789,120 @@ def intervals_topk(
     return _bm25_from_tf(matched, index, k, id_col)
 
 
+def span_not_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    include_term: str,
+    exclude_term: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene SpanNotQuery: occurrences of `include_term` that have NO
+    `exclude_term` occurrence within [p−pre, p+post] — tf counts the
+    surviving positions. Two token-pruned positional scans, LEFT join
+    (docs without the exclude term keep every include position), one
+    array filter. No corpus rescan at any scale."""
+    inc = positional.where(F.col("token") == include_term.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pi")
+    )
+    exc = positional.where(F.col("token") == exclude_term.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pe")
+    )
+    joined = inc.join(exc, id_col, "left")
+    pe = F.coalesce(F.col("_pe"), F.expr("CAST(array() AS ARRAY<INT>)"))
+    lo, hi = int(pre), int(post)
+
+    def survives(p):
+        return ~F.exists(pe, lambda q: (q >= p - lo) & (q <= p + hi))
+
+    tf = F.size(F.filter(F.col("_pi"), survives)).cast("double")
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
+def _big_little_joined(
+    positional: DataFrame, big: tuple[str, str, int], little: str, id_col: str
+) -> DataFrame:
+    """Shared scan layout for span_containing / span_within: the big
+    span is an ORDERED pair (a, b, slop) — qualifying spans are
+    [pa, pb] with 1 ≤ pb−pa ≤ slop+1 — and the little span is a single
+    term. Three token-pruned positional scans, doc_id equi-joins of
+    already-tiny sides."""
+    a, b, _ = big
+    pa = positional.where(F.col("token") == a.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pa")
+    )
+    pb = positional.where(F.col("token") == b.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pb")
+    )
+    pc = positional.where(F.col("token") == little.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pc")
+    )
+    return pa.join(pb, id_col).join(pc, id_col)
+
+
+def span_containing_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    big: tuple[str, str, int],
+    little: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene SpanContainingQuery: big spans (ordered pair within
+    slop) that CONTAIN a match of the little span — tf = number of
+    qualifying (pa, pb) pairs with some little position in [pa, pb]."""
+    slop = int(big[2])
+    joined = _big_little_joined(positional, big, little, id_col)
+
+    def pairs(pa):
+        return F.size(
+            F.filter(
+                F.col("_pb"),
+                lambda q: (q - pa >= 1)
+                & (q - pa <= slop + 1)
+                & F.exists(F.col("_pc"), lambda c: (c >= pa) & (c <= q)),
+            )
+        )
+
+    tf = F.aggregate(F.col("_pa"), F.lit(0), lambda acc, p: acc + pairs(p)).cast(
+        "double"
+    )
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
+def span_within_topk(
+    positional: DataFrame,
+    index: BM25Index,
+    big: tuple[str, str, int],
+    little: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene SpanWithinQuery: matches of the little span that fall
+    INSIDE some big span — tf = number of little positions c enclosed
+    by a qualifying (pa, pb) pair (pa ≤ c ≤ pb)."""
+    slop = int(big[2])
+    joined = _big_little_joined(positional, big, little, id_col)
+
+    def enclosed(c):
+        return F.exists(
+            F.col("_pa"),
+            lambda pa: (pa <= c)
+            & F.exists(
+                F.col("_pb"),
+                lambda q: (q - pa >= 1) & (q - pa <= slop + 1) & (q >= c),
+            ),
+        )
+
+    tf = F.size(F.filter(F.col("_pc"), enclosed)).cast("double")
+    matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
+    return _bm25_from_tf(matched, index, k, id_col)
+
+
 @dataclass
 class CombinedFieldsIndex:
     """Weight-merged virtual-field index for `combined_fields` — an

@@ -39,12 +39,50 @@ def sort_by_fields(
     k: int = 10,
     search_after: list | None = None,
     id_col: str = "doc_id",
+    missing: dict[str, str] | None = None,
 ) -> DataFrame:
     """Sort fused results by document fields (asc flag per column),
-    optionally resuming after a previous page's last sort key."""
+    optionally resuming after a previous page's last sort key.
+    `missing` maps column → "_first" | "_last" (the OpenSearch
+    missing-value placement knob); unspecified columns keep Spark's
+    default null placement."""
     need = [c for c, _ in sort_cols if c != id_col and c not in results.columns]
     joined = results.join(corpus.select(id_col, *need), id_col) if need else results
     if search_after is not None:
         joined = joined.where(_lex_after(sort_cols, search_after))
-    order = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_cols]
+    order = []
+    for c, asc in sort_cols:
+        m = (missing or {}).get(c)
+        col = F.col(c)
+        if m == "_first":
+            order.append(col.asc_nulls_first() if asc else col.desc_nulls_first())
+        elif m == "_last":
+            order.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+        else:
+            order.append(col.asc() if asc else col.desc())
     return joined.orderBy(*order).limit(k)
+
+
+def sort_by_script(
+    results: DataFrame,
+    corpus: DataFrame,
+    script: str,
+    ascending: bool = True,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Script-based sort (the Painless sort-script analogue): a
+    Spark-SQL expression over document columns, evaluated as a plain
+    projection on the page being sorted — Catalyst folds it into the
+    scan, so the script costs one narrow map over the PAGE, never a
+    corpus pass. Ties break on `id_col` for determinism."""
+    joined = results.join(corpus, id_col)
+    key = F.expr(script)
+    return (
+        joined.withColumn("_sort_key", key)
+        .orderBy(
+            F.col("_sort_key").asc() if ascending else F.col("_sort_key").desc(),
+            id_col,
+        )
+        .limit(k)
+    )

@@ -59,8 +59,13 @@ from ..functions import sparse as S
 from ..operators import bm25 as B
 from ..operators import fusion as FU
 from ..operators import highlight as H
+from ..operators import parentjoin as PJ
 from ..operators import rerank as RR
 from ..operators import retrieval as R
+
+# synthetic child-doc id: parent_id * base + chunk_idx (chunk counts per
+# doc are far below the base at any document length this corpus allows)
+CHILD_ID_BASE = 100000
 
 DEFAULT_K = R.DEFAULT_K
 
@@ -252,6 +257,43 @@ class Engine:
         if self._positional is None:
             self._positional = B.build_positional(self.documents())
         return self._positional
+
+    def chunks(self) -> DataFrame:
+        """Child frame for the parent/child join-field family:
+        fixed-token chunks of every document, one row per child doc.
+        The parent key AND parent routing attributes (`source`) are
+        DENORMALIZED into the child rows — the Spark-side equivalent
+        of the join field's same-shard routing — so has_child /
+        has_parent / children-agg never chase a parent↔child join
+        across the corpus. Built once per engine (ingest artifact)."""
+        if getattr(self, "_chunks", None) is None:
+            from ..functions import chunking as C
+
+            ch = C.chunk_fixed_token(F.col("text"), 20, 0.25)
+            self._chunks = (
+                self.documents()
+                .select(
+                    "doc_id", "source",
+                    F.posexplode(ch).alias("chunk_idx", "chunk"),
+                )
+                .withColumn(
+                    "child_id",
+                    F.col("doc_id") * CHILD_ID_BASE + F.col("chunk_idx"),
+                )
+            )
+        return self._chunks
+
+    def chunk_bm25_index(self) -> B.BM25Index:
+        """BM25 index over the CHILD corpus (chunk rows as their own
+        docs with their own corpus stats). Divergence note: OpenSearch
+        mixes parent and child docs into one Lucene index so BM25
+        stats blend both; scoring children against child-corpus stats
+        is the cleaner contract and is what this engine implements."""
+        if getattr(self, "_chunk_bm25", None) is None:
+            self._chunk_bm25 = B.build_bm25(
+                self.chunks(), id_col="child_id", text_col="chunk"
+            )
+        return self._chunk_bm25
 
     def attach_index(self, bundle) -> None:
         """Compile against persisted artifacts (sources/index_store.py)
@@ -641,6 +683,68 @@ class Engine:
                 self.positional_index(), self.bm25_index(),
                 body["term"], int(body["end"]), k=k,
             )
+        if qtype == "span_not":
+            # Lucene SpanNotQuery: include-term occurrences with no
+            # exclude-term occurrence within [p-pre, p+post]
+            return B.span_not_topk(
+                self.positional_index(), self.bm25_index(),
+                body["include"], body["exclude"],
+                pre=int(body.get("pre", 0)), post=int(body.get("post", 0)),
+                k=k,
+            )
+        if qtype in ("span_containing", "span_within"):
+            # Lucene SpanContaining/SpanWithinQuery: big = ordered
+            # term pair within slop, little = single term
+            bg = body["big"]
+            big = (bg["terms"][0], bg["terms"][1], int(bg.get("slop", 0)))
+            fn = (
+                B.span_containing_topk
+                if qtype == "span_containing"
+                else B.span_within_topk
+            )
+            return fn(
+                self.positional_index(), self.bm25_index(),
+                big, body["little"], k=k,
+            )
+        if qtype == "has_child":
+            # join-field has_child: parents of matching children,
+            # child scores aggregated per score_mode over the child
+            # BM25 index (one groupBy on the denormalized parent key)
+            (ctype, cbody), = body["query"].items()
+            if ctype != "match":
+                raise ValueError(
+                    f"unsupported has_child sub-query type: {ctype}"
+                )
+            cs = B.bm25_scores(
+                self.chunk_bm25_index(), cbody["query"], id_col="child_id"
+            ).select(
+                F.floor(F.col("child_id") / CHILD_ID_BASE)
+                .cast("long")
+                .alias("doc_id"),
+                "score",
+            )
+            return PJ.has_child_topk(
+                cs,
+                score_mode=body.get("score_mode", "max"),
+                min_children=int(body.get("min_children", 1)),
+                max_children=body.get("max_children"),
+                k=k,
+            )
+        if qtype == "has_parent":
+            # join-field has_parent: children inherit the matching
+            # parent's score (score=false → constant 1.0)
+            (ptype, pbody), = body["query"].items()
+            if ptype != "match":
+                raise ValueError(
+                    f"unsupported has_parent sub-query type: {ptype}"
+                )
+            ps = B.bm25_scores(self.bm25_index(), pbody["query"])
+            return PJ.has_parent_children_topk(
+                ps, self.chunks(), k=k, score=bool(body.get("score", True))
+            )
+        if qtype == "parent_id":
+            # join-field parent_id: the children of one parent
+            return PJ.parent_id_children(self.chunks(), body["id"])
         if qtype == "intervals":
             # intervals query, ordered match rule with max_gaps —
             # greedy minimal ordered chains over positional postings
@@ -743,6 +847,28 @@ class Engine:
                 base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
             return (
                 base.select("doc_id", (F.lit(boost) * val).alias("score"))
+                .orderBy(F.col("score").desc(), "doc_id")
+                .limit(k)
+            )
+        if qtype == "distance_feature":
+            # OpenSearch core distance_feature: score decays with the
+            # distance of a numeric/date field from `origin` —
+            # boost · pivot / (pivot + |value − origin|). Same narrow
+            # map + TakeOrdered shape as rank_feature: no shuffle at
+            # any scale (dates normalize to epoch seconds upstream).
+            field = body["field"]
+            origin = float(body["origin"])
+            pivot = float(body["pivot"])
+            boost = float(body.get("boost", 1.0))
+            x = F.col(field).cast("double")
+            base = self.documents().where(x.isNotNull())
+            if candidate_ids is not None:
+                base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
+            score = F.lit(boost) * F.lit(pivot) / (
+                F.lit(pivot) + F.abs(x - F.lit(origin))
+            )
+            return (
+                base.select("doc_id", score.alias("score"))
                 .orderBy(F.col("score").desc(), "doc_id")
                 .limit(k)
             )
@@ -1182,6 +1308,11 @@ class Engine:
 
     def _metric_col(self, name: str, spec: dict):
         (kind, body), = spec.items()
+        if kind == "reverse_nested":
+            # reverse_nested inside a child-scope bucket: doc_count
+            # hops back to the PARENT level = distinct parent keys in
+            # the bucket (a partial-aggregated distinct — scale-safe)
+            return F.countDistinct(body.get("id_field", "doc_id")).alias(name)
         if kind not in self._METRIC_FNS:
             raise ValueError(f"unsupported metric agg: {kind}")
         c = F.col(body["field"])
@@ -1202,7 +1333,7 @@ class Engine:
             "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
             "stats_bucket", "serial_diff", "bucket_selector", "bucket_sort",
             "bucket_script", "percentiles_bucket", "extended_stats_bucket",
-            "normalize", "moving_fn",
+            "normalize", "moving_fn", "moving_percentiles",
         ):
             # sibling pipeline aggregations (OpenSearch `buckets_path`
             # family): the parent bucket agg compiles first; the
@@ -1298,6 +1429,25 @@ class Engine:
                     f"moving_{body.get('fn', 'max')}",
                     F.round(fn(c).over(w), 4),
                 )
+            if kind == "moving_percentiles":
+                # moving_percentiles pipeline agg: exact interpolated
+                # percentiles of the metric over a sliding window of
+                # buckets (same inclusive-of-current window convention
+                # as moving_fn above); the window runs over the SMALL
+                # bucket frame, bounded by bucket count
+                window_n = int(body.get("window", 3))
+                percents = [float(p) for p in body.get("percents", [50])]
+                order_col = body.get("sort", parent.columns[0])
+                w = _W.orderBy(order_col).rowsBetween(-(window_n - 1), 0)
+                out = parent
+                for p in percents:
+                    out = out.withColumn(
+                        f"moving_p{p:g}".replace(".", "_"),
+                        F.round(
+                            F.percentile(c, F.lit(p / 100.0)).over(w), 4
+                        ),
+                    )
+                return out
             if kind == "serial_diff":
                 lag_n = int(body.get("lag", 1))
                 order_col = body.get("sort", parent.columns[0])
@@ -1797,6 +1947,18 @@ class Engine:
                 "(field_a, field_b, covariance, correlation)",
                 "doc_count",
             ).select("field_a", "field_b", "doc_count", "covariance", "correlation")
+        if kind == "nested":
+            # OpenSearch nested agg: the agg scope hops from parent
+            # docs to the child (nested) docs. The child corpus is the
+            # denormalized chunk artifact, so the hop is a FRAME SWAP,
+            # not a join — sub-aggs (including reverse_nested metrics)
+            # compile over the child frame unchanged.
+            if body.get("path", "chunks") != "chunks":
+                raise ValueError("nested agg supports path='chunks'")
+            if not sub or len(sub) != 1:
+                raise ValueError("nested agg needs exactly one sub-agg")
+            (n2, subspec), = sub.items()
+            return self._compile_agg(self.chunks(), subspec)
         if kind == "terms":
             size = int(body.get("size", 10))
             field = body["field"]

@@ -5429,6 +5429,10 @@ PRIORITY_50 = [
     "dsl_agg_t_test", "dsl_agg_geo_bounds",
     "match_phrase_slop", "nested_inner_hits", "cross_index_search",
     "script_score_cosine", "rescore_weighted", "cross_index_boosted",
+    "span_not", "span_containing", "span_within",
+    "distance_feature", "dsl_agg_moving_percentiles",
+    "has_child_sum", "has_parent_inherit", "parent_id_children",
+    "dsl_agg_children", "dsl_agg_nested_reverse", "sort_script_page",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -10224,6 +10228,385 @@ SELECT idx, doc_id, round(score, 4) AS score
 FROM u ORDER BY score DESC, idx, doc_id LIMIT {K}
 """
 SPARK_QUERIES["cross_index_boosted"] = q_cross_index_boosted
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-5 batch 6: span_not / span_containing / span_within,
+# distance_feature, moving_percentiles — the last Lucene span operators and
+# pipeline aggs missing from the DSL surface
+# ---------------------------------------------------------------------------
+
+SN_INC, SN_EXC, SN_PRE, SN_POST = "table", "scan", 0, 1
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_not: 'table' occurrences NOT immediately followed by
+    'scan' (exclude window [p, p+1]) — tf counts the survivors
+    (operators/bm25.py::span_not_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_not": {"include": SN_INC, "exclude": SN_EXC,
+                      "pre": SN_PRE, "post": SN_POST}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_not"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+inc AS (SELECT doc_id, pos FROM toks WHERE token = '{SN_INC}'),
+exc AS (SELECT doc_id, pos FROM toks WHERE token = '{SN_EXC}'),
+matched AS (
+  SELECT i.doc_id, count(*)::DOUBLE AS tf
+  FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exc e
+    WHERE e.doc_id = i.doc_id
+      AND e.pos BETWEEN i.pos - {SN_PRE} AND i.pos + {SN_POST}
+  )
+  GROUP BY i.doc_id
+),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["span_not"] = q_span_not
+
+
+SC_BIG_A, SC_BIG_B, SC_SLOP, SC_LITTLE = "table", "scan", 3, "merge"
+
+# qualifying big spans: ordered (pa, pb) with 1 ≤ pb−pa ≤ slop+1
+_SQL_BIG_SPANS = f"""
+pa AS (SELECT doc_id, pos FROM toks WHERE token = '{SC_BIG_A}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE token = '{SC_BIG_B}'),
+pc AS (SELECT doc_id, pos FROM toks WHERE token = '{SC_LITTLE}'),
+sp AS (
+  SELECT pa.doc_id, pa.pos AS s, pb.pos AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+   AND pb.pos - pa.pos BETWEEN 1 AND {SC_SLOP + 1}
+)
+"""
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_containing: big spans ('table'…'scan' ordered within slop
+    3) that contain a 'merge' — tf = qualifying big-span count
+    (bm25.py::span_containing_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_containing": {
+            "big": {"terms": [SC_BIG_A, SC_BIG_B], "slop": SC_SLOP},
+            "little": SC_LITTLE,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_containing"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+{_SQL_BIG_SPANS.strip()},
+matched AS (
+  SELECT sp.doc_id, count(*)::DOUBLE AS tf
+  FROM sp
+  WHERE EXISTS (
+    SELECT 1 FROM pc
+    WHERE pc.doc_id = sp.doc_id AND pc.pos BETWEEN sp.s AND sp.e
+  )
+  GROUP BY sp.doc_id
+),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["span_containing"] = q_span_containing
+
+
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_within: 'merge' matches enclosed by a big
+    'table'…'scan' span — tf = enclosed little-position count
+    (bm25.py::span_within_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"span_within": {
+            "big": {"terms": [SC_BIG_A, SC_BIG_B], "slop": SC_SLOP},
+            "little": SC_LITTLE,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["span_within"] = f"""
+WITH {_SQL_POSITIONS.strip()},
+{_SQL_DOCLEN_STATS.strip()},
+{_SQL_BIG_SPANS.strip()},
+matched AS (
+  SELECT pc.doc_id, count(*)::DOUBLE AS tf
+  FROM pc
+  WHERE EXISTS (
+    SELECT 1 FROM sp
+    WHERE sp.doc_id = pc.doc_id AND pc.pos BETWEEN sp.s AND sp.e
+  )
+  GROUP BY pc.doc_id
+),
+{_SQL_BM25_TAIL.strip()} {K}
+"""
+SPARK_QUERIES["span_within"] = q_span_within
+
+
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 500.0, 100.0, 1.5
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature on documents.n_chars: score =
+    boost·pivot/(pivot + |n_chars − origin|) — narrow map +
+    TakeOrdered, no shuffle (compiler distance_feature branch)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"distance_feature": {"field": "n_chars", "origin": DF_ORIGIN,
+                              "pivot": DF_PIVOT, "boost": DF_BOOST}},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["distance_feature"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         {DF_BOOST} * {DF_PIVOT} / ({DF_PIVOT} + abs(n_chars::DOUBLE - {DF_ORIGIN}))
+           AS score
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, round(score, 4) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["distance_feature"] = q_distance_feature
+
+
+MP_WINDOW, MP_PERCENTS = 7, [50.0, 90.0]
+
+
+def q_dsl_agg_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_percentiles pipeline agg: exact interpolated p50/p90 of
+    daily doc_count over a 7-bucket sliding window (inclusive of the
+    current bucket, the moving_fn convention)."""
+    eng = _agg_engine(spark, sf_dir)
+    ev = catalog.table(spark, sf_dir, "events")
+    out = eng._compile_agg(ev, {"moving_percentiles": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "window": MP_WINDOW,
+        "percents": MP_PERCENTS, "sort": "bucket",
+    }})
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "moving_p50", "moving_p90",
+    )
+
+
+ORACLES["dsl_agg_moving_percentiles"] = f"""
+WITH {_SQL_DAILY.strip()}
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, doc_count,
+       round(quantile_cont(doc_count::DOUBLE, 0.5) OVER (
+         ORDER BY bucket ROWS BETWEEN {MP_WINDOW - 1} PRECEDING AND CURRENT ROW), 4)
+         AS moving_p50,
+       round(quantile_cont(doc_count::DOUBLE, 0.9) OVER (
+         ORDER BY bucket ROWS BETWEEN {MP_WINDOW - 1} PRECEDING AND CURRENT ROW), 4)
+         AS moving_p90
+FROM daily ORDER BY bucket
+"""
+SPARK_QUERIES["dsl_agg_moving_percentiles"] = q_dsl_agg_moving_percentiles
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-5 batch 7: parent/child join-field family — has_child,
+# has_parent, parent_id, children agg over the chunk child-corpus
+# (operators/parentjoin.py; children = fixed-token chunks with the parent
+# key + routing attrs denormalized in, the join-field routing analogue)
+# ---------------------------------------------------------------------------
+
+# all-docs chunk CTE (the child corpus) — same chunking as Engine.chunks()
+_SQL_CHUNKS_ALL = f"""
+chunks AS (
+  SELECT doc_id, s.idx AS chunk_idx, s.chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(toks) - 1) // {_CHUNK_TOK_STRIDE} + 1),
+             i -> {{'idx': i,
+                    'chunk': array_to_string(list_slice(toks, i * {_CHUNK_TOK_STRIDE} + 1,
+                                                        i * {_CHUNK_TOK_STRIDE} + {CHUNK_TOKEN_LIMIT}), ' ')}})) AS s
+    FROM (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+      FROM documents
+    )
+    WHERE len(toks) >= 1
+  )
+)
+"""
+
+HC_QUERY, HC_MIN_CHILDREN = "spark join", 2
+
+
+def q_has_child_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child(score_mode=sum, min_children=2): parents whose chunks
+    match 'spark join' on the CHILD BM25 index, parent score = sum of
+    child scores (operators/parentjoin.py::has_child_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"has_child": {
+            "query": {"match": {"field": "chunk", "query": HC_QUERY}},
+            "score_mode": "sum", "min_children": HC_MIN_CHILDREN,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_HC_TOKEN_LIST = ", ".join(f"('{t}')" for t in HC_QUERY.split())
+
+ORACLES["has_child_sum"] = f"""
+WITH {_SQL_CHUNKS_ALL.strip()},
+q(token) AS (VALUES {_HC_TOKEN_LIST}),
+{_bm25_cte("c", "(SELECT doc_id * 100000 + chunk_idx AS doc_id, chunk AS text FROM chunks)").strip()},
+parent AS (
+  SELECT (doc_id // 100000) AS doc_id, sum(score) AS score,
+         count(*) AS nc
+  FROM c_scored GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score
+FROM parent WHERE nc >= {HC_MIN_CHILDREN}
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["has_child_sum"] = q_has_child_sum
+
+
+def q_has_parent_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_parent(score=true): chunk children of parents matching the
+    BM25 query, each inheriting its parent's score
+    (parentjoin.py::has_parent_children_topk)."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"has_parent": {
+            "query": {"match": {"field": "text", "query": BM25_QUERY}},
+            "score": True,
+        }},
+        size=K,
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "chunk", F.round("score", 4).alias("score")
+    )
+
+
+ORACLES["has_parent_inherit"] = f"""
+WITH q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+{_bm25_cte("p", "documents").strip()},
+{_SQL_CHUNKS_ALL.strip()}
+SELECT c.doc_id, c.chunk_idx, c.chunk, round(p.score, 4) AS score
+FROM chunks c JOIN p_scored p USING (doc_id)
+ORDER BY p.score DESC, c.doc_id, c.chunk_idx LIMIT {K}
+"""
+SPARK_QUERIES["has_parent_inherit"] = q_has_parent_inherit
+
+
+PID_PARENT = 42
+
+
+def q_parent_id_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent_id: all chunk children of parent doc 42, constant score
+    — a pushdown filter on the denormalized parent key."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"parent_id": {"id": PID_PARENT}}, size=K
+    )
+    return out.select("doc_id", "chunk_idx", "chunk", "score")
+
+
+ORACLES["parent_id_children"] = f"""
+WITH {_SQL_CHUNKS_ALL.strip()}
+SELECT doc_id, chunk_idx, chunk, 1.0 AS score
+FROM chunks WHERE doc_id = {PID_PARENT}
+ORDER BY chunk_idx
+"""
+SPARK_QUERIES["parent_id_children"] = q_parent_id_children
+
+
+def q_dsl_agg_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """children agg: bucket by the PARENT's source field (carried
+    denormalized on the child rows), child doc_count + avg child
+    token length per bucket (parentjoin.py::children_agg)."""
+    from .operators import parentjoin as PJ
+
+    eng = _agg_engine(spark, sf_dir)
+    return PJ.children_agg(eng.chunks(), "source")
+
+
+ORACLES["dsl_agg_children"] = f"""
+WITH {_SQL_CHUNKS_ALL.strip()}
+SELECT d.source, count(*) AS doc_count,
+       round(avg(len(list_filter(regexp_split_to_array(c.chunk, '\\s+'),
+                                 t -> t != ''))::DOUBLE), 4) AS avg_child_tokens
+FROM chunks c JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+SPARK_QUERIES["dsl_agg_children"] = q_dsl_agg_children
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-5 batch 8: nested + reverse_nested aggs (child-scope agg
+# tree with the parent-level hop), script sort
+# ---------------------------------------------------------------------------
+
+NESTED_REV_SIZE = 8
+
+
+def q_dsl_agg_nested_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested → terms(chunk_idx) → reverse_nested: bucket the CHILD
+    docs by chunk_idx, doc_count = children per bucket,
+    parents = DISTINCT parent docs per bucket (the reverse_nested
+    hop as a partial-aggregated distinct)."""
+    eng = _agg_engine(spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    return eng._compile_agg(docs, {
+        "nested": {"path": "chunks"},
+        "aggs": {"by_idx": {
+            "terms": {"field": "chunk_idx", "size": NESTED_REV_SIZE},
+            "aggs": {"parents": {"reverse_nested": {}}},
+        }},
+    })
+
+
+ORACLES["dsl_agg_nested_reverse"] = f"""
+WITH {_SQL_CHUNKS_ALL.strip()}
+SELECT chunk_idx AS key, count(*) AS doc_count,
+       count(DISTINCT doc_id) AS parents
+FROM chunks GROUP BY chunk_idx
+ORDER BY doc_count DESC, key LIMIT {NESTED_REV_SIZE}
+"""
+SPARK_QUERIES["dsl_agg_nested_reverse"] = q_dsl_agg_nested_reverse
+
+
+SORT_SCRIPT, SORT_SCRIPT_WINDOW = "n_chars % 97", 30
+
+
+def q_sort_script_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script sort: the top-30 BM25 window re-sorted by a sort script
+    (`n_chars % 97` desc, the Painless sort-script analogue) — the
+    script is a Catalyst projection over the PAGE, never a corpus
+    pass (operators/sorting.py::sort_by_script)."""
+    from .operators.sorting import sort_by_script
+
+    eng = _agg_engine(spark, sf_dir)
+    window = eng.search(
+        {"match": {"field": "text", "query": BM25_QUERY}},
+        size=SORT_SCRIPT_WINDOW,
+    )
+    out = sort_by_script(
+        window, eng.documents(), SORT_SCRIPT, ascending=False, k=K
+    )
+    return out.select(
+        "doc_id", F.col("_sort_key").alias("sort_key"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+ORACLES["sort_script_page"] = f"""
+WITH w AS ({_BM25_RAW.replace(f"LIMIT {K}", f"LIMIT {SORT_SCRIPT_WINDOW}")})
+SELECT w.doc_id, d.n_chars % 97 AS sort_key, round(w.score, 4) AS score
+FROM w JOIN documents d USING (doc_id)
+ORDER BY sort_key DESC, w.doc_id LIMIT {K}
+"""
+SPARK_QUERIES["sort_script_page"] = q_sort_script_page
 
 
 # apply the contract ordering ONCE, after every registration — the

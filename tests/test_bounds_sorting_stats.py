@@ -171,3 +171,39 @@ def test_more_like_this_excludes_source_and_ranks(spark):
     import math
     assert abs(scores[2] - (math.log(2.0) + math.log(4 / 3))) < 1e-9
     assert abs(scores[3] - 2 * math.log(4 / 3)) < 1e-9
+
+
+# -- script sort + missing-value placement ----------------------------------
+
+
+def test_sort_by_script_orders_by_expression(spark):
+    from neural_search_spark.operators.sorting import sort_by_script
+
+    results = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, score double"
+    )
+    corpus = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 17)], "doc_id long, n long"
+    )
+    out = sort_by_script(results, corpus, "n % 7", ascending=True, k=3).collect()
+    # n%7: doc1→3, doc2→4, doc3→3 — asc, ties by doc_id
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+
+
+def test_sort_missing_placement(spark):
+    from neural_search_spark.operators.sorting import sort_by_fields
+
+    results = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    corpus = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9)], "doc_id long, v int"
+    )
+    first = [r["doc_id"] for r in sort_by_fields(
+        results, corpus, [("v", True)], k=3, missing={"v": "_first"}
+    ).collect()]
+    last = [r["doc_id"] for r in sort_by_fields(
+        results, corpus, [("v", True)], k=3, missing={"v": "_last"}
+    ).collect()]
+    assert first == [2, 1, 3]
+    assert last == [1, 3, 2]

@@ -195,3 +195,102 @@ def test_cross_index_boost_scales_remote(eng, spark):
         if key in plain:
             factor = 3.0 if key[0] == "remote" else 1.0
             assert s == pytest.approx(plain[key] * factor, rel=1e-9)
+
+
+# -- batch-6: span_not / span_containing / span_within, distance_feature,
+#    moving_percentiles ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def micro_not(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x"),        # two x, no exclusion -> tf 2
+            (2, "x z y"),        # z right after x excludes that x
+            (3, "x z x y x z"),  # x@0 excluded (z@1), x@2 kept (y@3), x@4 excluded
+            (4, "z z z"),        # no include term
+        ],
+        "doc_id long, text string",
+    )
+    return B.build_positional(docs), B.build_bm25(docs)
+
+
+def test_span_not_excludes_windowed_positions(micro_not):
+    pos, idx = micro_not
+    out = {r["doc_id"]: None for r in
+           B.span_not_topk(pos, idx, "x", "z", pre=0, post=1, k=10).collect()}
+    assert set(out) == {1, 3}  # doc 2's only x is excluded; doc 4 has no x
+
+
+def test_span_not_no_exclude_term_keeps_all(micro_not):
+    pos, idx = micro_not
+    # excluding a term absent from the corpus = plain term tf
+    out = B.span_not_topk(pos, idx, "x", "missing", pre=0, post=5, k=10)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+@pytest.fixture(scope="module")
+def micro_span3(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a m b"),     # big span a..b (slop 1), m inside
+            (2, "a x b m"),   # big span a..b, m OUTSIDE the span
+            (3, "a m x y b"), # gap 4 > slop+1 -> no big span
+            (4, "m a b m"),   # big span a..b adjacent; both m outside
+            (5, "a m b a b"), # first span contains m, second doesn't
+        ],
+        "doc_id long, text string",
+    )
+    return B.build_positional(docs), B.build_bm25(docs)
+
+
+def test_span_containing_semantics(micro_span3):
+    pos, idx = micro_span3
+    out = {r["doc_id"] for r in B.span_containing_topk(
+        pos, idx, ("a", "b", 1), "m", k=10).collect()}
+    assert out == {1, 5}
+
+
+def test_span_within_semantics(micro_span3):
+    pos, idx = micro_span3
+    out = {r["doc_id"] for r in B.span_within_topk(
+        pos, idx, ("a", "b", 1), "m", k=10).collect()}
+    assert out == {1, 5}
+
+
+def test_span_within_counts_positions_not_spans(spark):
+    # one big span holding TWO little matches: within tf=2, containing tf=1
+    docs = spark.createDataFrame(
+        [(1, "a m m b"), (2, "a b")], "doc_id long, text string"
+    )
+    pos, idx = B.build_positional(docs), B.build_bm25(docs)
+    within = B.span_within_topk(pos, idx, ("a", "b", 2), "m", k=10)
+    containing = B.span_containing_topk(pos, idx, ("a", "b", 2), "m", k=10)
+    assert {r["doc_id"] for r in within.collect()} == {1}
+    assert {r["doc_id"] for r in containing.collect()} == {1}
+
+
+def test_distance_feature_peaks_at_origin(eng):
+    out = eng.search({"distance_feature": {
+        "field": "n_chars", "origin": 500, "pivot": 100, "boost": 2.0,
+    }}, size=20).collect()
+    assert all(0.0 < r["score"] <= 2.0 + 1e-9 for r in out)
+    # hits sort by closeness to origin
+    docs = {r["doc_id"]: r["n_chars"] for r in
+            eng.documents().select("doc_id", "n_chars").collect()}
+    dists = [abs(docs[r["doc_id"]] - 500) for r in out]
+    assert dists == sorted(dists)
+
+
+def test_moving_percentiles_window_bounds(eng, spark):
+    from neural_search_spark import catalog
+    from .conftest import SF_CORRECT
+
+    ev = catalog.table(spark, SF_CORRECT, "events")
+    out = eng._compile_agg(ev, {"moving_percentiles": {
+        "of": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+        "metric": "doc_count", "window": 7, "percents": [50.0, 90.0],
+        "sort": "bucket",
+    }}).orderBy("bucket").collect()
+    for r in out:
+        assert r["moving_p50"] <= r["moving_p90"]
