@@ -318,6 +318,10 @@ class Engine:
                 bundle.pq_codebooks,
                 bundle.pq_codes,
             )
+        if getattr(bundle, "positional", None) is not None:
+            self._positional = bundle.positional
+        if getattr(bundle, "chunks", None) is not None:
+            self._chunks = bundle.chunks
 
     # -- model resolution (Q9 enricher) -----------------------------------
     def _resolve_model(self, spec: dict) -> str:
@@ -1073,6 +1077,7 @@ class Engine:
         size: int = DEFAULT_K,
         pipeline: dict[str, Any] | None = None,
         max_pages: int = 1000,
+        slice_spec: dict[str, int] | None = None,
     ):
         """The `_scroll` / point-in-time pagination endpoint as an
         iterator of hit pages. Spark-first: there is no server-side
@@ -1082,9 +1087,31 @@ class Engine:
         keeps per-shard scroll contexts; a deterministic sort makes
         that state unnecessary — K2's search_after is the same idea
         keyed by sort value instead of offset.) Stops at the first
-        empty page."""
+        empty page.
+
+        `slice_spec={"id": i, "max": m}` is OpenSearch's sliced
+        scroll: the result stream splits into m disjoint hash slices
+        so m independent consumers drain an export in parallel — the
+        100 TB bulk-export shape (each slice is an independent
+        deterministic plan; Spark's own writers parallelize a single
+        export better, but the slice contract matters for drop-in
+        API parity). Slicing is on pmod(doc_id, m), a pure pushdown
+        predicate on the id column."""
+        base = query
+        if slice_spec is not None:
+            sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
+            if not (0 <= sid < smax):
+                raise ValueError("slice id must be in [0, max)")
+            # filter-FIRST semantics (a slice is a partition of the
+            # corpus, not of a top-k window): unbounded depth so every
+            # slice member is scored — the export shape
+            base = {"bool": {
+                "must": [query],
+                "filter": f"pmod(doc_id, {smax}) = {sid}",
+                "pagination_depth": 1_000_000,
+            }}
         for page_i in range(max_pages):
-            page = self.search(query, pipeline, size=size, from_=page_i * size)
+            page = self.search(base, pipeline, size=size, from_=page_i * size)
             if not page.take(1):
                 return
             yield page
@@ -2245,6 +2272,16 @@ class Engine:
         mmr_cand = int(mmr.get("candidates", 3 * size)) if mmr else None
 
         (qtype, body), = query.items()
+        if qtype == "wrapper":
+            # OpenSearch wrapper query: a base64-encoded JSON query —
+            # decode and recurse into the normal search path
+            import base64 as _b64
+            import json as _json
+
+            raw = body["query"] if isinstance(body, dict) else body
+            return self.search(
+                _json.loads(_b64.b64decode(raw)), pipeline, size, from_
+            )
         if qtype == "simple_query_string":
             translated = _parse_simple_query_string(body["query"])
             # Lucene's collector scores EVERY doc matching the bool,

@@ -5433,6 +5433,7 @@ PRIORITY_50 = [
     "distance_feature", "dsl_agg_moving_percentiles",
     "has_child_sum", "has_parent_inherit", "parent_id_children",
     "dsl_agg_children", "dsl_agg_nested_reverse", "sort_script_page",
+    "wrapper_match", "scroll_sliced",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -10607,6 +10608,53 @@ FROM w JOIN documents d USING (doc_id)
 ORDER BY sort_key DESC, w.doc_id LIMIT {K}
 """
 SPARK_QUERIES["sort_script_page"] = q_sort_script_page
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-5 batch 9: wrapper query, sliced scroll (parallel export)
+# ---------------------------------------------------------------------------
+
+
+def q_wrapper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrapper query: the standard match query base64-encoded — must
+    decode to the identical plan (oracle = the bm25_match oracle)."""
+    import base64
+    import json as _json
+
+    inner = {"match": {"field": "text", "query": BM25_QUERY}}
+    b64 = base64.b64encode(_json.dumps(inner).encode()).decode()
+    out = _agg_engine(spark, sf_dir).search({"wrapper": {"query": b64}}, size=K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["wrapper_match"] = ORACLES["bm25_match"]
+SPARK_QUERIES["wrapper_match"] = q_wrapper_match
+
+
+SLICE_MAX = 2
+
+
+def q_scroll_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced scroll, slice 0 of 2, first page: filter-FIRST slice
+    semantics (the slice partitions the corpus, then ranks within the
+    slice) — the parallel-export contract."""
+    eng = _agg_engine(spark, sf_dir)
+    gen = eng.scroll(
+        {"match": {"field": "text", "query": BM25_QUERY}},
+        size=K, slice_spec={"id": 0, "max": SLICE_MAX},
+    )
+    page = next(gen)
+    return page.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["scroll_sliced"] = f"""
+WITH q(token) AS (VALUES {_BM25_TOKEN_LIST}),
+{_bm25_cte("s", "documents").strip()}
+SELECT doc_id, round(score, 4) AS score
+FROM s_scored WHERE doc_id % {SLICE_MAX} = 0
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["scroll_sliced"] = q_scroll_sliced
 
 
 # apply the contract ordering ONCE, after every registration — the

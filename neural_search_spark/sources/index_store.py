@@ -53,6 +53,8 @@ class IndexBundle:
     pq_codes: DataFrame | None  # (vec_id, codes)
     bpe_merges: list[str]
     seismic: "object | None" = None  # operators.seismic.SeismicIndex
+    positional: DataFrame | None = None  # (doc_id, token, positions)
+    chunks: DataFrame | None = None  # child corpus (parent/child family)
 
 
 def save_index(
@@ -66,6 +68,8 @@ def save_index(
     bpe_merges: list[str] | None = None,
     seismic: "object | None" = None,
     token_partitions: int = 32,
+    with_positional: bool = False,
+    with_chunks: bool = False,
 ) -> None:
     """Build + write the full artifact set. `docs` is scanned once per
     artifact family (postings+doclen share a shuffle-free scan); the
@@ -80,6 +84,37 @@ def save_index(
         .parquet(os.path.join(path, "postings"))
     )
     idx.doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    if with_positional:
+        # positional postings (phrase/span/intervals family) —
+        # token-partitioned like the BM25 postings so a phrase query
+        # reads only its m tokens' partitions
+        (
+            B.build_positional(docs)
+            .repartition(token_partitions, "token")
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "positional"))
+        )
+    if with_chunks:
+        # child corpus for the parent/child join-field family —
+        # parent key + routing attrs denormalized; partition by a
+        # parent-key bucket so has_parent joins co-locate
+        from ..functions import chunking as C
+        from ..plans.compiler import CHILD_ID_BASE
+
+        ch = C.chunk_fixed_token(F.col("text"), 20, 0.25)
+        (
+            docs.select(
+                "doc_id", "source",
+                F.posexplode(ch).alias("chunk_idx", "chunk"),
+            )
+            .withColumn(
+                "child_id", F.col("doc_id") * CHILD_ID_BASE + F.col("chunk_idx")
+            )
+            .repartition(token_partitions, "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "chunks"))
+        )
 
     meta: dict = {
         "n_docs": idx.stats[0],
@@ -142,6 +177,8 @@ def load_index(spark: SparkSession, path: str) -> IndexBundle:
         )
     return IndexBundle(
         seismic=seismic,
+        positional=_maybe("positional"),
+        chunks=_maybe("chunks"),
         postings=spark.read.parquet(os.path.join(path, "postings")),
         doclen=spark.read.parquet(os.path.join(path, "doclen")),
         stats=(int(meta["n_docs"]), float(meta["avgdl"])),

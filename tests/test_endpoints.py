@@ -418,3 +418,45 @@ def test_nested_inner_hits_chunk_contains_scoring_token(spark):
     for r in out:
         if r["score"] > 0:
             assert any(t in r["chunk"].split() for t in ("spark", "join"))
+
+
+# -- wrapper query + sliced scroll ------------------------------------------
+
+
+def test_wrapper_decodes_to_same_plan(eng):
+    import base64
+    import json
+
+    inner = {"match": {"field": "text", "query": "spark join stream window"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    direct = [(r["doc_id"], round(r["score"], 4)) for r in
+              eng.search(inner, size=10).collect()]
+    wrapped = [(r["doc_id"], round(r["score"], 4)) for r in
+               eng.search({"wrapper": {"query": b64}}, size=10).collect()]
+    assert wrapped == direct
+
+
+def test_sliced_scroll_slices_are_disjoint_and_complete(eng):
+    q = {"match": {"field": "text", "query": "spark join stream window"}}
+    full = set()
+    for r in eng.search(
+        {"bool": {"must": [q], "pagination_depth": 1_000_000}},
+        size=1_000_000,
+    ).collect():
+        full.add(r["doc_id"])
+    sliced = []
+    for i in range(2):
+        ids = set()
+        for page in eng.scroll(q, size=100, slice_spec={"id": i, "max": 2}):
+            ids |= {r["doc_id"] for r in page.collect()}
+        sliced.append(ids)
+    assert sliced[0].isdisjoint(sliced[1])
+    assert sliced[0] | sliced[1] == full
+
+
+def test_sliced_scroll_rejects_bad_slice(eng):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        next(eng.scroll({"match": {"field": "text", "query": "spark"}},
+                        slice_spec={"id": 2, "max": 2}))

@@ -112,3 +112,31 @@ def test_seismic_roundtrip(spark, tmp_path):
     fresh = SE.seismic_search(idx, qs, k=10, top_n=len(qs), heap_factor=2.0)
     loaded = SE.seismic_search(b.seismic, qs, k=10, top_n=len(qs), heap_factor=2.0)
     assert _rows(fresh) == _rows(loaded)
+
+
+def test_roundtrip_positional_and_chunks(spark, tmp_path):
+    from neural_search_spark import catalog
+    from neural_search_spark.plans.compiler import Engine
+    from neural_search_spark.sources.index_store import load_index, save_index
+
+    docs = catalog.table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx_pc")
+    save_index(spark, docs, None, path, with_positional=True, with_chunks=True)
+    bundle = load_index(spark, path)
+    assert bundle.positional is not None and bundle.chunks is not None
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.attach_index(bundle)
+    # artifacts seed the engine caches — no rebuild
+    assert eng._positional is bundle.positional
+    assert eng._chunks is bundle.chunks
+    # and the attached artifacts answer queries identically to built ones
+    fresh = Engine(spark, SF_SMOKE)
+    q = {"span_near": {"terms": ["table", "scan"], "slop": 2, "in_order": False}}
+    a = [(r["doc_id"], round(r["score"], 4)) for r in eng.search(q, size=5).collect()]
+    b = [(r["doc_id"], round(r["score"], 4)) for r in fresh.search(q, size=5).collect()]
+    assert a == b
+    qc = {"parent_id": {"id": 3}}
+    ac = [(r["doc_id"], r["chunk_idx"]) for r in eng.search(qc, size=10).collect()]
+    bc = [(r["doc_id"], r["chunk_idx"]) for r in fresh.search(qc, size=10).collect()]
+    assert ac == bc
