@@ -958,6 +958,36 @@ class Engine:
         n = self.documents().count()
         return int(self.search(query, size=n).count())
 
+    def total_hits(
+        self,
+        query: dict[str, Any] | str,
+        track_total_hits: int | bool = 10_000,
+    ) -> dict[str, Any]:
+        """`track_total_hits`: the hit total tracked only up to a
+        threshold — {"value": n, "relation": "eq" | "gte"}, exactly
+        the OpenSearch response shape (default threshold 10,000;
+        True = exact). The capped path counts a LIMIT-ed match scan —
+        Spark's LocalLimit stops reading splits once the threshold is
+        reached, which is the early-termination contract that makes
+        the default cheap on a 100 TB match set."""
+        if track_total_hits is True:
+            return {"value": self.count(query), "relation": "eq"}
+        th = int(track_total_hits)
+        try:
+            pred = compile_filter(query)
+        except ValueError:
+            pred = None
+        if pred is not None:
+            capped = int(
+                self.documents().where(F.expr(pred)).limit(th + 1).count()
+            )
+        else:
+            n = self.documents().count()
+            capped = int(self.search(query, size=n).limit(th + 1).count())
+        if capped > th:
+            return {"value": th, "relation": "gte"}
+        return {"value": capped, "relation": "eq"}
+
     def analyze(self, text: str, analyzer: str = "standard") -> list[str]:
         """The `_analyze` endpoint: tokens the named analyzer produces
         for `text` (driver-side twin — identical to the Column path by

@@ -460,3 +460,22 @@ def test_sliced_scroll_rejects_bad_slice(eng):
     with _pytest.raises(ValueError):
         next(eng.scroll({"match": {"field": "text", "query": "spark"}},
                         slice_spec={"id": 2, "max": 2}))
+
+
+def test_track_total_hits_threshold_and_exact(eng):
+    f = {"range": {"n_chars": {"gte": 0}}}
+    exact = eng.count(f)
+    got_true = eng.total_hits(f, track_total_hits=True)
+    assert got_true == {"value": exact, "relation": "eq"}
+    low = eng.total_hits(f, track_total_hits=5)
+    assert low == {"value": 5, "relation": "gte"}
+    high = eng.total_hits(f, track_total_hits=exact + 10)
+    assert high == {"value": exact, "relation": "eq"}
+
+
+def test_track_total_hits_scored_query(eng):
+    q = {"match": {"field": "text", "query": "spark join stream window"}}
+    res = eng.total_hits(q, track_total_hits=3)
+    assert res["relation"] in ("eq", "gte")
+    if res["relation"] == "gte":
+        assert res["value"] == 3
