@@ -144,6 +144,7 @@ HEADLINE = [
     "dsl_agg_nested_reverse",
     "dsl_agg_moving_percentiles",
     "sort_script_page",
+    "query_string_bool",
 ]
 
 

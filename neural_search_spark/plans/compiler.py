@@ -374,6 +374,30 @@ class Engine:
         self, spec: dict[str, Any], depth: int | None, hybrid_filter: str | None = None
     ) -> DataFrame:
         (qtype, body), = spec.items()
+        # generic leaf `boost` (OpenSearch: every query clause accepts
+        # boost; score multiplies) — handled here once so every leaf
+        # type composes; types that fold boost into their own formula
+        # keep doing so
+        if (
+            isinstance(body, dict)
+            and "boost" in body
+            and qtype not in ("rank_feature", "distance_feature", "constant_score")
+        ):
+            inner = {qtype: {k2: v for k2, v in body.items() if k2 != "boost"}}
+            out = self._compile_sub(inner, depth, hybrid_filter)
+            return out.withColumn(
+                "score", F.col("score") * F.lit(float(body["boost"]))
+            )
+        if qtype == "bool":
+            # nested bool as a sub-clause (query_string groups, nested
+            # bool legs): recurse through the full scored-bool branch;
+            # the depth window keeps the nested match set complete for
+            # the enclosing intersection
+            inner = dict(body)
+            inner.setdefault("pagination_depth", depth or 1_000_000)
+            return self.search(
+                {"bool": inner}, None, size=int(inner["pagination_depth"])
+            ).select("doc_id", "score")
         k = body.get("k", depth or DEFAULT_K)
         # P2: a hybrid-level filter is pushed into EVERY sub-query
         # (`query/HybridQueryBuilder.java:117-128`)
@@ -382,6 +406,28 @@ class Engine:
             if hybrid_filter
             else None
         )
+        if qtype in ("term", "terms", "range", "exists"):
+            # filter-context leaves as standalone queries (OpenSearch
+            # accepts {"query": {"term": ...}} etc. at top level):
+            # constant-score over the filtered scan
+            return self._compile_sub(
+                {"constant_score": {"filter": {qtype: body}}}, depth, hybrid_filter
+            )
+        if qtype == "constant_score":
+            # constant_score as a scored-bool/hybrid leg: filter-context
+            # match set, every hit scores `boost` (predicate pushes to
+            # the scan)
+            base = self.documents().where(F.expr(compile_filter(body["filter"])))
+            if candidate_ids is not None:
+                base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
+            return (
+                base.select(
+                    "doc_id",
+                    F.lit(float(body.get("boost", 1.0))).alias("score"),
+                )
+                .orderBy("doc_id")
+                .limit(k)
+            )
         if qtype == "neural":
             # Q9 enricher resolves the model id; inference goes through
             # the model REGISTRY (models.MODEL_REGISTRY), so swapping
@@ -2323,6 +2369,25 @@ class Engine:
                 body.get("pagination_depth", 1_000_000)
             )
             return self.search(translated, pipeline, size, from_)
+        if qtype == "query_string":
+            # OpenSearch core query_string: the full Lucene
+            # mini-language (fielded terms, AND/OR/NOT, parens,
+            # phrases, boosts, wildcards) → compiled to the scored
+            # DSL and recursed into the normal search path; like
+            # simple_query_string, intersections need complete match
+            # sets, so the bool depth defaults wide
+            translated = _parse_query_string(
+                body["query"] if isinstance(body, dict) else body,
+                default_field=body.get("default_field", "text"),
+                default_operator=str(
+                    body.get("default_operator", "OR")
+                ).upper(),
+            )
+            if "bool" in translated:
+                translated["bool"]["pagination_depth"] = int(
+                    body.get("pagination_depth", 1_000_000)
+                )
+            return self.search(translated, pipeline, size, from_)
         if qtype == "agentic":
             translated = self.agent_translate(body["query_text"])
             # Q10 agentic_context response processor: expose the agent's
@@ -2421,21 +2486,40 @@ class Engine:
             # base is ≤window rows — broadcast it onto the documents
             # table so field fetch is a broadcast-hash join, not a shuffle
             joined = F.broadcast(base).join(self.documents(), "doc_id")
-            fcols = []
+            fcols = []  # (weighted value, matched predicate) pairs
             for fn in body.get("functions", []):
                 w = F.lit(float(fn.get("weight", 1.0)))
-                if "gauss" in fn:
-                    g = fn["gauss"]
+                decay_kind = next(
+                    (d for d in ("gauss", "exp", "linear") if d in fn), None
+                )
+                if decay_kind:
+                    # OpenSearch decay family, all parameterized so
+                    # value == decay at distance == scale:
+                    #   gauss  → decay^((s/scale)²)
+                    #   exp    → decay^(s/scale)
+                    #   linear → max(0, (scale' − s)/scale'),
+                    #            scale' = scale/(1 − decay)
+                    g = fn[decay_kind]
                     dist = F.abs(
                         F.col(g["field"]).cast("double") - F.lit(float(g["origin"]))
                     )
                     shifted = F.greatest(
                         dist - F.lit(float(g.get("offset", 0.0))), F.lit(0.0)
                     )
-                    val = F.pow(
-                        F.lit(float(g.get("decay", 0.5))),
-                        F.pow(shifted / F.lit(float(g["scale"])), F.lit(2.0)),
-                    )
+                    decay = float(g.get("decay", 0.5))
+                    scale = float(g["scale"])
+                    if decay_kind == "gauss":
+                        val = F.pow(
+                            F.lit(decay),
+                            F.pow(shifted / F.lit(scale), F.lit(2.0)),
+                        )
+                    elif decay_kind == "exp":
+                        val = F.pow(F.lit(decay), shifted / F.lit(scale))
+                    else:
+                        sprime = scale / (1.0 - decay)
+                        val = F.greatest(
+                            (F.lit(sprime) - shifted) / F.lit(sprime), F.lit(0.0)
+                        )
                 elif "field_value_factor" in fn:
                     fv = fn["field_value_factor"]
                     raw = F.col(fv["field"]).cast("double") * F.lit(
@@ -2446,31 +2530,87 @@ class Engine:
                         "none": raw,
                         "log1p": F.log(F.lit(1.0) + raw),
                         "sqrt": F.sqrt(raw),
+                        "square": raw * raw,
                     }[mod]
+                elif "random_score" in fn:
+                    # deterministic uniform [0,1) from (doc_id, seed) —
+                    # a documented Knuth-hash stand-in for Lucene's
+                    # seeded hash (same contract: per-seed determinism,
+                    # uniform spread; values differ from OpenSearch's)
+                    seed = int(fn["random_score"].get("seed", 0))
+                    val = (
+                        F.pmod(
+                            (F.col("doc_id").cast("long") + F.lit(seed))
+                            * F.lit(2654435761),
+                            F.lit(4294967296),
+                        ).cast("double")
+                        / F.lit(4294967296.0)
+                    )
+                elif "script_score" in fn:
+                    # function-level script: a SQL expression over the
+                    # doc's columns (the engine's script dialect)
+                    val = F.expr(fn["script_score"]["script"]).cast("double")
                 else:
                     val = F.lit(1.0)
-                fcols.append(val * w)
-            if not fcols:
-                fcols = [F.lit(1.0)]
+                matched = (
+                    F.expr(compile_filter(fn["filter"]))
+                    if fn.get("filter") is not None
+                    else F.lit(True)
+                )
+                fcols.append((F.when(matched, val * w), matched))
             score_mode = body.get("score_mode", "multiply")
-            if score_mode not in ("multiply", "sum"):
-                raise ValueError(f"unsupported score_mode: {score_mode}")
-            fscore = fcols[0]
-            for c in fcols[1:]:
-                fscore = (fscore * c) if score_mode == "multiply" else (fscore + c)
+            if not fcols:
+                fscore = F.lit(1.0)
+            else:
+                # per-function filters EXCLUDE non-matching functions
+                # from the combination; if none match, the function
+                # score is 1.0 (OpenSearch function_score contract)
+                vals = [v for v, _ in fcols]
+                mcount = sum(
+                    m.cast("int") for _, m in fcols
+                )
+                if score_mode == "multiply":
+                    fscore = F.coalesce(vals[0], F.lit(1.0))
+                    for v in vals[1:]:
+                        fscore = fscore * F.coalesce(v, F.lit(1.0))
+                elif score_mode in ("sum", "avg"):
+                    total = F.coalesce(vals[0], F.lit(0.0))
+                    for v in vals[1:]:
+                        total = total + F.coalesce(v, F.lit(0.0))
+                    fscore = (
+                        total / mcount.cast("double")
+                        if score_mode == "avg"
+                        else total
+                    )
+                elif score_mode == "max":
+                    fscore = F.greatest(*vals) if len(vals) > 1 else vals[0]
+                elif score_mode == "min":
+                    fscore = F.least(*vals) if len(vals) > 1 else vals[0]
+                else:
+                    raise ValueError(f"unsupported score_mode: {score_mode}")
+                fscore = F.when(mcount == F.lit(0), F.lit(1.0)).otherwise(fscore)
+            if body.get("max_boost") is not None:
+                fscore = F.least(fscore, F.lit(float(body["max_boost"])))
             boost_mode = body.get("boost_mode", "multiply")
-            if boost_mode not in ("multiply", "sum", "replace"):
-                raise ValueError(f"unsupported boost_mode: {boost_mode}")
-            combined = {
+            combined_map = {
                 "multiply": F.col("score") * fscore,
                 "sum": F.col("score") + fscore,
                 "replace": fscore,
-            }[boost_mode]
+                "avg": (F.col("score") + fscore) / F.lit(2.0),
+                "max": F.greatest(F.col("score"), fscore),
+                "min": F.least(F.col("score"), fscore),
+            }
+            if boost_mode not in combined_map:
+                raise ValueError(f"unsupported boost_mode: {boost_mode}")
+            combined = combined_map[boost_mode]
             # fall through to the shared pipeline post-processors
             # (mmr/rerank/highlight/fetch_source) like every query type
-            result = joined.select("doc_id", combined.alias("score")).orderBy(
-                F.col("score").desc(), "doc_id"
-            )
+            result = joined.select("doc_id", combined.alias("score"))
+            if body.get("min_score") is not None:
+                result = result.where(
+                    F.col("score") >= F.lit(float(body["min_score"]))
+                )
+            result = result.orderBy(F.col("score").desc(), "doc_id")
             if from_:
                 result = result.offset(from_)
             result = result.limit(size)
@@ -2521,6 +2661,30 @@ class Engine:
             if from_:
                 result = result.offset(from_)
             result = result.limit(max(size, mmr_cand or 0))
+        elif qtype == "match_all":
+            # OpenSearch core match_all: every doc, constant score
+            # `boost` (default 1.0); deterministic doc_id order stands
+            # in for index order. Pure scan + TakeOrdered — at 100 TB
+            # the offset/limit window is what the driver reads, not
+            # the corpus.
+            boost = float((body or {}).get("boost", 1.0))
+            result = (
+                self.documents()
+                .select("doc_id", F.lit(boost).alias("score"))
+                .orderBy("doc_id")
+            )
+            if from_:
+                result = result.offset(from_)
+            result = result.limit(max(size, mmr_cand or 0))
+        elif qtype == "match_none":
+            # OpenSearch core match_none: the empty result with the
+            # standard (doc_id, score) schema
+            result = (
+                self.documents()
+                .select("doc_id", F.lit(0.0).alias("score"))
+                .where(F.lit(False))
+                .limit(size)
+            )
         elif qtype == "dis_max":
             # OpenSearch core dis_max: per-doc score = best sub-query
             # score + tie_breaker × (sum of the others). Sub-queries
@@ -2750,6 +2914,253 @@ def _parse_simple_query_string(q: str) -> dict:
     if not spec["bool"]:
         raise ValueError("empty simple_query_string")
     return spec
+
+
+_QS_TOKEN = None  # compiled lazily (module import stays regex-free)
+
+
+def _parse_query_string(
+    q: str, default_field: str = "text", default_operator: str = "OR"
+) -> dict:
+    """OpenSearch/Lucene `query_string` mini-language → scored DSL.
+
+    Reference surface: OpenSearch core's query_string query (the
+    neural-search plugin forwards such clauses opaquely,
+    `query/NeuralQueryBuilder.java:645-646`). Supported grammar
+    (golden-tested subset):
+
+      term                    scored match on `default_field`
+      field:term              match (text field) / constant-score term
+                              filter (keyword & numeric fields)
+      "a b" / field:"a b"     match_phrase
+      te*t / te?t             wildcard (constant-score)
+      clause^2.5              boost (score multiplier)
+      a AND b / a && b        both required, scores sum
+      a OR b / a || b         either matches, matching scores sum
+      NOT a / !a / -a         prohibited (filter-context, token-exact)
+      +a                      required (joins with AND)
+      ( ... ) / field:(a b)   grouping, optional field scope
+
+    Adjacent clauses with no explicit operator join with
+    `default_operator`; a NOT clause always joins with AND (the
+    practical Lucene `a AND b NOT c` shape), and `+`/`-` prefixes
+    likewise bind to the PRECEDING clause with AND — with standard
+    precedence (NOT > AND > OR), so `+a -b c` under default OR parses
+    as `(a AND NOT b) OR c` (a documented divergence from Lucene's
+    flat-clause treatment; use explicit operators for exact control).
+    `x OR NOT y` is rejected — a pure-negation OR operand has no
+    top-k-frame semantics. NOT over a group distributes through
+    AND/OR leaves.
+    """
+    import re as _re
+
+    global _QS_TOKEN
+    if _QS_TOKEN is None:
+        # phrases (optionally field-prefixed / boosted) first, then
+        # parens, then any run of non-space non-paren characters
+        _QS_TOKEN = _re.compile(
+            r'(?:[\w.]+:)?"[^"]*"(?:\^\d+(?:\.\d+)?)?|\(|\)|[^\s()]+'
+        )
+    raw = _QS_TOKEN.findall(q)
+    if not raw:
+        raise ValueError("empty query_string")
+
+    def _is_op(t):
+        return t in ("AND", "OR", "NOT")
+
+    def _ends_clause(t):
+        # a `field:` token is a scope opener for a following group,
+        # not a complete clause
+        return not _is_op(t) and t != "(" and not t.endswith(":")
+
+    # 1) normalize alternate operator spellings and +/-/! prefixes;
+    # 2) insert the implicit operator between adjacent clauses
+    seq: list[str] = []
+    for t in raw:
+        t = {"&&": "AND", "||": "OR", "!": "NOT"}.get(t, t)
+        pref: list[str] = []
+        if not _is_op(t) and t not in ("(", ")") and len(t) > 1 and t[0] in "+-!":
+            # +term joins with AND; -term/!term join with AND NOT
+            pref = ["AND", "NOT"] if t[0] in "-!" else ["AND"]
+            t = t[1:]
+        if pref and seq and _ends_clause(seq[-1]):
+            seq += pref
+        elif pref and "NOT" in pref:
+            seq.append("NOT")
+        if seq and _ends_clause(seq[-1]):
+            if not _is_op(t) and t != ")":
+                seq.append(default_operator)
+            elif t == "NOT":
+                seq.append("AND")
+        seq.append(t)
+
+    pos = 0
+
+    def _peek():
+        return seq[pos] if pos < len(seq) else None
+
+    def _next():
+        nonlocal pos
+        t = seq[pos]
+        pos += 1
+        return t
+
+    def _leaf(tok: str, scope: str | None) -> tuple:
+        field = scope or default_field
+        m = _re.match(r"^([\w.]+):(.+)$", tok)
+        body = tok
+        if m:
+            field, body = m.group(1), m.group(2)
+        boost = 1.0
+        bm = _re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", body)
+        if bm:
+            body, boost = bm.group(1), float(bm.group(2))
+        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+            return ("phrase", field, body[1:-1], boost)
+        if "*" in body or "?" in body:
+            return ("wild", field, body, boost)
+        return ("term", field, body, boost)
+
+    def _parse_or(scope):
+        nodes = [_parse_and(scope)]
+        while _peek() == "OR":
+            _next()
+            nodes.append(_parse_and(scope))
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def _parse_and(scope):
+        nodes = [_parse_unary(scope)]
+        while _peek() == "AND":
+            _next()
+            nodes.append(_parse_unary(scope))
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def _parse_unary(scope):
+        if _peek() == "NOT":
+            _next()
+            return ("not", _parse_unary(scope))
+        return _parse_primary(scope)
+
+    def _parse_primary(scope):
+        t = _peek()
+        if t is None or t in (")", "AND", "OR"):
+            raise ValueError(f"query_string syntax error near position {pos}")
+        _next()
+        if t == "(":
+            node = _parse_or(scope)
+            if _peek() != ")":
+                raise ValueError("query_string: unbalanced parentheses")
+            _next()
+            return node
+        if t.endswith(":") and _peek() == "(":
+            # field-scoped group: field:(a b)
+            _next()
+            node = _parse_or(t[:-1])
+            if _peek() != ")":
+                raise ValueError("query_string: unbalanced parentheses")
+            _next()
+            return node
+        return _leaf(t, scope)
+
+    tree = _parse_or(None)
+    if pos != len(seq):
+        raise ValueError(f"query_string: trailing tokens {seq[pos:]}")
+    return _qs_to_dsl(tree)
+
+
+def _qs_typed(v: str):
+    """field:value literal typing for keyword/numeric filters."""
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def _qs_neg_sql(node) -> str:
+    """Negated clause → the POSITIVE match predicate (the scored-bool
+    branch wraps `NOT (...)` itself). Token-exact for text terms."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        op = " AND " if kind == "and" else " OR "
+        return "(" + op.join(_qs_neg_sql(c) for c in node[1]) + ")"
+    if kind == "not":
+        return f"NOT ({_qs_neg_sql(node[1])})"
+    kind, field, body, _boost = node
+    safe = body.replace("'", "''")
+    if field == "text":
+        if kind == "term":
+            return (
+                "array_contains(split(lower(text), '\\\\s+'), "
+                f"'{safe.lower()}')"
+            )
+        if kind == "phrase":
+            return f"lower(text) LIKE '%{safe.lower()}%'"
+        pat = (
+            safe.replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        return f"lower(text) LIKE '{pat.lower()}'"
+    if kind == "wild":
+        pat = (
+            safe.replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        return f"{field} LIKE '{pat}'"
+    return f"{field} = {_sql_lit(_qs_typed(body))}"
+
+
+def _qs_to_dsl(node) -> dict:
+    """query_string AST → the engine's scored DSL (bool / match /
+    match_phrase / wildcard / constant_score leaves)."""
+    kind = node[0]
+    if kind == "or":
+        should = []
+        for c in node[1]:
+            if c[0] == "not":
+                raise ValueError(
+                    "query_string: pure-negation OR operand unsupported"
+                )
+            should.append(_qs_to_dsl(c))
+        return {"bool": {"should": should}}
+    if kind == "and":
+        must, must_not = [], []
+        for c in node[1]:
+            if c[0] == "not":
+                must_not.append(_qs_neg_sql(c[1]))
+            else:
+                must.append(_qs_to_dsl(c))
+        spec: dict = {"bool": {}}
+        if must:
+            spec["bool"]["must"] = must
+        if must_not:
+            spec["bool"]["must_not"] = must_not
+        return spec
+    if kind == "not":
+        # top-level pure negation: filter-only bool (constant score 0)
+        return {"bool": {"must_not": [_qs_neg_sql(node[1])]}}
+    kind, field, body, boost = node
+    extra = {"boost": boost} if boost != 1.0 else {}
+    if field == "text":
+        if kind == "term":
+            return {"match": {"field": field, "query": body, **extra}}
+        if kind == "phrase":
+            return {"match_phrase": {"field": field, "query": body, **extra}}
+        return {"wildcard": {"field": field, "value": body, **extra}}
+    # keyword / numeric fields: constant-score filter leaves
+    if kind == "wild":
+        pat = (
+            body.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        flt: Any = f"{field} LIKE '{pat}'"
+    elif kind == "phrase":
+        flt = {"term": {field: body}}
+    else:
+        flt = {"term": {field: _qs_typed(body)}}
+    return {"constant_score": {"filter": flt, "boost": boost}}
 
 
 def _agentic_translate(question: str) -> dict:

@@ -5434,6 +5434,8 @@ PRIORITY_50 = [
     "has_child_sum", "has_parent_inherit", "parent_id_children",
     "dsl_agg_children", "dsl_agg_nested_reverse", "sort_script_page",
     "wrapper_match", "scroll_sliced",
+    "query_string_bool", "query_string_field_boost", "match_all_page",
+    "function_score_full",
     # new this round (graded r4 if the window overflows): bulk + visual
     "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
     "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
@@ -10655,6 +10657,187 @@ FROM s_scored WHERE doc_id % {SLICE_MAX} = 0
 ORDER BY score DESC, doc_id LIMIT {K}
 """
 SPARK_QUERIES["scroll_sliced"] = q_scroll_sliced
+
+
+QS_BOOL_QUERY = "spark AND (join OR shuffle) NOT hash"
+
+
+def q_query_string_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string full mini-language: `spark AND (join OR shuffle)
+    NOT hash` — explicit AND over a parenthesized OR group plus a
+    token-exact NOT, through the recursive query_string parser
+    (plans/compiler.py::_parse_query_string) and the scored-bool
+    machinery. Score = bm25(spark) + Σ matching of {join, shuffle}."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"query_string": {"query": QS_BOOL_QUERY}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["query_string_bool"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+term_scores AS (
+  SELECT p.doc_id, p.token,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.weight * (1.2 + 1.0))
+         / (p.weight + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM postings p
+  JOIN (SELECT token, count(*)::DOUBLE AS df FROM postings
+        WHERE token IN ('spark', 'join', 'shuffle') GROUP BY token) d
+    ON d.token = p.token
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE p.token IN ('spark', 'join', 'shuffle')
+),
+orleg AS (
+  SELECT doc_id, sum(score) AS score
+  FROM term_scores WHERE token IN ('join', 'shuffle') GROUP BY doc_id
+),
+combined AS (
+  SELECT sp.doc_id, sp.score + o.score AS score
+  FROM (SELECT doc_id, score FROM term_scores WHERE token = 'spark') sp
+  JOIN orleg o ON o.doc_id = sp.doc_id
+)
+SELECT c.doc_id, round(c.score, 4) AS score
+FROM combined c JOIN documents d ON d.doc_id = c.doc_id
+WHERE NOT list_contains(
+  list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x != ''),
+  'hash')
+ORDER BY score DESC, c.doc_id LIMIT {K}
+"""
+SPARK_QUERIES["query_string_bool"] = q_query_string_bool
+
+
+QS_FIELD_QUERY = 'lang:en AND "table scan"^2'
+
+
+def q_query_string_field_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string fielded + boosted clauses: `lang:en AND "table
+    scan"^2` — a keyword-field term compiles to a constant-score
+    filter leg (score 1.0), the quoted phrase to a match_phrase leg
+    whose score doubles via the generic leaf boost. Final score =
+    1.0 + 2·bm25_phrase("table scan")."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"query_string": {"query": QS_FIELD_QUERY}}, size=K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["query_string_field_boost"] = f"""
+WITH postings AS ({SQL_TF_POSTINGS}),
+doclen AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+toks AS (
+  SELECT d.doc_id, d.l[CAST(t.i AS INT)] AS token, CAST(t.i - 1 AS INT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+        FROM documents) d,
+       LATERAL unnest(range(1, len(d.l) + 1)) t(i)
+),
+phrase_tf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, pos FROM toks WHERE token = 'table') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE token = 'scan') b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+phrase_df AS (SELECT count(*)::DOUBLE AS df FROM phrase_tf),
+phrase_scores AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (m.tf * (1.2 + 1.0))
+         / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM phrase_tf m
+  JOIN doclen dl ON dl.doc_id = m.doc_id
+  CROSS JOIN phrase_df f CROSS JOIN stats s
+)
+SELECT p.doc_id, round(1.0 + 2.0 * p.score, 4) AS score
+FROM phrase_scores p JOIN documents d ON d.doc_id = p.doc_id
+WHERE d.lang = 'en'
+ORDER BY score DESC, p.doc_id LIMIT {K}
+"""
+SPARK_QUERIES["query_string_field_boost"] = q_query_string_field_boost
+
+
+def q_function_score_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score over a BM25 inner query exercising the FULL
+    OpenSearch surface: exp decay (weight 2), seeded random_score
+    gated by a per-function `filter` (lang=en), log1p
+    field_value_factor gated by a range filter (n_chars≥300) —
+    score_mode=sum over MATCHING functions only, capped by
+    max_boost=3, boost_mode=sum onto the BM25 score. random_score is
+    the documented deterministic Knuth hash (((id+seed)·2654435761) mod
+    2³²)/2³² so the oracle reproduces it exactly."""
+    out = _agg_engine(spark, sf_dir).search(
+        {"function_score": {
+            "query": {"match": {"field": "text", "query": "spark"}},
+            "functions": [
+                {"exp": {"field": "n_chars", "origin": 0, "scale": 500,
+                         "decay": 0.5},
+                 "weight": 2.0},
+                {"random_score": {"seed": 7},
+                 "filter": {"term": {"lang": "en"}}},
+                {"field_value_factor": {"field": "n_chars", "factor": 0.001,
+                                        "modifier": "log1p"},
+                 "filter": {"range": {"n_chars": {"gte": 300}}}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "sum",
+            "max_boost": 3.0,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+ORACLES["function_score_full"] = f"""
+WITH q(token) AS (VALUES ('spark')),
+{_bm25_cte("s", "documents").strip()},
+win AS (
+  SELECT doc_id, score FROM s_scored ORDER BY score DESC, doc_id LIMIT 100
+),
+final AS (
+  SELECT w.doc_id,
+         w.score + least(3.0,
+             2.0 * pow(0.5, d.n_chars / 500.0)
+           + CASE WHEN d.lang = 'en'
+                  THEN (((d.doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0
+                  ELSE 0.0 END
+           + CASE WHEN d.n_chars >= 300
+                  THEN ln(1.0 + 0.001 * d.n_chars) ELSE 0.0 END
+         ) AS score
+  FROM win w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM final ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["function_score_full"] = q_function_score_full
+
+
+def q_match_all_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_all with pagination: every doc scores the constant boost
+    (1.0) in deterministic doc_id order; from/size window applies.
+    Plan shape: scan → TakeOrdered window — the corpus is never
+    materialized beyond the page."""
+    out = _agg_engine(spark, sf_dir).search({"match_all": {}}, size=5, from_=3)
+    return out.select("doc_id", "score")
+
+
+ORACLES["match_all_page"] = """
+SELECT doc_id, 1.0::DOUBLE AS score
+FROM documents ORDER BY doc_id LIMIT 5 OFFSET 3
+"""
+SPARK_QUERIES["match_all_page"] = q_match_all_page
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -535,8 +535,8 @@ def test_function_score_rejects_unknown_modes(engine):
     import pytest as _pytest
 
     for bad in (
-        {"score_mode": "avg"},
-        {"boost_mode": "max"},
+        {"score_mode": "median"},
+        {"boost_mode": "hyperbolic"},
     ):
         spec = {"function_score": {
             "query": {"neural": {"query_text": "spark join"}},
@@ -1117,3 +1117,178 @@ def test_highlight_fragments(engine):
         plain = _re.sub(r"</?em>", "", frag)
         assert len(plain) <= 60
         assert "<em>" in frag  # the anchor term is inside the window
+
+
+# -- query_string mini-language ---------------------------------------------
+
+
+def test_query_string_parser_goldens():
+    from neural_search_spark.plans.compiler import _parse_query_string as p
+
+    assert p("spark AND (join OR shuffle) NOT hash") == {
+        "bool": {
+            "must": [
+                {"match": {"field": "text", "query": "spark"}},
+                {"bool": {"should": [
+                    {"match": {"field": "text", "query": "join"}},
+                    {"match": {"field": "text", "query": "shuffle"}},
+                ]}},
+            ],
+            "must_not": [
+                "array_contains(split(lower(text), '\\\\s+'), 'hash')"
+            ],
+        }
+    }
+    # implicit operator: default OR vs AND
+    assert p("spark join") == {"bool": {"should": [
+        {"match": {"field": "text", "query": "spark"}},
+        {"match": {"field": "text", "query": "join"}},
+    ]}}
+    assert p("spark join", default_operator="AND") == {"bool": {"must": [
+        {"match": {"field": "text", "query": "spark"}},
+        {"match": {"field": "text", "query": "join"}},
+    ]}}
+    # fielded keyword term → constant-score filter; phrase boost
+    assert p('lang:en AND "table scan"^2') == {"bool": {"must": [
+        {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 1.0}},
+        {"match_phrase": {"field": "text", "query": "table scan", "boost": 2.0}},
+    ]}}
+    # field-scoped group, wildcard, numeric typing
+    assert p("lang:(en de)") == {"bool": {"should": [
+        {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 1.0}},
+        {"constant_score": {"filter": {"term": {"lang": "de"}}, "boost": 1.0}},
+    ]}}
+    assert p("spa?k") == {"wildcard": {"field": "text", "value": "spa?k"}}
+    assert p("n_chars:300") == {
+        "constant_score": {"filter": {"term": {"n_chars": 300}}, "boost": 1.0}
+    }
+    # NOT distributes through a group
+    assert p("spark NOT (hash OR stream)")["bool"]["must_not"] == [
+        "(array_contains(split(lower(text), '\\\\s+'), 'hash')"
+        " OR array_contains(split(lower(text), '\\\\s+'), 'stream'))"
+    ]
+    with pytest.raises(ValueError):
+        p("spark OR NOT hash")
+    with pytest.raises(ValueError):
+        p("spark AND (join")
+    with pytest.raises(ValueError):
+        p("   ")
+
+
+def test_query_string_matches_explicit_bool(engine):
+    qs = engine.search(
+        {"query_string": {"query": "spark AND join NOT hash"}}, size=10
+    )
+    explicit = engine.search(
+        {"bool": {
+            "must": [
+                {"match": {"field": "text", "query": "spark"}},
+                {"match": {"field": "text", "query": "join"}},
+            ],
+            "must_not": [
+                "array_contains(split(lower(text), '\\\\s+'), 'hash')"
+            ],
+            "pagination_depth": 1_000_000,
+        }},
+        size=10,
+    )
+    got = [(r["doc_id"], round(r["score"], 6)) for r in qs.collect()]
+    want = [(r["doc_id"], round(r["score"], 6)) for r in explicit.collect()]
+    assert got == want and got
+
+
+def test_query_string_boost_scales_scores(engine):
+    plain = engine.search({"match": {"field": "text", "query": "join"}}, size=5)
+    boosted = engine.search({"query_string": {"query": "join^3"}}, size=5)
+    pw = {r["doc_id"]: r["score"] for r in plain.collect()}
+    bw = {r["doc_id"]: r["score"] for r in boosted.collect()}
+    assert set(pw) == set(bw)
+    for d, s in pw.items():
+        assert abs(bw[d] - 3.0 * s) < 1e-6
+
+
+def test_match_all_and_match_none(engine):
+    n = engine.documents().count()
+    allr = engine.search({"match_all": {}}, size=n + 10)
+    assert allr.count() == n
+    rows = engine.search({"match_all": {"boost": 2.5}}, size=3, from_=2).collect()
+    assert [r["doc_id"] for r in rows] == [2, 3, 4]
+    assert all(r["score"] == 2.5 for r in rows)
+    assert engine.search({"match_none": {}}, size=5).count() == 0
+
+
+# -- function_score full surface --------------------------------------------
+
+
+def _fs(engine, size=10, **body):
+    spec = {"function_score": {
+        "query": {"match": {"field": "text", "query": "spark"}}, **body}}
+    return {r["doc_id"]: r["score"]
+            for r in engine.search(spec, size=size).collect()}
+
+
+def test_function_score_linear_decay_and_modes(engine):
+    base = {r["doc_id"]: r["score"] for r in engine.search(
+        {"match": {"field": "text", "query": "spark"}}, size=10).collect()}
+    lin = _fs(engine, functions=[
+        {"linear": {"field": "n_chars", "origin": 0, "scale": 400,
+                    "decay": 0.5}}], boost_mode="sum")
+    docs = engine.documents().select("doc_id", "n_chars").collect()
+    nc = {r["doc_id"]: r["n_chars"] for r in docs}
+    for d, s in lin.items():
+        if d in base:
+            sprime = 400 / 0.5
+            expect = base[d] + max(0.0, (sprime - nc[d]) / sprime)
+            assert abs(s - expect) < 1e-6
+
+
+def test_function_score_max_min_avg_modes(engine):
+    fns = [
+        {"field_value_factor": {"field": "n_chars", "factor": 0.001}},
+        {"script_score": {"script": "CAST(2.0 AS DOUBLE)"}},
+    ]
+    mx = _fs(engine, size=300, functions=fns, score_mode="max", boost_mode="replace")
+    mn = _fs(engine, size=300, functions=fns, score_mode="min", boost_mode="replace")
+    av = _fs(engine, size=300, functions=fns, score_mode="avg", boost_mode="replace")
+    shared = set(mx) & set(mn) & set(av)
+    assert shared
+    for d in shared:
+        assert abs(mx[d] + mn[d] - 2.0 * av[d]) < 1e-6
+        assert mx[d] >= mn[d]
+
+
+def test_function_score_filter_exclusion_and_identity(engine):
+    # a function whose filter matches nothing → function score 1.0
+    out = _fs(engine, functions=[
+        {"field_value_factor": {"field": "n_chars", "factor": 100.0},
+         "filter": {"term": {"lang": "xx_nomatch"}}}], boost_mode="replace")
+    assert out and all(abs(s - 1.0) < 1e-9 for s in out.values())
+
+
+def test_function_score_min_score_and_max_boost(engine):
+    all_rows = _fs(engine, functions=[
+        {"script_score": {"script": "CAST(5.0 AS DOUBLE)"}}],
+        boost_mode="replace", max_boost=2.0)
+    assert all(abs(s - 2.0) < 1e-9 for s in all_rows.values())
+    few = engine.search({"function_score": {
+        "query": {"match": {"field": "text", "query": "spark"}},
+        "functions": [],
+        "boost_mode": "sum",
+        "min_score": 1.8,
+    }}, size=50)
+    rows = few.collect()
+    assert all(r["score"] >= 1.8 for r in rows)
+
+
+def test_function_score_random_score_deterministic(engine):
+    a = _fs(engine, size=300, functions=[{"random_score": {"seed": 11}}],
+            boost_mode="replace")
+    b = _fs(engine, size=300, functions=[{"random_score": {"seed": 11}}],
+            boost_mode="replace")
+    c = _fs(engine, size=300, functions=[{"random_score": {"seed": 12}}],
+            boost_mode="replace")
+    assert a == b
+    shared = set(a) & set(c)
+    assert shared
+    assert any(abs(a[d] - c[d]) > 1e-9 for d in shared)
+    assert all(0.0 <= s < 1.0 for s in a.values())
