@@ -565,6 +565,7 @@ def span_near_topk(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`span_near` for a term pair (Lucene SpanNearQuery semantics,
     the proximity generalization of match_phrase): tf = number of
@@ -573,7 +574,6 @@ def span_near_topk(
     scoring with that proximity-tf, same shape as phrase_topk: two
     token-pruned positional scans, one doc_id equi-join, a pure array
     expression for the pair count."""
-    n, avgdl = index.stats
     pa = positional.where(F.col("token") == term_a).select(
         F.col(id_col), F.col("positions").alias("_pa")
     )
@@ -594,21 +594,7 @@ def span_near_topk(
         F.col("_pa"), F.lit(0), lambda acc, p: acc + pairs(p)
     ).cast("double")
     matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
-    dfs = matched.agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    scored = (
-        matched.join(index.doclen, id_col)
-        .crossJoin(F.broadcast(dfs))
-        .select(
-            F.col(id_col),
-            (
-                idf
-                * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-            ).alias("score"),
-        )
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    return _bm25_from_tf(matched, index, k, id_col, k1, b, candidate_ids)
 
 
 def more_like_this_text_topk(
@@ -662,11 +648,15 @@ def _bm25_from_tf(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Shared BM25 tail for positional/span operators: given a
     (doc_id, tf) frame of matches, derive df from the match set and
     score with the index's corpus stats. One 1-row df agg broadcast —
-    no corpus rescan."""
+    no corpus rescan. `candidate_ids` (P2 hybrid-filter pushdown,
+    `query/HybridQueryBuilder.java:117-128`) restricts the RETURNED
+    docs before top-k; df stays a corpus-level stat (Lucene scores
+    with unfiltered IDF under filter clauses)."""
     n, avgdl = index.stats
     dfs = matched.agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
@@ -684,6 +674,10 @@ def _bm25_from_tf(
             ).alias("score"),
         )
     )
+    if candidate_ids is not None:
+        scored = scored.join(
+            F.broadcast(candidate_ids.select(id_col)), id_col, "semi"
+        )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -693,6 +687,7 @@ def span_or_topk(
     terms: list[str],
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene SpanOrQuery: the union of the clause spans — tf is the
     TOTAL number of positions any of the terms occupies, scored as one
@@ -704,7 +699,7 @@ def span_or_topk(
         .groupBy(id_col)
         .agg(F.sum(F.size("positions")).cast("double").alias("tf"))
     )
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 def span_first_topk(
@@ -714,6 +709,7 @@ def span_first_topk(
     end: int,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene SpanFirstQuery: matches of `term` whose position is
     before `end` — tf counts only the qualifying positions. A pure
@@ -728,7 +724,7 @@ def span_first_topk(
         )
         .where(F.col("tf") > 0)
     )
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 def intervals_topk(
@@ -738,6 +734,7 @@ def intervals_topk(
     max_gaps: int = 0,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`intervals` query, ordered `match` rule: tf = number of
     first-term occurrences that start a GREEDY ordered chain through
@@ -786,7 +783,7 @@ def intervals_topk(
 
     tf = F.size(F.filter(F.col("_p0"), ok)).cast("double")
     matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 def span_not_topk(
@@ -798,6 +795,7 @@ def span_not_topk(
     post: int = 0,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene SpanNotQuery: occurrences of `include_term` that have NO
     `exclude_term` occurrence within [p−pre, p+post] — tf counts the
@@ -819,7 +817,7 @@ def span_not_topk(
 
     tf = F.size(F.filter(F.col("_pi"), survives)).cast("double")
     matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 def _big_little_joined(
@@ -850,6 +848,7 @@ def span_containing_topk(
     little: str,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene SpanContainingQuery: big spans (ordered pair within
     slop) that CONTAIN a match of the little span — tf = number of
@@ -871,7 +870,7 @@ def span_containing_topk(
         "double"
     )
     matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 def span_within_topk(
@@ -881,6 +880,7 @@ def span_within_topk(
     little: str,
     k: int = 10,
     id_col: str = "doc_id",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene SpanWithinQuery: matches of the little span that fall
     INSIDE some big span — tf = number of little positions c enclosed
@@ -900,7 +900,7 @@ def span_within_topk(
 
     tf = F.size(F.filter(F.col("_pc"), enclosed)).cast("double")
     matched = joined.select(F.col(id_col), tf.alias("tf")).where(F.col("tf") > 0)
-    return _bm25_from_tf(matched, index, k, id_col)
+    return _bm25_from_tf(matched, index, k, id_col, candidate_ids=candidate_ids)
 
 
 @dataclass
@@ -949,6 +949,7 @@ def combined_fields_topk(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`combined_fields` query: BM25 over a virtual field whose term
     frequencies and lengths are the per-field values merged with field
@@ -988,4 +989,8 @@ def combined_fields_topk(
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
     )
+    if candidate_ids is not None:
+        scored = scored.join(
+            F.broadcast(candidate_ids.select(id_col)), id_col, "semi"
+        )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -66,6 +66,10 @@ from ..operators import retrieval as R
 # synthetic child-doc id: parent_id * base + chunk_idx (chunk counts per
 # doc are far below the base at any document length this corpus allows)
 CHILD_ID_BASE = 100000
+# LRU bounds for the per-engine persisted caches (ADVICE r3: long-lived
+# engines must not accumulate pinned storage without eviction)
+REQUEST_CACHE_CAP = 64
+COMBINED_IDX_CACHE_CAP = 8
 
 DEFAULT_K = R.DEFAULT_K
 
@@ -278,7 +282,8 @@ class Engine:
                 )
                 .withColumn(
                     "child_id",
-                    F.col("doc_id") * CHILD_ID_BASE + F.col("chunk_idx"),
+                    F.col("doc_id").cast("long") * CHILD_ID_BASE
+                    + F.col("chunk_idx"),
                 )
             )
         return self._chunks
@@ -322,6 +327,16 @@ class Engine:
             self._positional = bundle.positional
         if getattr(bundle, "chunks", None) is not None:
             self._chunks = bundle.chunks
+        if getattr(bundle, "chunk_postings", None) is not None:
+            # child-corpus BM25 from the store: has_child/has_parent
+            # compile to a token-pruned scan of the persisted postings
+            # + one parent-key groupBy — no chunk re-derivation
+            self._chunk_bm25 = B.BM25Index(
+                postings=bundle.chunk_postings,
+                doclen=bundle.chunk_doclen,
+                stats=bundle.chunk_stats,
+                analyzer=None,
+            )
 
     # -- model resolution (Q9 enricher) -----------------------------------
     def _resolve_model(self, spec: dict) -> str:
@@ -392,9 +407,15 @@ class Engine:
             # nested bool as a sub-clause (query_string groups, nested
             # bool legs): recurse through the full scored-bool branch;
             # the depth window keeps the nested match set complete for
-            # the enclosing intersection
+            # the enclosing intersection. A hybrid-level filter (P2)
+            # rides along as an extra filter clause — compile_filter
+            # passes raw SQL strings through unchanged.
             inner = dict(body)
             inner.setdefault("pagination_depth", depth or 1_000_000)
+            if hybrid_filter:
+                inner["filter"] = _clause_list(inner.get("filter")) + [
+                    hybrid_filter
+                ]
             return self.search(
                 {"bool": inner}, None, size=int(inner["pagination_depth"])
             ).select("doc_id", "score")
@@ -597,7 +618,8 @@ class Engine:
             if "query" not in body:
                 raise ValueError("match_phrase query requires 'query'")
             slop = int(body.get("slop", 0))
-            if slop > 0:
+            qterms = [t for t in body["query"].lower().split() if t]
+            if slop > 0 and len(qterms) >= 2:
                 # sloppy phrase: ordered greedy chains within
                 # (m-1)+slop positions — the intervals machinery.
                 # Divergence note: Lucene's sloppy phrase also accepts
@@ -606,8 +628,15 @@ class Engine:
                 # which agrees for in-order text
                 return B.intervals_topk(
                     self.positional_index(), self.bm25_index(),
-                    [t for t in body["query"].lower().split() if t],
-                    max_gaps=slop, k=k,
+                    qterms, max_gaps=slop, k=k,
+                    candidate_ids=candidate_ids,
+                )
+            if slop > 0:
+                # single-term sloppy phrase: OpenSearch degenerates to
+                # a plain term match (no proximity to measure)
+                return B.bm25_topk(
+                    self.bm25_index(), body["query"], k=k,
+                    candidate_ids=candidate_ids,
                 )
             return B.phrase_topk(
                 self.positional_index(), self.bm25_index(), body["query"], k=k,
@@ -718,6 +747,7 @@ class Engine:
                 slop=int(body.get("slop", 0)),
                 in_order=bool(body.get("in_order", True)),
                 k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "span_or":
             # Lucene SpanOrQuery: union of the clause spans — combined
@@ -725,6 +755,7 @@ class Engine:
             return B.span_or_topk(
                 self.positional_index(), self.bm25_index(),
                 [t.lower() for t in body["terms"]], k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "span_first":
             # Lucene SpanFirstQuery: term within the first `end`
@@ -732,6 +763,7 @@ class Engine:
             return B.span_first_topk(
                 self.positional_index(), self.bm25_index(),
                 body["term"], int(body["end"]), k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "span_not":
             # Lucene SpanNotQuery: include-term occurrences with no
@@ -741,6 +773,7 @@ class Engine:
                 body["include"], body["exclude"],
                 pre=int(body.get("pre", 0)), post=int(body.get("post", 0)),
                 k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype in ("span_containing", "span_within"):
             # Lucene SpanContaining/SpanWithinQuery: big = ordered
@@ -755,6 +788,7 @@ class Engine:
             return fn(
                 self.positional_index(), self.bm25_index(),
                 big, body["little"], k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "has_child":
             # join-field has_child: parents of matching children,
@@ -773,6 +807,10 @@ class Engine:
                 .alias("doc_id"),
                 "score",
             )
+            if candidate_ids is not None:
+                # P2: hybrid filter restricts the PARENT docs; child
+                # counts per surviving parent are unaffected
+                cs = cs.join(F.broadcast(candidate_ids), "doc_id", "semi")
             return PJ.has_child_topk(
                 cs,
                 score_mode=body.get("score_mode", "max"),
@@ -789,12 +827,20 @@ class Engine:
                     f"unsupported has_parent sub-query type: {ptype}"
                 )
             ps = B.bm25_scores(self.bm25_index(), pbody["query"])
+            if candidate_ids is not None:
+                # P2: hybrid filter restricts the PARENT docs (the
+                # filter expression is over parent attributes);
+                # children of excluded parents drop out
+                ps = ps.join(F.broadcast(candidate_ids), "doc_id", "semi")
             return PJ.has_parent_children_topk(
                 ps, self.chunks(), k=k, score=bool(body.get("score", True))
             )
         if qtype == "parent_id":
             # join-field parent_id: the children of one parent
-            return PJ.parent_id_children(self.chunks(), body["id"])
+            out = PJ.parent_id_children(self.chunks(), body["id"])
+            if candidate_ids is not None:
+                out = out.join(F.broadcast(candidate_ids), "doc_id", "semi")
+            return out
         if qtype == "intervals":
             # intervals query, ordered match rule with max_gaps —
             # greedy minimal ordered chains over positional postings
@@ -802,6 +848,7 @@ class Engine:
                 self.positional_index(), self.bm25_index(),
                 [t.lower() for t in body["terms"]],
                 max_gaps=int(body.get("max_gaps", 0)), k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "match_bool_prefix":
             # match_bool_prefix: every token but the last scores as a
@@ -830,6 +877,10 @@ class Engine:
             for p_ in parts[1:]:
                 base = base.unionByName(p_)
             scored = base.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            if candidate_ids is not None:
+                scored = scored.join(
+                    F.broadcast(candidate_ids), "doc_id", "semi"
+                )
             return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
         if qtype == "combined_fields":
             # combined_fields: BM25F-style UNIFIED term statistics
@@ -845,14 +896,28 @@ class Engine:
             # build + persist once per field set, reuse per query
             ckey = tuple(key_parts)
             if not hasattr(self, "_combined_idx"):
-                self._combined_idx: dict[tuple, B.CombinedFieldsIndex] = {}
+                from collections import OrderedDict
+
+                self._combined_idx: "OrderedDict[tuple, B.CombinedFieldsIndex]" = (
+                    OrderedDict()
+                )
             if ckey not in self._combined_idx:
+                # bounded artifact cache: distinct field-weight sets are
+                # few in practice, but a long-lived engine must not pin
+                # storage without limit — evict LRU and unpersist
+                while len(self._combined_idx) >= COMBINED_IDX_CACHE_CAP:
+                    _, old = self._combined_idx.popitem(last=False)
+                    old.postings.unpersist()
+                    old.doclen.unpersist()
                 cidx = B.build_combined_fields(fields)
                 cidx.postings.persist()
                 cidx.doclen.persist()
                 self._combined_idx[ckey] = cidx
+            else:
+                self._combined_idx.move_to_end(ckey)
             return B.combined_fields_topk(
-                self._combined_idx[ckey], body["query"], k=k
+                self._combined_idx[ckey], body["query"], k=k,
+                candidate_ids=candidate_ids,
             )
         if qtype == "terms_lookup":
             # terms lookup (OpenSearch `terms` with a lookup body):
@@ -868,10 +933,11 @@ class Engine:
             if row is None:
                 raise ValueError(f"terms_lookup doc {body['id']} not found")
             vals = row[0] if isinstance(row[0], list) else [row[0]]
+            base = self.documents().where(F.col(body["field"]).isin(vals))
+            if candidate_ids is not None:
+                base = base.join(F.broadcast(candidate_ids), "doc_id", "semi")
             return (
-                self.documents()
-                .where(F.col(body["field"]).isin(vals))
-                .select("doc_id", F.lit(1.0).alias("score"))
+                base.select("doc_id", F.lit(1.0).alias("score"))
                 .orderBy("doc_id")
                 .limit(k)
             )
@@ -1156,14 +1222,18 @@ class Engine:
         slice_spec: dict[str, int] | None = None,
     ):
         """The `_scroll` / point-in-time pagination endpoint as an
-        iterator of hit pages. Spark-first: there is no server-side
-        cursor — every page re-derives from the SAME deterministic
-        plan with a (from, size) window, so any executor count can
-        serve page N+1 and a failed page is retryable. (The reference
-        keeps per-shard scroll contexts; a deterministic sort makes
-        that state unnecessary — K2's search_after is the same idea
-        keyed by sort value instead of offset.) Stops at the first
-        empty page.
+        iterator of hit pages. Spark-first: ONE deterministic ranking
+        plan is persisted for the scroll's lifetime (the scroll-context
+        analogue — the reference pins per-shard reader contexts), and
+        page N+1 resumes past page N's (score, doc_id) boundary via
+        the K2 search_after predicate (operators/sorting.py::_lex_after)
+        — a constant-cost TakeOrdered(size) per page instead of
+        re-ranking with a growing offset. Each page executes exactly
+        once (the boundary collect IS the page; the yielded frame is
+        the collected rows), so deep sequential paging is
+        O(pages · page_cost), not O(pages · query_cost). Stops at the
+        first empty page; the pinned ranking is unpersisted when the
+        iterator is exhausted or closed.
 
         `slice_spec={"id": i, "max": m}` is OpenSearch's sliced
         scroll: the result stream splits into m disjoint hash slices
@@ -1173,6 +1243,8 @@ class Engine:
         export better, but the slice contract matters for drop-in
         API parity). Slicing is on pmod(doc_id, m), a pure pushdown
         predicate on the id column."""
+        from ..operators.sorting import _lex_after
+
         base = query
         if slice_spec is not None:
             sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
@@ -1186,11 +1258,27 @@ class Engine:
                 "filter": f"pmod(doc_id, {smax}) = {sid}",
                 "pagination_depth": 1_000_000,
             }}
-        for page_i in range(max_pages):
-            page = self.search(base, pipeline, size=size, from_=page_i * size)
-            if not page.take(1):
-                return
-            yield page
+        # the scroll context: the full ranking (bounded by the scroll's
+        # own horizon), persisted once, paged by boundary predicate
+        scored = self.search(base, pipeline, size=max_pages * size).persist()
+        sort_cols = [("score", False), ("doc_id", True)]
+        after = None
+        try:
+            for _ in range(max_pages):
+                page = scored
+                if after is not None:
+                    page = page.where(_lex_after(sort_cols, after))
+                rows = (
+                    page.orderBy(F.col("score").desc(), "doc_id")
+                    .limit(size)
+                    .collect()
+                )
+                if not rows:
+                    return
+                after = [rows[-1]["score"], rows[-1]["doc_id"]]
+                yield self.spark.createDataFrame(rows, schema=scored.schema)
+        finally:
+            scored.unpersist()
 
     def search_template(
         self, template: dict[str, Any] | str, params: dict[str, Any]
@@ -1295,12 +1383,24 @@ class Engine:
             sort_keys=True, default=str,
         )
         if not hasattr(self, "_request_cache"):
-            self._request_cache: dict[str, DataFrame] = {}
+            from collections import OrderedDict
+
+            self._request_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
             self._request_cache_stats = {"hits": 0, "misses": 0}
         if key in self._request_cache:
             self._request_cache_stats["hits"] += 1
-            return self._request_cache[key]
+            # LRU touch: move to the back of the insertion order
+            out = self._request_cache.pop(key)
+            self._request_cache[key] = out
+            return out
         self._request_cache_stats["misses"] += 1
+        # bounded cache: evict the least-recently-used entry and free
+        # its pinned storage memory (the OpenSearch request cache is
+        # likewise LRU-bounded; unbounded persists would accumulate
+        # executor storage on a long-lived engine)
+        while len(self._request_cache) >= REQUEST_CACHE_CAP:
+            _, old = self._request_cache.popitem(last=False)
+            old.unpersist()
         out = self.search(query, pipeline, size=size, from_=from_).persist()
         self._request_cache[key] = out
         return out
@@ -1309,6 +1409,22 @@ class Engine:
         return dict(
             getattr(self, "_request_cache_stats", {"hits": 0, "misses": 0})
         )
+
+    def clear_caches(self) -> None:
+        """Unpersist and drop every per-engine cached frame (the
+        `_cache/clear` endpoint analogue, S6): the request cache, the
+        combined-fields artifacts, and any persisted index frames the
+        engine pinned. Safe to call mid-session — artifacts rebuild
+        lazily on next use."""
+        for df_ in getattr(self, "_request_cache", {}).values():
+            df_.unpersist()
+        if hasattr(self, "_request_cache"):
+            self._request_cache.clear()
+        for cidx in getattr(self, "_combined_idx", {}).values():
+            cidx.postings.unpersist()
+            cidx.doclen.unpersist()
+        if hasattr(self, "_combined_idx"):
+            self._combined_idx.clear()
 
     def rescore(
         self,
@@ -1336,10 +1452,21 @@ class Engine:
                 self.bm25_index(), rbody["query"], candidate_ids=cand
             )
         elif rtype == "match_phrase":
-            rs = B.phrase_topk(
-                self.positional_index(), self.bm25_index(), rbody["query"],
-                k=window_size, candidate_ids=cand,
-            )
+            rslop = int(rbody.get("slop", 0))
+            rterms = [t for t in rbody["query"].lower().split() if t]
+            if rslop > 0 and len(rterms) >= 2:
+                # sloppy rescore phrase: same intervals machinery as
+                # the top-level match_phrase slop path
+                rs = B.intervals_topk(
+                    self.positional_index(), self.bm25_index(),
+                    rterms, max_gaps=rslop, k=window_size,
+                    candidate_ids=cand,
+                )
+            else:
+                rs = B.phrase_topk(
+                    self.positional_index(), self.bm25_index(), rbody["query"],
+                    k=window_size, candidate_ids=cand,
+                )
         else:
             raise ValueError(f"unsupported rescore query type: {rtype}")
         rs = rs.select("doc_id", F.col("score").alias("__re"))
@@ -2061,7 +2188,15 @@ class Engine:
             if not sub or len(sub) != 1:
                 raise ValueError("nested agg needs exactly one sub-agg")
             (n2, subspec), = sub.items()
-            return self._compile_agg(self.chunks(), subspec)
+            # the hop keeps the QUERY SCOPE: only children of parents
+            # in the incoming (query-scoped/filtered) frame are
+            # aggregated — a broadcast-friendly semi on the parent key
+            # (OpenSearch nested aggs cover children of matching
+            # parents, not the whole child corpus)
+            scoped_children = self.chunks().join(
+                df.select("doc_id").distinct(), "doc_id", "semi"
+            )
+            return self._compile_agg(scoped_children, subspec)
         if kind == "terms":
             size = int(body.get("size", 10))
             field = body["field"]

