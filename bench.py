@@ -145,6 +145,11 @@ HEADLINE = [
     "dsl_agg_moving_percentiles",
     "sort_script_page",
     "query_string_bool",
+    # round-13 additions (N-scaled dedup knobs, real checkpoint model)
+    "emb_neardup_scaled",
+    "semantic_dedup_scaled",
+    "real_model_dense_topk",
+    "real_model_hybrid",
 ]
 
 

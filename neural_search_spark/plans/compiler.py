@@ -49,6 +49,7 @@ pipeline:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -187,7 +188,13 @@ class Engine:
         self.default_model_id = default_model_id
         # R9 pluggable agent (the LLM boundary): Callable[[str], dict]
         # producing a DSL spec — same contract as the reference's
-        # `processor/AgenticQueryTranslatorProcessor.java:97-150`
+        # `processor/AgenticQueryTranslatorProcessor.java:97-150`.
+        # Resolution order: explicit callable > env-configured LLM
+        # endpoint (NEURAL_SEARCH_AGENT_ENDPOINT) > deterministic rules
+        if agent_translate is None and os.environ.get(
+            "NEURAL_SEARCH_AGENT_ENDPOINT"
+        ):
+            agent_translate = llm_agent_translate()
         self.agent_translate = agent_translate or _agentic_translate
         self._bm25 = None
         self._field_bm25 = None
@@ -1425,6 +1432,9 @@ class Engine:
             cidx.doclen.unpersist()
         if hasattr(self, "_combined_idx"):
             self._combined_idx.clear()
+        for df_ in (self._model_corpora or {}).values():
+            df_.unpersist()
+        self._model_corpora = None
 
     def rescore(
         self,
@@ -3296,6 +3306,78 @@ def _qs_to_dsl(node) -> dict:
     else:
         flt = {"term": {field: _qs_typed(body)}}
     return {"constant_score": {"filter": flt, "boost": boost}}
+
+
+AGENT_SYSTEM_PROMPT = """You translate natural-language search questions \
+into ONE JSON query for a search engine. Reply with ONLY the JSON object, \
+no prose. Allowed top-level keys (pick exactly one): neural \
+({"query_text": str}), neural_sparse ({"query_text": str}), match \
+({"field": "text", "query": str}), match_phrase ({"field": "text", \
+"query": str}), match_phrase_prefix ({"field": "text", "query": str}), \
+bool ({"must": [...], "must_not": [...], "filter": [...]}), dis_max \
+({"queries": [...]}), boosting ({"positive": {...}, "negative": {...}, \
+"negative_boost": float}), hybrid ({"queries": [...]}). Sub-queries use \
+the same shapes."""
+
+
+def llm_agent_translate(
+    endpoint: str | None = None,
+    model: str | None = None,
+    timeout: float = 15.0,
+    fallback=None,
+):
+    """R9 agent through a real LLM endpoint (VERDICT r3 item 10): a
+    Callable[[str], dict] that POSTs the question to an
+    OpenAI-compatible `/v1/chat/completions` server (any local
+    llama.cpp / vLLM / ollama-style endpoint) and parses the replied
+    JSON into the DSL dict — the
+    `processor/AgenticQueryTranslatorProcessor.java:97-150` contract
+    with the ML-Commons agent swapped for an HTTP call.
+
+    Configuration: `endpoint` / env NEURAL_SEARCH_AGENT_ENDPOINT (base
+    URL), `model` / env NEURAL_SEARCH_AGENT_MODEL. On ANY failure
+    (endpoint down, invalid JSON, empty reply) the call falls back to
+    the deterministic rule stub so search stays available — the same
+    degrade-to-default posture as the reference's enricher defaults.
+    Stdlib urllib only: no extra dependency, driver-side one call per
+    query (the agent is coordinator work, never per-row)."""
+    endpoint = endpoint or os.environ.get("NEURAL_SEARCH_AGENT_ENDPOINT", "")
+    model = model or os.environ.get("NEURAL_SEARCH_AGENT_MODEL", "default")
+    fallback = fallback or _agentic_translate
+
+    def _translate(question: str) -> dict:
+        import json as _json
+        import urllib.request as _rq
+
+        try:
+            body = _json.dumps({
+                "model": model,
+                "messages": [
+                    {"role": "system", "content": AGENT_SYSTEM_PROMPT},
+                    {"role": "user", "content": question},
+                ],
+                "temperature": 0,
+            }).encode()
+            req = _rq.Request(
+                endpoint.rstrip("/") + "/v1/chat/completions",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with _rq.urlopen(req, timeout=timeout) as resp:
+                reply = _json.loads(resp.read())
+            text = reply["choices"][0]["message"]["content"].strip()
+            # tolerate fenced replies
+            if text.startswith("```"):
+                text = text.strip("`")
+                text = text[text.index("{"):]
+            spec = _json.loads(text[text.index("{"): text.rindex("}") + 1])
+            if not (isinstance(spec, dict) and len(spec) == 1):
+                raise ValueError(f"agent reply is not a single-key DSL dict: {spec!r}")
+            return spec
+        except Exception:
+            return fallback(question)
+
+    return _translate
 
 
 def _agentic_translate(question: str) -> dict:

@@ -5352,60 +5352,109 @@ for _name, _fn in [
 #   round 1  — flagship surface  (CORRECTNESS_r01.json, 50 graded)
 #   round 2  — rotation 2        (CORRECTNESS_r02.json, 50 graded;
 #                                 union r1+r2 = 66 distinct)
-#   round 3  — THIS WINDOW: every query added/changed this round (the
-#              bucketed emb near-dup flagship; kmeans/semdedup/span/
-#              domain-cap/BPE curation set; real-media-decode mm_*;
-#              analyzer-depth bm25_*; compound dsl_* queries;
-#              logreg_lang_en; bm25_explain_doc) + the judge-named
-#              never-graded set (r4_analyzer_sparse,
-#              k6_posting_truncation, inference_length_buckets,
-#              tpch_q7/q8/q12/q14/q15/q17/q19/q22) — all inside the
-#              first 50 (verified at edit time; tpch_q22 sits at
-#              exactly position 50).
-#   round 4+ — spillover below position 50 of this list (remaining
-#              tpch breadth, events/temporal, text/training-data,
-#              suggesters, multimodal-meta rows) then the ~12
-#              oracle-backed remainders (batch_*, events_session*,
-#              events_sliding_window, r10_dense_rescore, tpch_q3/q6,
-#              shuffle_deterministic) + whatever round 4 adds/changes.
+#   round 3  — rotation 3        (CORRECTNESS_r03.json, 50 graded;
+#                                 union r1+r2+r3 = 115 distinct)
+#   round 4  — THIS WINDOW: new this round (N-scaled dedup flagships,
+#              real-checkpoint model dense/hybrid, semantic-highlight
+#              model tier) + code-changed this round (P2 pushdown
+#              leaves, artifact-store-routed bm25/positional/chunk
+#              queries, single-scan rank_eval, search_after scroll) +
+#              never-graded agg-tree/selection fill — positions 1-50
+#              verified at edit time (dsl_agg_mad sits at exactly 50).
+#   round 5+ — never-graded spillover below position 50 in standing
+#              order (endpoint/pipeline-agg remainder, geo, TPC-H
+#              breadth, events/temporal, text/training-data,
+#              suggesters), then the r1-r3-graded names rotated to the
+#              back for re-verification.
 #              Rule: anything newly added or code-changed ALWAYS heads
 #              the next window; never-graded queries fill the rest in
 #              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
-    # changed this round: flagship near-dup swapped to bucketed LSH +
-    # its exact small-scale verifier
+    # ===== ROUND-4 WINDOW (first 50) =====
+    # NEW this round: N-scaled dedup flagships, real-checkpoint model
+    # path, semantic-highlight model tier
+    "emb_neardup_scaled", "semantic_dedup_scaled",
+    "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
+    # CODE-CHANGED this round: P2 filter pushdown reached every leaf
+    # (span/intervals/parent-child/bool-prefix/combined_fields/
+    # terms_lookup/sloppy-phrase), artifact-store routing for
+    # BM25/positional/chunk queries, single-scan rank_eval,
+    # search_after-backed scroll
+    "has_child_sum", "has_parent_inherit", "parent_id_children",
+    "dsl_agg_children", "dsl_agg_nested_reverse",
+    "rank_eval_metrics", "scroll_page2", "scroll_sliced",
+    "match_phrase_slop", "span_or", "span_first", "span_not",
+    "span_containing", "span_within", "span_near", "intervals_ordered",
+    "match_bool_prefix", "combined_fields", "terms_lookup",
+    "rescore_weighted", "bm25_match", "match_phrase", "nested_inner_hits",
+    # NEVER-GRADED fill, in standing order (agg tree, selection,
+    # suggesters) — positions 29-50
+    "dsl_agg_terms_nested", "dsl_agg_top_hits", "dsl_agg_extended_stats",
+    "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
+    "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
+    "dsl_agg_diversified_sampler", "dsl_agg_max_bucket",
+    "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
+    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text",
+    "dsl_agg_global", "dsl_agg_date_histogram_fixed",
+    "dsir_select", "phrase_suggest",
+    "dsl_agg_auto_date_histogram", "dsl_agg_date_range",
+    "dsl_agg_top_metrics", "dsl_agg_mad",
+    # ===== below position 50: round-5 spillover (never-graded order
+    # preserved), then the already-graded r1-r3 names at the back =====
+    "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
+    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
+    "mget_docs", "field_caps", "search_template_match",
+    "search_fetch_fields", "completion_suggest",
+    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
+    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
+    "dsl_agg_t_test", "dsl_agg_geo_bounds",
+    "cross_index_search", "script_score_cosine", "cross_index_boosted",
+    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
+    "wrapper_match", "query_string_bool", "query_string_field_boost",
+    "match_all_page", "function_score_full",
+    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
+    "rank_feature_saturation", "dsl_agg_matrix_stats",
+    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
+    "dsl_agg_filters", "dsl_agg_rare_terms",
+    "geo_distance", "geo_bounding_box", "geotile_grid",
+    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
+    "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
+    "terms_set",
+    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
+    "events_user_deltas", "events_user_cumulative", "events_pivot",
+    "events_histogram", "events_ntile", "events_argmax", "events_cube",
+    "events_json_extract",
+    "customer_no_orders", "docs_grouping_sets", "topk_per_group",
+    "split_train_valid_test", "sample_stratified_hash", "sample_weighted",
+    "emb_centroids", "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
+    "text_bigram_pmi", "text_normalize", "decontaminate_overlap",
+    "text_repetition", "vocab_coverage", "text_unigram_nll",
+    "text_source_kl", "mine_hard_negatives", "label_rebalance",
+    "fuzzy_match", "prefix_suggest", "more_like_this", "next_word_suggest",
+    "mm_media_meta", "late_interaction_maxsim",
+    # --- graded in r1-r3 (rotate to the back for re-verification) ---
     "emb_neardup_cosine", "emb_neardup_exact", "bm25_match_folded",
-    # new this round: distributed curation operators + combined ANN tier
     "kmeans_clusters", "semantic_dedup", "dedup_span_windows",
     "domain_cap_sample", "bpe_merge_pairs", "ann_ivfpq_topk",
     "bpe_token_count", "multi_match_best_fields", "multi_match_most_fields",
     "term_suggest", "nb_lang_predict", "ann_sq8_topk", "matryoshka_topk",
     "match_phrase_prefix",
-    # new this round: DSL aggregations + PII scrub
     "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
     "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
-    # new this round: REAL media decode (pure-stdlib codecs)
     "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
     "mm_audio_pcm_stats",
-    # new this round: analyzer-parity depth (stem / edge-ngram / shingle)
     "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
-    # new this round: OpenSearch-core compound queries
     "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
-    # new this round: distributed GD classifier + explain endpoint
     "logreg_lang_en", "bm25_explain_doc",
-    # new this round: SEISMIC provably-exact config, hash-matched (R7 upgrade)
     "r7_seismic_oracle_exact", "term_vectors_doc",
-    # judge-named never-graded (VERDICT r2 item 4)
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
-    # round-3 session-2 additions: aggregation-tree completion (nested
-    # buckets, top_hits, samplers, sibling pipeline aggs, significant_
-    # text, global, extended/string stats, multi_terms, missing,
-    # fixed_interval) — below position 50, so they head the ROUND-4
-    # window per the rotation rule (new/changed queries first)
-    "dsl_agg_terms_nested", "dsl_agg_top_hits", "dsl_agg_extended_stats",
+    # (below: the pre-rotation tail retained verbatim — every name is a
+    # duplicate of one placed above; dict construction in _ordered keeps
+    # the FIRST occurrence's position, so these are inert)
     "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
     "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
     "dsl_agg_diversified_sampler", "dsl_agg_max_bucket",
@@ -11071,6 +11120,349 @@ ORACLES["semantic_dedup_scaled"] = semantic_dedup_oracle_sql(
     semdedup_cells(_N_EMB_GRADE)
 )
 SPARK_QUERIES["semantic_dedup_scaled"] = q_semantic_dedup_scaled
+
+
+# ---------------------------------------------------------------------------
+# round-4: REAL on-disk checkpoint model, end-to-end (VERDICT r3 item 2).
+# The committed artifact neural_search_spark/resources/hashproj_48.npz is
+# an actual weights file (W: 1024×48 projection, scripts/make_checkpoint.py)
+# opened EXECUTOR-SIDE by models.numpy_checkpoint_loader — the same
+# file→load-once-per-worker→Arrow-batch lifecycle as a torch checkpoint
+# (`ml/MLCommonsClientAccessor.java:110-175` inferenceSentences). Because
+# the model's dim (48) differs from the stored stub embeddings (64), the
+# engine re-embeds the corpus through the model's pandas UDF
+# (Engine.model_corpus) — so the graded query exercises checkpoint load +
+# distributed inference + dense ranking, not the seeded-hash stub. The
+# DuckDB oracle reproduces the full encoder in SQL: md5 hash-bucketing
+# (('0x'||substr(md5(tok),1,8))::UBIGINT % 1023 — bit-identical to the
+# loader), inlined W rows for the corpus vocabulary, L2 normalize,
+# float32 truncation at the UDF boundary, cosine vs the hoisted query
+# vector.
+# ---------------------------------------------------------------------------
+
+from . import models  # noqa: E402
+
+REAL_MODEL_ID = "npz-hashproj-48"
+REAL_MODEL_DIM = 48
+REAL_MODEL_HASH_DIM = 1024
+REAL_MODEL_QUERY = "spark join window stream"
+
+
+def _checkpoint_path() -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources", "hashproj_48.npz",
+    )
+
+
+def _register_real_model() -> bool:
+    import os as _os
+
+    path = _checkpoint_path()
+    if not _os.path.exists(path):
+        return False
+    if REAL_MODEL_ID not in models.MODEL_REGISTRY:
+        models.register_model(
+            REAL_MODEL_ID,
+            models.numpy_checkpoint_loader(path, hash_dim=REAL_MODEL_HASH_DIM),
+            dim=REAL_MODEL_DIM,
+            batch_size=64,
+        )
+    return True
+
+
+_REAL_MODEL_OK = _register_real_model()
+
+
+def q_real_model_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-k whose embeddings come from the REAL checkpoint
+    file: query text → driver-side encode through the loaded weights
+    (coordinator hoisting), corpus → executor-side re-embed through
+    the iterator pandas UDF (weights loaded once per worker from the
+    .npz), then the standard R1 cosine TakeOrdered."""
+    eng = _agg_engine(spark, sf_dir)
+    out = eng.search(
+        {"neural": {
+            "query_text": REAL_MODEL_QUERY,
+            "model_id": REAL_MODEL_ID,
+            "k": K,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _real_model_encoder_ctes(sf_dir: str, q_cte: str = "qd") -> str:
+    """The checkpoint encoder as a CTE chain ending in `e(doc_id, e)`
+    (float32-truncated unit document embeddings) and `{q_cte}(qe)`
+    (the hoisted query vector): same md5 buckets, same W rows (read
+    from the actual .npz), same L2-normalize→float32-truncate chain
+    as the loader. Shared by the dense and hybrid oracles."""
+    import hashlib as _hashlib
+    import os as _os
+
+    import duckdb as _duckdb
+    import numpy as _np
+
+    W = _np.load(_checkpoint_path())["W"]
+    con = _duckdb.connect()
+    path = _os.path.join(sf_dir, "documents.parquet")
+    toks = con.execute(
+        "SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t"
+        f" FROM '{path}'"
+    ).fetchall()
+    con.close()
+    vocab = sorted({r[0] for r in toks if r[0]})
+    mod = REAL_MODEL_HASH_DIM - 1
+    buckets = sorted({
+        int.from_bytes(_hashlib.md5(t.encode()).digest()[:4], "big") % mod
+        for t in vocab
+    })
+    wrows = ",\n  ".join(
+        f"({b}, [" + ", ".join(repr(float(x)) for x in W[b]) + "]::DOUBLE[])"
+        for b in buckets
+    )
+    qv = models.encode_query(REAL_MODEL_ID, REAL_MODEL_QUERY, "QUERY")
+    q_lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    return f"""toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tx AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(token), 1, 8))::UBIGINT % {mod}) AS bucket,
+         count(*)::DOUBLE AS cnt
+  FROM toks WHERE token != '' GROUP BY 1, 2
+),
+wrows(bucket, w) AS (VALUES
+  {wrows}
+),
+yel AS (
+  SELECT tx.doc_id, t.i AS pos, sum(tx.cnt * w.w[t.i + 1]) AS v
+  FROM tx JOIN wrows w USING (bucket), unnest(range(0, {REAL_MODEL_DIM})) t(i)
+  GROUP BY 1, 2
+),
+y AS (SELECT doc_id, list(v ORDER BY pos) AS y FROM yel GROUP BY doc_id),
+e AS (
+  SELECT doc_id,
+         list_transform(
+           y, v -> CAST(CAST(v / sqrt(list_dot_product(y, y)) AS REAL) AS DOUBLE)
+         ) AS e
+  FROM y
+),
+{q_cte}(qe) AS (VALUES ({q_lit}))"""
+
+
+def real_model_oracle_sql(sf_dir: str) -> str:
+    """DuckDB mirror of the real-checkpoint dense top-k."""
+    return f"""
+WITH {_real_model_encoder_ctes(sf_dir, "qd")}
+SELECT doc_id,
+       round(
+         list_dot_product(e, qe)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+         4
+       ) AS score
+FROM e, qd
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def real_model_hybrid_oracle_sql(sf_dir: str) -> str:
+    """DuckDB mirror of hybrid = [real-model dense, BM25 match] with
+    min_max normalization + unweighted arithmetic-mean combination
+    (mean over PRESENT legs, the engine's contract)."""
+    q_tokens = sorted({t for t in REAL_MODEL_QUERY.lower().split() if t})
+    q_vals = ", ".join(f"('{t}')" for t in q_tokens)
+    return f"""
+WITH {_real_model_encoder_ctes(sf_dir, "qd")},
+dense_scored AS (
+  SELECT doc_id,
+         list_dot_product(e, qe)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+         AS score
+  FROM e, qd
+),
+dense_top AS (
+  SELECT doc_id, score FROM dense_scored
+  ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+),
+q(token) AS (VALUES {q_vals}),
+{_bm25_cte("m", "documents").strip()},
+m_depth_top AS (
+  SELECT doc_id, score FROM m_scored
+  ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+),
+u AS (
+  SELECT doc_id, score AS raw_score, 0 AS subquery_idx FROM dense_top
+  UNION ALL
+  SELECT doc_id, score AS raw_score, 1 AS subquery_idx FROM m_depth_top
+),
+n AS ({SQL_MINMAX_NORM}),
+fused AS (
+  SELECT doc_id, avg(norm_score) AS score FROM n GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM fused ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def q_real_model_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion where the dense leg's embeddings come from the
+    real checkpoint (executor-side load + Arrow-batched inference) and
+    the lexical leg is BM25 over the persisted postings artifact —
+    the full R6 pipeline under a real model swap."""
+    eng = _agg_engine(spark, sf_dir)
+    out = eng.search(
+        {"hybrid": {
+            "queries": [
+                {"neural": {
+                    "query_text": REAL_MODEL_QUERY,
+                    "model_id": REAL_MODEL_ID,
+                }},
+                {"match": {"field": "text", "query": REAL_MODEL_QUERY}},
+            ],
+            "pagination_depth": HYBRID_DEPTH,
+        }},
+        pipeline={
+            "normalization": {"technique": "min_max"},
+            "combination": {"technique": "arithmetic_mean"},
+        },
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+if _REAL_MODEL_OK:
+    try:
+        ORACLES["real_model_dense_topk"] = real_model_oracle_sql(
+            "/root/testdata/sf0.01"
+        )
+        ORACLES["real_model_hybrid"] = real_model_hybrid_oracle_sql(
+            "/root/testdata/sf0.01"
+        )
+    except Exception:
+        # testdata absent at import: register rows-only so the queries
+        # still run wherever data exists
+        pass
+    SPARK_QUERIES["real_model_dense_topk"] = q_real_model_dense_topk
+    SPARK_QUERIES["real_model_hybrid"] = q_real_model_hybrid
+
+
+# ---------------------------------------------------------------------------
+# round-4: SEMANTIC highlight tier (VERDICT r3 item 6) — sentence/window
+# segmentation + encoder-scored best span through the REAL checkpoint
+# model (operators/highlight.py::semantic_highlight_results), replacing
+# the term-regex-only fidelity; `type: plain` keeps the regex tier.
+# ---------------------------------------------------------------------------
+
+SEMHL_WINDOW = 8  # token-window segmenter (the corpus is unpunctuated)
+
+
+def q_semantic_highlight_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 semantic highlight at model fidelity: BM25 top-k hits →
+    fixed 8-token spans → ONE Arrow-batched pass through the real
+    checkpoint encoder → argmax span per doc, tagged into the field
+    (`SemanticHighlighterEngine.java:87-160`)."""
+    eng = _agg_engine(spark, sf_dir)
+    hits = eng.search(
+        {"match": {"field": "text", "query": REAL_MODEL_QUERY}}, size=K
+    )
+    out = H.semantic_highlight_results(
+        hits, eng.documents(), REAL_MODEL_QUERY,
+        model_id=REAL_MODEL_ID, window_tokens=SEMHL_WINDOW,
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        "span_idx", "span", "highlighted",
+    )
+
+
+def semantic_highlight_oracle_sql(sf_dir: str) -> str:
+    """DuckDB mirror: window token counts → checkpoint projection →
+    float32-truncated unit embeddings → cosine vs the hoisted query
+    vector → argmax span per BM25-top-k doc → tag via replace()."""
+    q_tokens = sorted({t for t in REAL_MODEL_QUERY.lower().split() if t})
+    q_vals = ", ".join(f"('{t}')" for t in q_tokens)
+    mod = REAL_MODEL_HASH_DIM - 1
+    w = SEMHL_WINDOW
+    return f"""
+WITH {_real_model_encoder_ctes(sf_dir, "qd")},
+wtoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS token,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+wx AS (
+  SELECT doc_id, ((pos - 1) // {w}) AS span_idx,
+         (('0x' || substr(md5(token), 1, 8))::UBIGINT % {mod}) AS bucket,
+         count(*)::DOUBLE AS cnt
+  FROM wtoks WHERE token != '' GROUP BY 1, 2, 3
+),
+wyel AS (
+  SELECT wx.doc_id, wx.span_idx, t.i AS pos, sum(wx.cnt * w2.w[t.i + 1]) AS v
+  FROM wx JOIN wrows w2 USING (bucket), unnest(range(0, {REAL_MODEL_DIM})) t(i)
+  GROUP BY 1, 2, 3
+),
+wy AS (
+  SELECT doc_id, span_idx, list(v ORDER BY pos) AS y
+  FROM wyel GROUP BY 1, 2
+),
+we AS (
+  SELECT doc_id, span_idx,
+         list_transform(
+           y, v -> CAST(CAST(v / sqrt(list_dot_product(y, y)) AS REAL) AS DOUBLE)
+         ) AS e
+  FROM wy
+),
+wsim AS (
+  SELECT doc_id, span_idx,
+         list_dot_product(e, qe)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS sim
+  FROM we, qd
+),
+best AS (
+  SELECT doc_id, span_idx,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sim DESC, span_idx) AS rn
+  FROM wsim
+),
+q(token) AS (VALUES {q_vals}),
+{_bm25_cte("m", "documents").strip()}
+SELECT m.doc_id, round(m.score, 4) AS score, b.span_idx,
+       array_to_string(
+         string_split(d.text, ' ')[b.span_idx * {w} + 1 : b.span_idx * {w} + {w}],
+         ' '
+       ) AS span,
+       replace(
+         d.text,
+         array_to_string(
+           string_split(d.text, ' ')[b.span_idx * {w} + 1 : b.span_idx * {w} + {w}],
+           ' '
+         ),
+         '<em>' || array_to_string(
+           string_split(d.text, ' ')[b.span_idx * {w} + 1 : b.span_idx * {w} + {w}],
+           ' '
+         ) || '</em>'
+       ) AS highlighted
+FROM m_top m
+JOIN best b ON b.doc_id = m.doc_id AND b.rn = 1
+JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id
+"""
+
+
+if _REAL_MODEL_OK:
+    try:
+        ORACLES["semantic_highlight_best"] = semantic_highlight_oracle_sql(
+            "/root/testdata/sf0.01"
+        )
+    except Exception:
+        pass
+    SPARK_QUERIES["semantic_highlight_best"] = q_semantic_highlight_best
 
 
 # apply the contract ordering ONCE, after every registration — the
