@@ -150,6 +150,9 @@ HEADLINE = [
     "semantic_dedup_scaled",
     "real_model_dense_topk",
     "real_model_hybrid",
+    "semantic_highlight_best",
+    "substring_dedup",
+    "update_by_query",
 ]
 
 

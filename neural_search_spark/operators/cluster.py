@@ -46,10 +46,11 @@ def _sqdist(v, cvec: list[float]):
 # above this k, the literal argmin expression (k structs × dim literal
 # arrays) outgrows codegen and evaluates interpreted per row — switch
 # to the vectorized Arrow path (same results, bit-identical fold order).
-# Measured at dim=64: expression path 10.9 s for k=63 over 2k rows vs
-# 8.4 s for the Arrow path at k=625 over 20k rows — the crossover is
-# far below 64 structs.
-KMEANS_EXPR_MAX_K = 16
+# Measured at dim=64: expression path 10.9 s at k=63 / ~2.7 s at k=16
+# vs Arrow 0.8 s at k=63 and 8.4 s at k=625 over 10× the rows — the
+# crossover sits below 16 structs; only single-digit k (the IVF-probe
+# regime) stays worthwhile as pure codegen.
+KMEANS_EXPR_MAX_K = 8
 
 
 def kmeans_assign(

@@ -626,3 +626,90 @@ def dedup_cluster_assignment(
         F.col("component").alias("canonical_id"),
         "cluster_size",
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    span_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring removal (the suffix-array dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed as join algebra): every token run of
+    ``span_tokens`` that occurs more than once in the corpus is a
+    duplicated span; the globally FIRST occurrence (minimal
+    (doc_id, pos)) is the keeper, and every token covered by any
+    non-keeper occurrence is removed from its document.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text).
+
+    Plan (all O(corpus tokens), no pairwise anything — the suffix
+    array's job is done by a gram groupBy):
+      1. stride-1 token windows → (gram, doc_id, pos)  [narrow]
+      2. groupBy(gram): count + min occurrence key     [shuffle 1,
+         map-side combinable]
+      3. duplicated grams join back on gram            [shuffle 2]
+      4. explode covered token indices, distinct       [shuffle 3]
+      5. anti-join tokens, reassemble per doc          [shuffle 4]
+    At 100 TB the gram frame is the corpus re-keyed — each shuffle is
+    a linear pass, and steps 2/4 combine map-side. The occurrence key
+    is doc_id·10^6 + pos (positions are bounded far below 10^6), so
+    keeper selection is a plain integer min on both engines."""
+    split = F.split(F.col(text_col), " ")
+    n_tok = F.size(split)
+    win_starts = F.when(
+        n_tok >= span_tokens,
+        F.sequence(F.lit(1), n_tok - span_tokens + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                win_starts,
+                lambda s: F.array_join(F.slice(split, s, span_tokens), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    occ_key = F.col(id_col).cast("long") * 1_000_000 + F.col("pos")
+    stats = (
+        grams.withColumn("__k", occ_key)
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"), F.min("__k").alias("keeper"))
+        .where(F.col("cnt") > 1)
+        .select("gram", "keeper")
+    )
+    dup_occ = (
+        grams.join(stats, "gram")
+        .where(occ_key != F.col("keeper"))
+        .select(F.col(id_col), "pos")
+    )
+    covered = dup_occ.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
+        ).alias("ti"),
+    ).distinct()
+    tok_rows = docs.select(F.col(id_col), F.posexplode(split).alias("ti", "tok"))
+    kept = tok_rows.join(covered, [id_col, "ti"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text")
+    )
+    removed_agg = covered.groupBy(id_col).agg(F.count("*").alias("n_removed"))
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    return (
+        base.join(removed_agg, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )

@@ -5376,6 +5376,7 @@ PRIORITY_50 = [
     # path, semantic-highlight model tier
     "emb_neardup_scaled", "semantic_dedup_scaled",
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
+    "update_by_query", "substring_dedup",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -6066,10 +6067,21 @@ def _artifact_bundle(spark: SparkSession, sf_dir: str):
         else:
             bundle = None
         if bundle is None:
+            # build into a process-private dir, then atomically rename:
+            # concurrent processes (driver correctness run + bench) race
+            # on first build — the loser discards its build and loads
+            # the winner's
+            tmp = f"{root}.build-{_os.getpid()}"
             IS.save_index(
-                spark, docs, None, root,
+                spark, docs, None, tmp,
                 with_positional=True, with_chunks=True,
             )
+            try:
+                _os.rename(tmp, root)
+            except OSError:
+                import shutil as _shutil
+
+                _shutil.rmtree(tmp, ignore_errors=True)
             bundle = IS.load_index(spark, root)
     except Exception:
         # artifact store unavailable (read-only fs, partial write…):
@@ -7813,6 +7825,33 @@ SELECT * FROM (
 ) ORDER BY doc_id
 """
 SPARK_QUERIES["bulk_lifecycle"] = q_bulk_lifecycle
+
+
+UBQ_PREDICATE = "source = 'src0' AND n_chars < 300"
+
+
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_update_by_query` with a script (sources/bulk.py::
+    update_by_query): matching docs get lang := 'en' and
+    n_chars := n_chars + 1000; everything else passes through — one
+    narrow projection over the snapshot, the copy-on-write shape of a
+    lake-table UPDATE (no shuffle at any scale)."""
+    from .sources.bulk import update_by_query
+
+    d = catalog.table(spark, sf_dir, "documents")
+    out = update_by_query(
+        d, UBQ_PREDICATE, {"lang": "'en'", "n_chars": "n_chars + 1000"}
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+ORACLES["update_by_query"] = f"""
+SELECT doc_id,
+       CASE WHEN {UBQ_PREDICATE} THEN 'en' ELSE lang END AS lang,
+       CASE WHEN {UBQ_PREDICATE} THEN n_chars + 1000 ELSE n_chars END AS n_chars
+FROM documents ORDER BY doc_id
+"""
+SPARK_QUERIES["update_by_query"] = q_update_by_query
 
 
 # ---------------------------------------------------------------------------
@@ -11463,6 +11502,78 @@ if _REAL_MODEL_OK:
     except Exception:
         pass
     SPARK_QUERIES["semantic_highlight_best"] = q_semantic_highlight_best
+
+
+# ---------------------------------------------------------------------------
+# round-4: exact duplicated-substring removal (Lee et al. 2022 suffix-
+# array dedup as join algebra — dedup.py::exact_substring_dedup): the
+# canonical LLM-corpus cleanup the span-window family approximates,
+# here with stride-1 windows, global first-occurrence keepers, and
+# token-level removal.
+# ---------------------------------------------------------------------------
+
+SUBSTR_DEDUP_SPAN = 5
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated ≥5-token runs removed corpus-wide (first occurrence
+    kept): (doc_id, n_tokens, n_removed, kept_text) — five linear
+    map-combinable shuffles, no pairwise scan."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return DD.exact_substring_dedup(
+        docs, span_tokens=SUBSTR_DEDUP_SPAN
+    ).orderBy("doc_id")
+
+
+ORACLES["substring_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, s.i AS pos,
+         array_to_string(t[s.i + 1 : s.i + {SUBSTR_DEDUP_SPAN}], ' ') AS gram
+  FROM toks, unnest(range(0, greatest(len(t) - {SUBSTR_DEDUP_SPAN} + 1, 0))) s(i)
+),
+stats AS (
+  SELECT gram, min(doc_id * 1000000 + pos) AS keeper
+  FROM grams GROUP BY gram HAVING count(*) > 1
+),
+dup_occ AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN stats s USING (gram)
+  WHERE g.doc_id * 1000000 + g.pos != s.keeper
+),
+covered AS (
+  SELECT DISTINCT doc_id, u.ti
+  FROM dup_occ, unnest(range(pos, pos + {SUBSTR_DEDUP_SPAN})) u(ti)
+),
+tok_rows AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS ti, unnest(t) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT r.doc_id, r.ti, r.tok
+  FROM tok_rows r LEFT JOIN covered c
+    ON c.doc_id = r.doc_id AND c.ti = r.ti
+  WHERE c.doc_id IS NULL
+),
+kept_agg AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS kept_text
+  FROM kept GROUP BY doc_id
+),
+removed_agg AS (
+  SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+)
+SELECT d.doc_id, len(t.t) AS n_tokens,
+       coalesce(r.n_removed, 0) AS n_removed,
+       coalesce(k.kept_text, '') AS kept_text
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN removed_agg r ON r.doc_id = d.doc_id
+LEFT JOIN kept_agg k ON k.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+SPARK_QUERIES["substring_dedup"] = q_substring_dedup
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -1,0 +1,79 @@
+"""The per-process persisted-artifact store (registry._artifact_bundle):
+graded engines must compile against the saved token-partitioned
+postings / positional / chunk / chunk-BM25 tables instead of
+rebuilding from raw text, survive testdata regeneration (staleness
+guard), and build atomically under concurrent first-builders."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark import registry as R
+
+
+def _store_root(sf_dir: str) -> str:
+    import neural_search_spark
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(neural_search_spark.__file__)),
+        "spark-warehouse", "index_store", R._INDEX_STORE_FORMAT,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def test_engine_attaches_store(spark, sf_dir):
+    eng = R._agg_engine(spark, sf_dir)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.bm25_index().postings.explain("formatted")
+    assert "index_store" in buf.getvalue()
+    # chunk BM25 comes from the store too (the has_child fast path)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        eng.chunk_bm25_index().postings.explain("formatted")
+    assert "chunk_postings" in buf2.getvalue()
+
+
+def test_store_results_match_fresh_build(spark, sf_dir):
+    from neural_search_spark.plans.compiler import Engine
+
+    attached = R._agg_engine(spark, sf_dir)
+    fresh = Engine(spark, sf_dir)  # lazy in-plan build, no store
+    q = {"match": {"field": "text", "query": "spark join window"}}
+    a = [(r["doc_id"], round(r["score"], 6)) for r in attached.search(q).collect()]
+    b = [(r["doc_id"], round(r["score"], 6)) for r in fresh.search(q).collect()]
+    assert a == b
+
+
+def test_staleness_guard_rebuilds(spark, tmp_path):
+    """A regenerated testdata dir (different row count) must invalidate
+    the on-disk artifacts instead of silently serving stale stats."""
+    sf_small = "/root/testdata/sf0.001"
+    # fabricate a fake corpus dir whose basename collides but content shrinks
+    fake = tmp_path / "sf0.001"
+    fake.mkdir()
+    docs = (
+        spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+        .where(F.col("doc_id") < 100)
+    )
+    docs.write.mode("overwrite").parquet(str(fake / "documents.parquet"))
+    root = _store_root(str(fake))
+    shutil.rmtree(root, ignore_errors=True)
+    R._BUNDLE_CACHE.pop(str(fake), None)
+    # first build: 100 docs
+    b1 = R._artifact_bundle(spark, str(fake))
+    assert b1 is not None and b1.stats[0] == 100
+    # regenerate the corpus with MORE docs, clear the in-process cache
+    docs2 = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+    docs2.write.mode("overwrite").parquet(str(fake / "documents.parquet"))
+    R._BUNDLE_CACHE.pop(str(fake), None)
+    b2 = R._artifact_bundle(spark, str(fake))
+    assert b2 is not None and b2.stats[0] == docs2.count()
+    shutil.rmtree(root, ignore_errors=True)
