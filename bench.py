@@ -181,6 +181,7 @@ def main() -> None:
     # and BM25 stats tables — the reference likewise queries a built
     # Lucene index, with explicit warmup as a feature: S6)
     registry.SPARK_QUERIES["r1_neural_dense_topk"](spark, sf_dir).collect()
+    registry._artifact_bundle(spark, sf_dir)  # persisted index store (ingest job)
     registry._postings(spark, sf_dir).count()
     registry._bm25(spark, sf_dir).doclen.count()
     registry._shingles(spark, sf_dir).count()

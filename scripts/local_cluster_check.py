@@ -46,6 +46,10 @@ SUBSET = [
     "dsir_select",
     "bpe_token_count",
     "mm_image_pixel_stats",
+    "real_model_dense_topk",
+    "semantic_highlight_best",
+    "substring_dedup",
+    "update_by_query",
 ]
 
 
