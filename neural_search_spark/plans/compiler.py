@@ -202,6 +202,14 @@ class Engine:
         self._mlt_stats = None
         self._stored_dim = None
         self._model_corpora = None
+        # S7 typed event counters (stats.EVENT_STAT_NAMES — the full
+        # EventStatName enumeration, validated names only)
+        from ..stats import EventStats
+
+        self.event_stats = EventStats()
+
+    def _evt(self, name: str, n: int = 1) -> None:
+        self.event_stats.incr(name, n)
 
     # -- corpus ------------------------------------------------------------
     def corpus(self) -> DataFrame:
@@ -461,6 +469,8 @@ class Engine:
             # the model REGISTRY (models.MODEL_REGISTRY), so swapping
             # the stub for a real encoder is a registration, not a
             # query-code change (`ml/MLCommonsClientAccessor.java:110`)
+            self._evt("neural_query_requests")
+            self._evt("neural_query_against_knn_requests")
             model_id = self._resolve_model(body)
             used_model = "vector" not in body
             if "vector" in body:
@@ -522,6 +532,13 @@ class Engine:
             # R4 analyzer mode: a named analyzer tokenizes BOTH the
             # query text and the postings build (same registry entry,
             # `query/NeuralSparseQueryBuilder.java:509-552`)
+            self._evt("neural_sparse_query_requests")
+            if body.get("two_phase"):
+                self._evt("neural_sparse_two_phase_processor_executions")
+            if (body.get("method") or {}).get("name") == "seismic":
+                self._evt("seismic_query_requests")
+            if body.get("nested"):
+                self._evt("neural_query_against_semantic_sparse_requests")
             sparse_analyzer = body.get("analyzer")
             if "query_tokens" in body:
                 qt = {t: float(w) for t, w in body["query_tokens"].items()}
@@ -1536,7 +1553,9 @@ class Engine:
                 # aggregates the WHOLE index (OpenSearch `global`)
                 sub_aggs = spec.get("aggs") or {}
                 (_, sspec), = sub_aggs.items()
-                out[name] = self._compile_agg(self.documents(), sspec)
+                out[name] = self._compile_agg(
+                    self.documents(), sspec, scoped=False
+                )
             else:
                 out[name] = self._compile_agg(joined, spec)
         return out
@@ -1565,7 +1584,9 @@ class Engine:
     # OpenSearch agg tree flattened to (parent_key, child_key, ...) rows)
     _NESTABLE = frozenset({"terms", "histogram", "date_histogram"})
 
-    def _compile_agg(self, df: DataFrame, spec: dict) -> DataFrame:
+    def _compile_agg(
+        self, df: DataFrame, spec: dict, scoped: bool = True
+    ) -> DataFrame:
         spec = dict(spec)
         sub = spec.pop("aggs", None)
         (kind, body), = spec.items()
@@ -2200,13 +2221,17 @@ class Engine:
             (n2, subspec), = sub.items()
             # the hop keeps the QUERY SCOPE: only children of parents
             # in the incoming (query-scoped/filtered) frame are
-            # aggregated — a broadcast-friendly semi on the parent key
-            # (OpenSearch nested aggs cover children of matching
-            # parents, not the whole child corpus)
-            scoped_children = self.chunks().join(
-                df.select("doc_id").distinct(), "doc_id", "semi"
-            )
-            return self._compile_agg(scoped_children, subspec)
+            # aggregated — a semi on the parent key (OpenSearch nested
+            # aggs cover children of matching parents, not the whole
+            # child corpus). `scoped=False` (a caller holding the full
+            # unfiltered corpus) skips the join: at 100 TB a
+            # corpus-vs-corpus semi would be a pure-overhead shuffle.
+            children = self.chunks()
+            if scoped:
+                children = children.join(
+                    df.select("doc_id").distinct(), "doc_id", "semi"
+                )
+            return self._compile_agg(children, subspec)
         if kind == "terms":
             size = int(body.get("size", 10))
             field = body["field"]
@@ -2487,10 +2512,14 @@ class Engine:
         pipeline = pipeline or {}
         if "default_model_id" in pipeline:
             self.default_model_id = pipeline["default_model_id"]
+            # Q9 enricher ran (typed stat parity: EventStatName)
+            self._evt("neural_query_enricher_processor_executions")
         # Q3 MMR over-fetches `candidates` results, then greedily
         # re-selects `size` (`processor/mmr/MMRNeuralQueryTransformer.java:40-110`)
         mmr = pipeline.get("mmr")
         mmr_cand = int(mmr.get("candidates", 3 * size)) if mmr else None
+        if mmr:
+            self._evt("mmr_neural_query_transformer")
 
         (qtype, body), = query.items()
         if qtype == "wrapper":
@@ -2534,6 +2563,9 @@ class Engine:
                 )
             return self.search(translated, pipeline, size, from_)
         if qtype == "agentic":
+            self._evt("agentic_query_requests")
+            self._evt("agentic_query_translator_processor_executions")
+            self._evt("agentic_context_processor_executions")
             translated = self.agent_translate(body["query_text"])
             # Q10 agentic_context response processor: expose the agent's
             # question + emitted DSL (`processor/AgenticContextResponseProcessor.java`)
@@ -2930,6 +2962,43 @@ class Engine:
             hybrid_filter = (
                 compile_filter(body["filter"]) if body.get("filter") else None
             )
+            self._evt("hybrid_query_requests")
+            if hybrid_filter:
+                self._evt("hybrid_query_filter_requests")
+            if from_ > 0 or "pagination_depth" in body:
+                self._evt("hybrid_query_pagination_requests")
+            if any(
+                isinstance(s, dict)
+                and isinstance(next(iter(s.values())), dict)
+                and next(iter(s.values())).get("nested")
+                for s in subs_spec
+            ):
+                self._evt("hybrid_query_inner_hits_requests")
+            _norm_t = (pipeline.get("normalization") or {}).get(
+                "technique", "min_max"
+            )
+            _comb_t = (pipeline.get("combination") or {}).get(
+                "technique", "arithmetic_mean"
+            )
+            if _norm_t == "rrf":
+                self._evt("rrf_processor_executions")
+            else:
+                self._evt("normalization_processor_executions")
+                _nmap = {
+                    "min_max": "norm_technique_minmax_executions",
+                    "l2": "norm_technique_l2_executions",
+                    "z_score": "norm_technique_norm_zscore_executions",
+                }
+                if _norm_t in _nmap:
+                    self._evt(_nmap[_norm_t])
+            _cmap = {
+                "arithmetic_mean": "comb_technique_arithmetic_executions",
+                "geometric_mean": "comb_technique_geometric_executions",
+                "harmonic_mean": "comb_technique_harmonic_executions",
+                "rrf": "comb_technique_rrf_executions",
+            }
+            if _comb_t in _cmap:
+                self._evt(_cmap[_comb_t])
             subs = [self._compile_sub(s, depth, hybrid_filter) for s in subs_spec]
             norm = pipeline.get("normalization", {})
             comb = pipeline.get("combination", {})
@@ -2999,14 +3068,17 @@ class Engine:
         rerank = pipeline.get("rerank")
         if rerank:
             if rerank.get("type") == "by_field":
+                self._evt("rerank_by_field_processor_executions")
                 result = RR.rerank_by_field(
                     result, self.documents(), rerank["target_field"], k=size
                 )
             else:
+                self._evt("rerank_ml_processor_executions")
                 result = RR.rerank_cross_encoder(
                     result, self.documents(), rerank["query_text"], k=size
                 )
         if pipeline.get("highlight"):
+            self._evt("semantic_highlighting_request_count")
             result = H.highlight_results(
                 result, self.documents(), pipeline["highlight"]["query_text"],
                 fragment_size=pipeline["highlight"].get("fragment_size"),

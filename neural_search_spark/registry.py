@@ -10710,7 +10710,7 @@ def q_dsl_agg_nested_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "terms": {"field": "chunk_idx", "size": NESTED_REV_SIZE},
             "aggs": {"parents": {"reverse_nested": {}}},
         }},
-    })
+    }, scoped=False)  # whole-corpus context: skip the parent semi
 
 
 ORACLES["dsl_agg_nested_reverse"] = f"""

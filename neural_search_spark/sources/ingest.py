@@ -112,6 +112,7 @@ def ingest_transform(
     cfg: SemanticFieldConfig,
     id_col: str = "doc_id",
     previous: DataFrame | None = None,
+    event_stats=None,
 ) -> DataFrame:
     """Compile the chunk → embed → prune chain for one semantic field.
 
@@ -119,7 +120,30 @@ def ingest_transform(
     array<struct<text, embedding>>. With `previous` (and
     cfg.skip_existing), unchanged docs reuse their stored info and only
     changed/new docs run inference.
+
+    `event_stats` (stats.EventStats) records the typed per-execution
+    counters the reference's processors emit
+    (`stats/events/EventStatName.java`): semantic-field + chunking +
+    embedding/sparse-encoding executions, and skip_existing reuse.
     """
+    if event_stats is not None:
+        event_stats.incr("semantic_field_processor_executions")
+        if cfg.chunking is not None:
+            event_stats.incr("text_chunking_processor_executions")
+            event_stats.incr("semantic_field_processor_chunking_executions")
+            _chunk_evt = {
+                "fixed_token": "text_chunking_fixed_token_length_executions",
+                "delimiter": "text_chunking_delimiter_executions",
+                "fixed_char": "text_chunking_fixed_char_length_executions",
+            }.get(cfg.chunking)
+            if _chunk_evt:
+                event_stats.incr(_chunk_evt)
+        if cfg.mode == "dense":
+            event_stats.incr("text_embedding_processor_executions")
+        else:
+            event_stats.incr("sparse_encoding_processor_executions")
+        if cfg.skip_existing and previous is not None:
+            event_stats.incr("skip_existing_executions")
     if cfg.skip_existing and previous is not None:
         prev = previous.select(
             F.col(id_col).alias("_prev_id"),
