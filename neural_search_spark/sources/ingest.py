@@ -50,6 +50,11 @@ class SemanticFieldConfig:
     prune_param: float = 0.0
     skip_existing: bool = False
     content_type: str = "PASSAGE"
+    # SemanticFieldMapper's model_id param
+    # (`mapper/SemanticFieldMapper.java:118-222`): a registry model id
+    # (models.MODEL_REGISTRY — real checkpoint loaders included); None
+    # keeps the deterministic stub encoder
+    model_id: str | None = None
 
     @property
     def info_col(self) -> str:
@@ -164,7 +169,14 @@ def ingest_transform(
         F.col(id_col).alias("_cid"), F.posexplode(F.col("_chunks")).alias("_pos", "_chunk")
     )
     if cfg.mode == "dense":
-        emb = models.dense_embed_udf(cfg.content_type)(F.col("_chunk"))
+        if cfg.model_id is not None:
+            # registry model (real checkpoint or swap-in): iterator
+            # pandas UDF, weights load once per worker
+            emb = models.dense_embed_model_udf(
+                cfg.model_id, cfg.content_type
+            )(F.col("_chunk"))
+        else:
+            emb = models.dense_embed_udf(cfg.content_type)(F.col("_chunk"))
     else:
         emb = _prune_expr(
             cfg, models.sparse_encode_udf()(F.col("_chunk")).cast("map<string,double>")

@@ -86,3 +86,39 @@ def test_hybrid_leg_provenance(spark):
     }
     assert hybrid  # non-empty
     assert hybrid != dense  # the lexical leg moved the ranking
+
+
+def test_streaming_ingest_with_real_checkpoint(spark, tmp_path):
+    """The real checkpoint model under Structured Streaming: the same
+    ingest transform runs per micro-batch through foreachBatch, the
+    .npz weights load executor-side per worker, and the streamed
+    embeddings equal the driver-side encode of the same chunk text."""
+    from neural_search_spark.sources.ingest import SemanticFieldConfig
+    from neural_search_spark.streaming.ingest import streaming_ingest
+
+    src = str(tmp_path / "rm_stream_src")
+    spark.createDataFrame(
+        [(1, "spark join window"), (2, "merge sort batch stream")],
+        "doc_id long, body string",
+    ).write.parquet(src)
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(df.collect())
+
+    cfg = SemanticFieldConfig(
+        raw_field="body", mode="dense", model_id=R.REAL_MODEL_ID
+    )
+    stream = spark.readStream.schema("doc_id long, body string").parquet(src)
+    q = streaming_ingest(stream, cfg, sink=sink, checkpoint=str(tmp_path / "rm_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["body_semantic_info"]["chunks"][0] for r in collected}
+    assert set(got) == {1, 2}
+    for doc_id, chunk in got.items():
+        expect = models.encode_query(R.REAL_MODEL_ID, chunk["text"], "PASSAGE")
+        stream_vec = [float(x) for x in chunk["embedding"]]
+        assert len(stream_vec) == R.REAL_MODEL_DIM
+        assert max(
+            abs(a - b) for a, b in zip(stream_vec, expect)
+        ) < 1e-6  # float32 UDF boundary vs float64 driver encode
