@@ -70,11 +70,25 @@ def main() -> int:
     from neural_search_spark import registry
     from tests.oracle_check import compare
 
+    # the N-scaled dedup flagships derive their knob from the corpus
+    # rowcount — their STATIC oracles are pinned to the driver's
+    # graded SF, so at any other SF the oracle must be rebuilt with
+    # the same formula (exactly what tests/test_scaled_dedup.py does)
+    n_emb = registry._table_count(sf_dir, "embeddings")
+    dynamic_oracles = {
+        "emb_neardup_scaled": registry.emb_neardup_oracle_sql(
+            registry.neardup_planes(n_emb)
+        ),
+        "semantic_dedup_scaled": registry.semantic_dedup_oracle_sql(
+            registry.semdedup_cells(n_emb)
+        ),
+    }
+
     t0 = time.time()
     fails = []
     for name in SUBSET:
         fn = registry.SPARK_QUERIES[name]
-        sql = registry.ORACLES.get(name)
+        sql = dynamic_oracles.get(name) or registry.ORACLES.get(name)
         try:
             if sql is None:
                 assert fn(spark, sf_dir).count() >= 0
