@@ -153,6 +153,8 @@ HEADLINE = [
     "semantic_highlight_best",
     "substring_dedup",
     "update_by_query",
+    # round-14 additions (bigram LM perplexity gate)
+    "text_bigram_nll",
 ]
 
 

@@ -23,6 +23,7 @@ prompt wrapping.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 from collections.abc import Callable, Iterator
@@ -36,13 +37,20 @@ from pyspark.sql.types import ArrayType, FloatType, MapType, StringType
 DIM = 64
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def _token_vec(token: str, seed: str) -> np.ndarray:
-    """Deterministic unit-ish vector for one token: 64 dims from md5."""
+    """Deterministic unit-ish vector for one token: 64 dims from md5.
+
+    Cached per worker process (natural-language token frequency is
+    Zipfian, so the 8 md5 digests per token amortize to ~zero on a
+    real corpus); the array is marked read-only so the cache cannot be
+    corrupted — every caller accumulates into its own buffer."""
     out = np.empty(DIM, dtype=np.float64)
     for block in range(DIM // 8):
         h = hashlib.md5(f"{seed}:{token}:{block}".encode()).digest()
         for j in range(8):
             out[block * 8 + j] = (h[2 * j] * 256 + h[2 * j + 1]) / 32767.5 - 1.0
+    out.flags.writeable = False
     return out
 
 
@@ -284,29 +292,97 @@ def dense_embed_udf(content_type: str = "PASSAGE"):
     return _embed
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _token_salience(tok: str) -> float:
+    return int(hashlib.md5(f"sal:{tok}".encode()).hexdigest()[:4], 16) / 65535.0
+
+
+def sparse_encode_py(t: str, prune_ratio: float = 0.0) -> dict[str, float]:
+    """F2 encode for one text: token weight = tf · (1 + md5-salience),
+    non-positive weights dropped (`util/TokenWeightUtil.java`)."""
+    tf: dict[str, int] = {}
+    for tok in (t or "").lower().split():
+        tf[tok] = tf.get(tok, 0) + 1
+    out = {}
+    for tok, c in tf.items():
+        w = c * (1.0 + _token_salience(tok))
+        if w > 0:
+            out[tok] = float(w)
+    if prune_ratio > 0 and out:
+        mx = max(out.values())
+        out = {k: v for k, v in out.items() if v >= prune_ratio * mx}
+    return out
+
+
 def sparse_encode_udf(prune_ratio: float = 0.0):
     """F2 `sparse_encoding` (`processor/SparseEncodingProcessor.java:55-100`):
-    string → map<string,float>; token weight = tf · (1 + md5-salience),
-    non-positive weights dropped (`util/TokenWeightUtil.java`)."""
+    string → map<string,float>, Arrow-batched."""
 
     @F.pandas_udf(MapType(StringType(), FloatType()))
     def _encode(texts: pd.Series) -> pd.Series:
-        def enc(t: str) -> dict[str, float]:
-            tf: dict[str, int] = {}
-            for tok in (t or "").lower().split():
-                tf[tok] = tf.get(tok, 0) + 1
-            out = {}
-            for tok, c in tf.items():
-                salience = int(hashlib.md5(f"sal:{tok}".encode()).hexdigest()[:4], 16) / 65535.0
-                w = c * (1.0 + salience)
-                if w > 0:
-                    out[tok] = float(w)
-            if prune_ratio > 0 and out:
-                mx = max(out.values())
-                out = {k: v for k, v in out.items() if v >= prune_ratio * mx}
-            return out
+        return texts.map(lambda t: sparse_encode_py(t, prune_ratio))
 
-        return texts.map(enc)
+    return _encode
+
+
+def dense_embed_chunks_udf(content_type: str = "PASSAGE"):
+    """F1 over a whole per-doc chunk array: array<string> →
+    array<array<float>> in one Arrow batch. The shuffle-free ingest
+    shape — chunk order is positional, so no explode → groupBy →
+    join reassembly is needed downstream."""
+
+    @F.pandas_udf(ArrayType(ArrayType(FloatType())))
+    def _embed(chunk_lists: pd.Series) -> pd.Series:
+        return chunk_lists.map(
+            lambda chunks: [
+                embed_text_py(t, content_type)
+                for t in (chunks if chunks is not None else [])
+            ]
+        )
+
+    return _embed
+
+
+def dense_embed_model_chunks_udf(model_id: str, content_type: str = "PASSAGE"):
+    """F1 chunk-array form through the registry: flatten each Arrow
+    batch's chunk lists, run the model at its batch_size over the flat
+    text stream (F14 batching discipline), then re-split per doc —
+    model efficiency of the flat path, plan shape of the array path."""
+    spec = MODEL_REGISTRY[model_id]
+    loader, bs = spec.loader, spec.batch_size
+
+    @F.pandas_udf(ArrayType(ArrayType(FloatType())))
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader() if model_id not in _MODEL_INSTANCES else _MODEL_INSTANCES[model_id]
+        _MODEL_INSTANCES[model_id] = model
+        for lists in it:
+            vals = [list(x) if x is not None else [] for x in lists]
+            flat = [t if t is not None else "" for x in vals for t in x]
+            embs: list[list[float]] = []
+            for start in range(0, len(flat), bs):
+                vecs = model.encode(flat[start : start + bs], content_type)
+                embs.extend([[float(v) for v in vec] for vec in vecs])
+            out, i = [], 0
+            for x in vals:
+                out.append(embs[i : i + len(x)])
+                i += len(x)
+            yield pd.Series(out)
+
+    return _embed
+
+
+def sparse_encode_chunks_udf():
+    """F2 over a whole per-doc chunk array: array<string> →
+    array<map<string,float>> (see dense_embed_chunks_udf)."""
+
+    @F.pandas_udf(ArrayType(MapType(StringType(), FloatType())))
+    def _encode(chunk_lists: pd.Series) -> pd.Series:
+        return chunk_lists.map(
+            lambda chunks: [
+                sparse_encode_py(t)
+                for t in (chunks if chunks is not None else [])
+            ]
+        )
 
     return _encode
 

@@ -124,6 +124,64 @@ def _kmeans_assign_arrow(
     )
 
 
+def kmeans_cells(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    dims: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused assign + partial centroid cells: ONE Arrow scan emits
+    per-batch (cluster_id, pos, s, c) partials — the Lloyd recompute
+    shape with no id join and no shuffle of vectors. The only exchange
+    is the k×dims-bounded partial-cell rollup (map-side combinable),
+    so a round's cost is exactly one corpus scan at any cluster size.
+    Assignment uses the same dimension-sequential fold as
+    _kmeans_assign_arrow, so the per-vector assignments (and hence the
+    cell multisets) are bit-identical to kmeans_assign's; cell values
+    finish as round(sum(s)/sum(c), q) — the same sum/count shape as
+    the avg it replaces."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)  # ascending cid → argmin tie = lowest cid
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)  # (k, dim)
+    out_dims = C.shape[1] if dims is None else dims
+
+    def cells(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            D = np.zeros((len(X), len(C)))
+            for i in range(C.shape[1]):  # sequential dims = the fold order
+                diff = X[:, i, None] - C[None, :, i]
+                D += diff * diff
+            idx = D.argmin(axis=1)
+            present = np.unique(idx)
+            S = np.zeros((len(C), out_dims))
+            np.add.at(S, idx, X[:, :out_dims])
+            cnt = np.bincount(idx, minlength=len(C))
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.repeat(
+                        cids[present], out_dims
+                    ).astype("int32"),
+                    "pos": np.tile(
+                        np.arange(out_dims, dtype="int32"), len(present)
+                    ),
+                    "s": S[present].reshape(-1),
+                    "c": np.repeat(cnt[present], out_dims).astype("int64"),
+                }
+            )
+
+    return embs.select(vec_col).mapInPandas(
+        cells, "cluster_id int, pos int, s double, c long"
+    )
+
+
 def kmeans_lloyd(
     embs: DataFrame,
     seeds: list[tuple[int, list[float]]],
@@ -135,20 +193,22 @@ def kmeans_lloyd(
 
     Returns (final assignment DataFrame, final quantized centroids).
     Empty clusters keep their previous centroid (standard Lloyd's
-    fallback, deterministic).
+    fallback, deterministic). Each round is ONE fused kmeans_cells
+    scan (assignment + partial sums in the same Arrow pass) — the
+    previous shape re-assigned then joined assignments back to the
+    vectors, putting a full shuffle of embedding payloads on every
+    round.
     """
     # seeds ship unrounded (stored vectors are already bit-identical
     # across engines); only RECOMPUTED centroids are quantized, via
     # engine-side round() (HALF_UP in both Spark and the SQL oracles —
     # Python's round() is banker's and would diverge)
     cents = [(cid, [float(x) for x in cvec]) for cid, cvec in seeds]
-    assigned = kmeans_assign(embs, cents, id_col, vec_col)
     for _ in range(rounds):
         cells = (
-            embs.join(assigned, id_col)
-            .select("cluster_id", F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"))
+            kmeans_cells(embs, cents, vec_col=vec_col)
             .groupBy("cluster_id", "pos")
-            .agg(F.round(F.avg("x"), CENTROID_QUANT).alias("v"))
+            .agg(F.round(F.sum("s") / F.sum("c"), CENTROID_QUANT).alias("v"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
@@ -163,5 +223,5 @@ def kmeans_lloyd(
             )
             for cid, cvec in cents
         ]
-        assigned = kmeans_assign(embs, cents, id_col, vec_col)
+    assigned = kmeans_assign(embs, cents, id_col, vec_col)
     return assigned, cents

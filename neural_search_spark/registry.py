@@ -5376,7 +5376,7 @@ PRIORITY_50 = [
     # path, semantic-highlight model tier
     "emb_neardup_scaled", "semantic_dedup_scaled",
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
-    "update_by_query", "substring_dedup",
+    "update_by_query", "substring_dedup", "text_bigram_nll",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -5966,6 +5966,95 @@ SPARK_QUERIES["text_unigram_nll"] = q_text_unigram_nll
 SPARK_QUERIES["text_source_kl"] = q_text_source_kl
 
 
+BIGRAM_NLL_K = 0.5  # add-k smoothing constant
+
+
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram negative log-likelihood — the perplexity gate of
+    CCNet/Gopher-style curation one order up from `text_unigram_nll`:
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), add-k smoothed over
+    the corpus-trained bigram LM, doc score = Σ tf·(−ln P)/Σ tf.
+
+    Plan shape: ONE exploded bigram frame feeds the per-doc postings
+    AND the corpus model (doc counts roll up to corpus counts to
+    context counts — three map-side-combinable aggs over the same
+    shuffle key prefix); the model joins back keyed on (w1, w2), a
+    co-partitioned shuffle join at scale, with the vocab-bounded
+    context-count table and the two scalars broadcast. No corpus
+    self-join, no driver materialization; at 100 TB the LM frames are
+    ingest-time artifacts like postings/BM25 stats."""
+    d = catalog.table(spark, sf_dir, "documents")
+    toks = S.tokens(F.col("text"))
+    n = F.size(toks)
+    # guard: docs tokenizing to <2 tokens would give the slice a
+    # negative length (runtime error); they contribute no bigrams
+    bg = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("w1"),
+                    F.slice(toks, 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c_xy = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c_xy"))
+    c_x = c_xy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    vocab = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    k = F.lit(BIGRAM_NLL_K)
+    p = (F.col("c_xy").cast("double") + k) / (
+        F.col("c_x").cast("double") + k * F.col("v")
+    )
+    return (
+        doc_bg.join(c_xy, ["w1", "w2"])
+        .join(F.broadcast(c_x), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 4).alias(
+                "bigram_nll"
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["text_bigram_nll"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+  FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(bg)
+  WHERE len(l) >= 2
+),
+doc_bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+c_xy AS (SELECT w1, w2, sum(tf) AS c_xy FROM doc_bg GROUP BY w1, w2),
+c_x AS (SELECT w1, sum(c_xy) AS c_x FROM c_xy GROUP BY w1),
+v AS (SELECT count(DISTINCT u.tok)::DOUBLE AS v FROM toks, unnest(l) AS u(tok))
+SELECT d.doc_id,
+       round(sum(d.tf * -ln((c.c_xy::DOUBLE + {BIGRAM_NLL_K}) /
+                            (x.c_x::DOUBLE + {BIGRAM_NLL_K} * v.v))) / sum(d.tf),
+             4) AS bigram_nll
+FROM doc_bg d
+JOIN c_xy c USING (w1, w2)
+JOIN c_x x USING (w1)
+CROSS JOIN v
+GROUP BY d.doc_id
+ORDER BY doc_id
+"""
+
+SPARK_QUERIES["text_bigram_nll"] = q_text_bigram_nll
+
+
 
 # --- next-word completion (search-as-you-type) -----------------------------
 
@@ -6331,23 +6420,23 @@ EMB_DIM = 64
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (operators/cluster.py): 2 rounds
     from the deterministic first-K seeds; output = final per-cluster
-    sizes and first-8-dim centroid cells. Each round is one scan +
-    one k×64-cell aggregate; only centroids (KBs) touch the driver."""
-    from .functions.vector import as_double
+    sizes and first-8-dim centroid cells. Every step — the two Lloyd
+    recomputes inside kmeans_lloyd AND the final stats — is one fused
+    kmeans_cells scan (assignment + partial sums in the same Arrow
+    pass, no vec_id join, no shuffle of vectors); only k×dim centroid
+    cells (KBs) touch the driver."""
     from .operators import cluster as CL
 
     embs = catalog.table(spark, sf_dir, "embeddings")
     seeds = _centroids(spark, sf_dir)[:KMEANS_K]
-    assigned, _cents = CL.kmeans_lloyd(embs, seeds, rounds=KMEANS_ROUNDS)
+    _assigned, cents = CL.kmeans_lloyd(embs, seeds, rounds=KMEANS_ROUNDS)
     return (
-        embs.join(assigned, "vec_id")
-        .select(
-            "cluster_id",
-            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
-        )
-        .where(F.col("pos") < KMEANS_OUT_DIMS)
+        CL.kmeans_cells(embs, cents, dims=KMEANS_OUT_DIMS)
         .groupBy("cluster_id", "pos")
-        .agg(F.round(F.avg("x"), 4).alias("centroid_v"), F.count("*").alias("n"))
+        .agg(
+            F.round(F.sum("s") / F.sum("c"), 4).alias("centroid_v"),
+            F.sum("c").alias("n"),
+        )
         .orderBy("cluster_id", "pos")
     )
 

@@ -164,41 +164,55 @@ def ingest_transform(
         ).select(*docs.columns)
         return unchanged.unionByName(ingest_transform(changed, _no_skip(cfg), id_col))
 
+    # Shuffle-free ingest: the chunk ARRAY goes to the encoder UDF in
+    # one Arrow batch (array<string> → array of embeddings), chunk
+    # order stays positional, and the info struct is a zip_with over
+    # two sibling columns — a pure per-partition map. The previous
+    # shape (posexplode → per-chunk UDF → groupBy collect_list → join
+    # back) put two shuffles of embedding payloads on the ingest path;
+    # at corpus scale ingest must be a narrow pipeline from source
+    # scan to sink.
     chunked = docs.withColumn("_chunks", _chunks_expr(cfg, F.col(cfg.raw_field)))
-    exploded = chunked.select(
-        F.col(id_col).alias("_cid"), F.posexplode(F.col("_chunks")).alias("_pos", "_chunk")
-    )
     if cfg.mode == "dense":
         if cfg.model_id is not None:
             # registry model (real checkpoint or swap-in): iterator
             # pandas UDF, weights load once per worker
-            emb = models.dense_embed_model_udf(
-                cfg.model_id, cfg.content_type
-            )(F.col("_chunk"))
+            udf = models.dense_embed_model_chunks_udf(cfg.model_id, cfg.content_type)
         else:
-            emb = models.dense_embed_udf(cfg.content_type)(F.col("_chunk"))
+            udf = models.dense_embed_chunks_udf(cfg.content_type)
+        embedded = chunked.withColumn("_embs", udf(F.col("_chunks")))
     else:
-        emb = _prune_expr(
-            cfg, models.sparse_encode_udf()(F.col("_chunk")).cast("map<string,double>")
-        ).cast("map<string,float>")
-    embedded = exploded.withColumn("_emb", emb)
-    info = embedded.groupBy("_cid").agg(
+        # the encoded maps MUST be projected to an attribute before the
+        # prune expression touches them: prune modes built on
+        # map_filter (max_ratio / abs_value / alpha_mass) put the
+        # input inside a higher-order-function lambda, and Catalyst
+        # rejects a Python UDF referenced from a lambda body at
+        # analysis (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+        embedded = (
+            chunked.withColumn(
+                "_embs_raw", models.sparse_encode_chunks_udf()(F.col("_chunks"))
+            )
+            .withColumn(
+                "_embs",
+                F.transform(
+                    F.col("_embs_raw"),
+                    lambda m: _prune_expr(cfg, m.cast("map<string,double>")).cast(
+                        "map<string,float>"
+                    ),
+                ),
+            )
+            .drop("_embs_raw")
+        )
+    return embedded.withColumn(
+        cfg.info_col,
         F.struct(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_pos").alias("pos"), F.col("_chunk").alias("text"), F.col("_emb").alias("embedding"))),
-                lambda a, b: F.when(a["pos"] < b["pos"], -1).when(a["pos"] > b["pos"], 1).otherwise(0),
-            ).alias("_sorted")
-        ).alias("_s")
-    ).select(
-        F.col("_cid"),
-        F.struct(
-            F.transform(
-                F.col("_s._sorted"),
-                lambda c: F.struct(c["text"].alias("text"), c["embedding"].alias("embedding")),
+            F.zip_with(
+                F.col("_chunks"),
+                F.col("_embs"),
+                lambda t, e: F.struct(t.alias("text"), e.alias("embedding")),
             ).alias("chunks")
-        ).alias(cfg.info_col),
-    )
-    return chunked.drop("_chunks").join(info, chunked[id_col] == info["_cid"]).drop("_cid")
+        ),
+    ).drop("_chunks", "_embs")
 
 
 def ingest_pipeline(

@@ -73,6 +73,47 @@ def test_ingest_sparse_with_prune(spark):
     assert len(emb) == 2  # top-2 pruned
 
 
+def test_ingest_sparse_lambda_prune_modes(spark):
+    """Regression: map_filter-based prune modes (max_ratio / abs_value /
+    alpha_mass) put their input inside a higher-order lambda — applying
+    them directly around the encode UDF fails analysis
+    (LAMBDA_FUNCTION_WITH_PYTHON_UDF), so ingest must project the raw
+    map to an attribute first. Each mode must execute AND match the
+    standalone prune function applied to the unpruned ingest output."""
+    from neural_search_spark.functions import prune as PR
+
+    docs = _docs(spark)
+    raw_cfg = SemanticFieldConfig(raw_field="body", mode="sparse")
+    raw = {
+        r["doc_id"]: dict(r["body_semantic_info"]["chunks"][0]["embedding"])
+        for r in ingest_transform(docs, raw_cfg).collect()
+    }
+
+    def reference_prune(m, fn, param):
+        df = spark.createDataFrame(
+            [(dict(m),)], "m map<string,double>"
+        ).select(fn(F.col("m"), param).alias("p"))
+        return {k: round(v, 5) for k, v in df.collect()[0]["p"].items()}
+
+    for mode, fn, param in [
+        ("max_ratio", PR.prune_max_ratio, 0.4),
+        ("abs_value", PR.prune_abs_value, 0.2),
+        ("alpha_mass", PR.prune_alpha_mass, 0.8),
+    ]:
+        cfg = SemanticFieldConfig(
+            raw_field="body", mode="sparse", prune=mode, prune_param=param
+        )
+        got = {
+            r["doc_id"]: {
+                k: round(v, 5)
+                for k, v in r["body_semantic_info"]["chunks"][0]["embedding"].items()
+            }
+            for r in ingest_transform(docs, cfg).collect()
+        }
+        for doc_id, m in raw.items():
+            assert got[doc_id] == reference_prune(m, fn, param), (mode, doc_id)
+
+
 def test_skip_existing_reuses_stored_embeddings(spark):
     cfg = SemanticFieldConfig(raw_field="body", mode="dense", skip_existing=True)
     # previous snapshot with a SENTINEL embedding for doc 1 proves the
