@@ -295,6 +295,7 @@ def lsh_multitable_neardup_blocked(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """`lsh_multitable_neardup` with BLOCK-LOCAL scoring: candidate
     semantics are identical (OR over n_tables SRP hash tables,
@@ -314,6 +315,21 @@ def lsh_multitable_neardup_blocked(
     Scale shape: ONE shuffle (the groupBy on (table, bucket)); each
     task holds one bucket's vectors — the block size is controlled by
     n_planes exactly like the expression variant.
+
+    `max_block_rows`: hot-bucket skew guard. N-scaled planes keep the
+    EXPECTED bucket size constant, but a degenerate corpus (one viral
+    template duplicated millions of times) still lands one giant
+    bucket, and a groupBy group is atomic — one task, an n×n score
+    matrix, no help from AQE (skew-join splitting applies to joins,
+    not aggregation groups). With max_block_rows set, each bucket is
+    cut into blocks of ≤ that many rows (row_number order — one
+    LINEAR window pass) and every block-grid cell (bi ≤ bj) becomes
+    its own task scoring only its ≤B×B cross pairs. The pair SET and
+    every cosine are bit-identical to the unblocked path (same
+    per-pair dimension-sequential fold); total work is the same
+    Σ|bucket|² — the grid only bounds per-task memory to B² and
+    spreads the hot bucket across the cluster instead of pinning one
+    executor.
     """
     import numpy as np
     import pandas as pd
@@ -373,9 +389,103 @@ def lsh_multitable_neardup_blocked(
         hi = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"a": lo, "b": hi, "cosine": cos[mask]})
 
+    if max_block_rows is None:
+        return (
+            laid.groupBy("table", "bucket")
+            .applyInPandas(score_bucket, "a long, b long, cosine double")
+            .dropDuplicates(["a", "b"])
+        )
+
+    # --- hot-bucket grid path -------------------------------------------
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table", "bucket").orderBy(id_col)
+    blocked = laid.withColumn(
+        "bn", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_rows)).cast("int")
+    )
+    # block-pair frame: one row per grid cell (bi ≤ bj) per bucket —
+    # nb² rows per bucket where nb = ceil(|bucket|/B), tiny vs the data
+    grid = (
+        blocked.groupBy("table", "bucket")
+        .agg(F.max("bn").alias("nbm"))
+        .select(
+            F.col("table").alias("gt"),
+            F.col("bucket").alias("gb"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, nbm), i ->"
+                    " transform(sequence(i, nbm), j ->"
+                    " struct(i AS bn_a, j AS bn_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("gt", "gb", F.col("p.bn_a").alias("bn_a"), F.col("p.bn_b").alias("bn_b"))
+    )
+    # a row in block b joins every grid cell where it is the A side
+    # (bn == bn_a) or the B side (bn == bn_b) — 3-key equi-joins, so a
+    # row is replicated ~nb times, never nb²
+    rows_a = blocked.join(
+        grid,
+        (F.col("table") == F.col("gt"))
+        & (F.col("bucket") == F.col("gb"))
+        & (F.col("bn") == F.col("bn_a")),
+    ).select("table", "bucket", "bn_a", "bn_b", id_col, "__v", F.lit("A").alias("side"))
+    rows_b = blocked.join(
+        grid,
+        (F.col("table") == F.col("gt"))
+        & (F.col("bucket") == F.col("gb"))
+        & (F.col("bn") == F.col("bn_b")),
+    ).select("table", "bucket", "bn_a", "bn_b", id_col, "__v", F.lit("B").alias("side"))
+
+    def score_grid(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+
+        def unit(frame: pd.DataFrame):
+            ids = frame[id_col].to_numpy()
+            E = np.stack([np.asarray(x, dtype=np.float64) for x in frame["__v"]])
+            norm2 = np.zeros(len(E))
+            for i in range(E.shape[1]):  # sequential dims = the SQL fold
+                norm2 = norm2 + E[:, i] * E[:, i]
+            return ids, E / np.sqrt(norm2)[:, None]
+
+        if pdf["bn_a"].iat[0] == pdf["bn_b"].iat[0]:
+            sub = pdf[pdf["side"] == "A"]  # diagonal cell: A == B rows
+            if len(sub) < 2:
+                return empty
+            ids, U = unit(sub)
+            S = np.zeros((len(U), len(U)))
+            for i in range(U.shape[1]):
+                S = S + U[:, i, None] * U[None, :, i]
+            iu, ju = np.triu_indices(len(U), 1)
+            mask = S[iu, ju] >= threshold
+            if not mask.any():
+                return empty
+            a_ids, b_ids = ids[iu[mask]], ids[ju[mask]]
+            cosv = S[iu[mask], ju[mask]]
+        else:
+            fa, fb = pdf[pdf["side"] == "A"], pdf[pdf["side"] == "B"]
+            if not len(fa) or not len(fb):
+                return empty
+            ids_a, Ua = unit(fa)
+            ids_b, Ub = unit(fb)
+            S = np.zeros((len(Ua), len(Ub)))
+            for i in range(Ua.shape[1]):
+                S = S + Ua[:, i, None] * Ub[None, :, i]
+            mask = S >= threshold
+            if not mask.any():
+                return empty
+            ia, jb = np.nonzero(mask)
+            a_ids, b_ids, cosv = ids_a[ia], ids_b[jb], S[ia, jb]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": cosv})
+
     return (
-        laid.groupBy("table", "bucket")
-        .applyInPandas(score_bucket, "a long, b long, cosine double")
+        rows_a.unionByName(rows_b)
+        .groupBy("table", "bucket", "bn_a", "bn_b")
+        .applyInPandas(score_grid, "a long, b long, cosine double")
         .dropDuplicates(["a", "b"])
     )
 

@@ -5377,6 +5377,7 @@ PRIORITY_50 = [
     "emb_neardup_scaled", "semantic_dedup_scaled",
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
     "update_by_query", "substring_dedup", "text_bigram_nll",
+    "emb_neardup_grid",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -11248,6 +11249,36 @@ ORACLES["semantic_dedup_scaled"] = semantic_dedup_oracle_sql(
     semdedup_cells(_N_EMB_GRADE)
 )
 SPARK_QUERIES["semantic_dedup_scaled"] = q_semantic_dedup_scaled
+
+
+# N-scaled planes keep EXPECTED bucket size constant; a degenerate hot
+# bucket (one viral template duplicated millions of times) still pins a
+# single applyInPandas task with an n² score matrix — AQE's skew-join
+# splitting covers joins, not aggregation groups. The grid variant cuts
+# every bucket into ≤B-row blocks and scores each block-grid cell as its
+# own task: same pair set, bit-identical cosines, per-task memory ≤ B².
+NEARDUP_GRID_BLOCK = 16  # < NEARDUP_TARGET_BUCKET so grading exercises real splits
+
+
+def q_emb_neardup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_neardup_scaled with the hot-bucket grid guard engaged
+    (ann.py::lsh_multitable_neardup_blocked max_block_rows): oversized
+    buckets are scored as a grid of ≤B×B block-pair tasks instead of
+    one atomic group — the skew-robust 100 TB configuration."""
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    n = _table_count(sf_dir, "embeddings")
+    return _round4(
+        ANN.lsh_multitable_neardup_blocked(
+            embs, SRP_DIM, NEARDUP_THRESHOLD,
+            n_planes=neardup_planes(n), n_tables=EMB_NEARDUP_TABLES,
+            max_block_rows=NEARDUP_GRID_BLOCK,
+        ),
+        "cosine",
+    )
+
+
+ORACLES["emb_neardup_grid"] = ORACLES["emb_neardup_scaled"]
+SPARK_QUERIES["emb_neardup_grid"] = q_emb_neardup_grid
 
 
 # ---------------------------------------------------------------------------

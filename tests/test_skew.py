@@ -32,3 +32,40 @@ def test_skewed_key_stats_finds_hot_key(spark):
     )
     top = skewed_key_stats(df, "key", top=1).collect()
     assert top[0]["key"] == "hot" and top[0]["share"] == 0.95
+
+
+def test_neardup_grid_blocks_identical_to_atomic_buckets(spark):
+    """Hot-bucket grid guard (ann.py max_block_rows): a corpus with a
+    100-copy viral template (one giant LSH bucket in every table) must
+    produce the IDENTICAL pair rows — same (a, b) set AND bit-identical
+    cosines — whether the bucket is scored as one atomic group or as a
+    grid of block-pair tasks, at several block sizes including B=1
+    (every pair crosses blocks) and B larger than any bucket (grid
+    collapses to the atomic plan)."""
+    import numpy as np
+
+    from neural_search_spark.operators import ann as ANN
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        (i, [float(x) for x in base + rng.randn(8) * 0.01]) for i in range(100)
+    ] + [
+        (100 + i, [float(x) for x in rng.randn(8)]) for i in range(40)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, threshold=0.9, n_planes=3, n_tables=2)
+    atomic = sorted(
+        map(tuple, ANN.lsh_multitable_neardup_blocked(embs, **kw).collect())
+    )
+    assert len(atomic) >= 100 * 99 / 2  # the viral clique is all-pairs
+    for block in (1, 7, 10_000):
+        grid = sorted(
+            map(
+                tuple,
+                ANN.lsh_multitable_neardup_blocked(
+                    embs, **kw, max_block_rows=block
+                ).collect(),
+            )
+        )
+        assert grid == atomic, block
