@@ -5377,7 +5377,7 @@ PRIORITY_50 = [
     "emb_neardup_scaled", "semantic_dedup_scaled",
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
     "update_by_query", "substring_dedup", "text_bigram_nll",
-    "emb_neardup_grid",
+    "emb_neardup_grid", "split_leakage_safe",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -11694,6 +11694,62 @@ LEFT JOIN kept_agg k ON k.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 SPARK_QUERIES["substring_dedup"] = q_substring_dedup
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split: assign train/valid/test by the NEAR-DUP
+# CLUSTER's key, not the document's, so a test document's near-duplicate
+# can never sit in train (the GroupShuffleSplit discipline applied to
+# fuzzy-dedup groups — the split-time half of decontamination). Pure
+# composition of existing linear pieces: LSH pair mining + connected
+# components give the group key; the split itself is a stateless md5
+# bucket on that key (reshard/retry-stable, identical across engines).
+# At 100 TB the only nontrivial cost is the dedup clustering the
+# pipeline already runs; the split adds one broadcast-sized left join
+# (components table ≈ #duplicated docs) and a map expression.
+# ---------------------------------------------------------------------------
+
+# the dedup_clusters oracle's CTE chain up to comp(node, component);
+# reuse it verbatim so both queries share one clustering definition
+_CC_CTES = ORACLES["dedup_clusters"].rsplit("SELECT c.node", 1)[0]
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on coalesce(dup-cluster canonical id,
+    doc_id): near-dup cliques move between splits as one unit.
+    Leakage invariant (tested): no verified near-dup pair straddles
+    two splits."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    cc = DD.connected_components(_lsh_pairs(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    gk = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = F.substring(F.md5(gk.cast("string")), 1, 2)
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            gk.alias("group_key"),
+            F.when(bucket < F.lit("cd"), "train")
+            .when(bucket < F.lit("e6"), "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["split_leakage_safe"] = _CC_CTES + """
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_key,
+       CASE WHEN substring(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substring(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+SPARK_QUERIES["split_leakage_safe"] = q_split_leakage_safe
 
 
 # apply the contract ordering ONCE, after every registration — the

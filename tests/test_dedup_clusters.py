@@ -134,3 +134,37 @@ def test_cc_star_two_clusters_and_cycle(spark):
     }
     got = _components_star(spark, [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8)])
     assert set(got.values()) == {1} and len(got) == 5
+
+
+def test_split_leakage_safe_no_pair_straddles_splits(spark):
+    """The leakage invariant the group-keyed split exists for: every
+    verified near-dup pair must land in ONE split; the plain
+    doc_id-keyed split (split_train_valid_test's bucket rule) would
+    violate it on this corpus, proving the group key does real work."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark import registry as R
+
+    sf = "/root/testdata/sf0.01"
+    split = R.SPARK_QUERIES["split_leakage_safe"](spark, sf).select("doc_id", "split")
+    prs = R._lsh_pairs(spark, sf).select("a", "b")
+    straddle = (
+        prs.join(split.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+        .join(split.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    # same invariant under the naive per-doc bucket: broken (>=1 pair
+    # straddles) — otherwise this test wouldn't be testing anything
+    naive = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.lit("cd"), "train"
+    ).when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.lit("e6"), "valid"
+    ).otherwise("test")
+    nsplit = split.select("doc_id").withColumn("split", naive)
+    nstraddle = (
+        prs.join(nsplit.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+        .join(nsplit.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    assert nstraddle.count() > 0
