@@ -153,8 +153,11 @@ HEADLINE = [
     "semantic_highlight_best",
     "substring_dedup",
     "update_by_query",
-    # round-14 additions (bigram LM perplexity gate)
+    # round-14 additions (bigram LM perplexity gate, hot-bucket grid
+    # near-dup, leakage-safe split)
     "text_bigram_nll",
+    "emb_neardup_grid",
+    "split_leakage_safe",
 ]
 
 

@@ -50,6 +50,9 @@ SUBSET = [
     "semantic_highlight_best",
     "substring_dedup",
     "update_by_query",
+    "text_bigram_nll",
+    "emb_neardup_grid",
+    "split_leakage_safe",
 ]
 
 
@@ -83,6 +86,8 @@ def main() -> int:
             registry.semdedup_cells(n_emb)
         ),
     }
+    # the grid variant shares the scaled plane formula (and oracle)
+    dynamic_oracles["emb_neardup_grid"] = dynamic_oracles["emb_neardup_scaled"]
 
     t0 = time.time()
     fails = []

@@ -55,3 +55,13 @@ def test_static_registration_matches_formula(spark):
     assert R.ORACLES["semantic_dedup_scaled"] == R.semantic_dedup_oracle_sql(
         R.semdedup_cells(n)
     )
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_BIG])
+def test_emb_neardup_grid_matches_dynamic_oracle(spark, sf_dir):
+    """The hot-bucket grid variant shares the scaled plane formula and
+    oracle — it must match at both SFs with the per-SF knob value."""
+    n = R._table_count(sf_dir, "embeddings")
+    sql = R.emb_neardup_oracle_sql(R.neardup_planes(n))
+    ok, msg = compare(R.q_emb_neardup_grid(spark, sf_dir), sql, sf_dir)
+    assert ok, msg
