@@ -50,9 +50,18 @@ def main() -> int:
 
     docs = catalog.table(spark, sf_dir, "documents")
     n_docs = docs.count() * replicas
-    # row-wise replication, re-keyed ids, spread across all cores
+    # row-wise replication DRIVEN BY a partitioned range × broadcast
+    # docs cross join: the expansion happens executor-side in cpus×2
+    # parallel tasks with NO wide exchange — the old shape (explode
+    # over the 1-partition source scan, then repartition) generated
+    # all N rows in one task and shuffled them, serializing the very
+    # step the benchmark wants parallel
+    # range with EXPLICIT slices: repartition() here would shuffle 200
+    # tiny rows and AQE would coalesce that exchange to ONE partition,
+    # silently serializing the whole expansion + encode + sink
+    reps = spark.range(0, replicas, 1, cpus * 2).withColumnRenamed("id", "_r")
     corpus = (
-        docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        reps.crossJoin(F.broadcast(docs))
         .withColumn(
             "doc_id",
             F.col("doc_id").cast("long") * replicas + F.col("_r"),
@@ -61,7 +70,6 @@ def main() -> int:
         # second semantic field for the sparse config (one semantic
         # config per field, like the reference's field mappings)
         .withColumn("text_sparse", F.col("text"))
-        .repartition(cpus * 2)
     )
 
     configs = [
