@@ -158,6 +158,7 @@ HEADLINE = [
     "text_bigram_nll",
     "emb_neardup_grid",
     "split_leakage_safe",
+    "mm_phash_neardup",
 ]
 
 

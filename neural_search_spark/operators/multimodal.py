@@ -295,6 +295,62 @@ def synth_wav_payload(doc_id: int) -> bytes:
     return MC.encode_wav(synth_wav_samples(doc_id), sample_rate=8000)
 
 
+def synth_image_payload_grouped(doc_id: int, base_mod: int) -> bytes:
+    """Near-dup image fixture: the pixel pattern AND dims are keyed by
+    doc_id % base_mod (the shared 'template'), plus a per-replica
+    constant brightness shift ((doc_id // base_mod) % 3) that wraps
+    mod 256 — replicas are byte-identical nowhere (different container
+    bytes, shifted pixels) but perceptually near-identical: aHash is
+    exactly invariant to a constant shift except at the wraparound
+    cells. Same png/bmp container routing as synth_image_payload."""
+    base = doc_id % base_mod
+    w, h = synth_png_dims(base)
+    i = np.arange(w * h, dtype=np.int64)
+    px = (
+        ((base * 7 + i * 3 + (doc_id // base_mod) % 3) % 256)
+        .astype(np.uint8)
+        .reshape(h, w)
+    )
+    return MC.encode_png(px) if doc_id % 2 == 0 else MC.encode_bmp(px)
+
+
+def phash64_batch(
+    media: DataFrame,
+    side: int = 8,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: decode →
+    nearest-neighbor side×side downsample → bit j = 1 iff
+    px_j · side² ≥ Σpx (integer-exact; no float mean) → 64-char
+    '0'/'1' string in row-major order. Emitted as `simhash` so
+    dedup.simhash_neardup_pairs' pigeonhole banding + Hamming verify
+    applies unchanged — the image half of the near-dup family rides
+    the text half's pair machinery."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(p)
+                fmt = MC.sniff_format(b)
+                arr = MC.decode_png(b) if fmt == "png" else MC.decode_bmp(b)
+                t = (
+                    MC.resize_nearest(arr, side, side)
+                    .astype(np.int64)
+                    .reshape(-1)
+                )
+                s = int(t.sum())
+                n2 = side * side
+                bits = "".join(
+                    "1" if int(v) * n2 >= s else "0" for v in t
+                )
+                rows.append((did, bits))
+            yield pd.DataFrame(rows, columns=[id_col, "simhash"])
+
+    return media.mapInPandas(ph, f"{id_col} long, simhash string")
+
+
 def synthetic_media_table(
     docs: DataFrame, kind: str = "image", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -305,7 +361,10 @@ def synthetic_media_table(
         "image": synth_image_payload,
         "header": synth_header_payload,
         "wav": synth_wav_payload,
-    }[kind]
+    }[kind] if not kind.startswith("image_grouped:") else (
+        # "image_grouped:<base_mod>" — near-dup fixture groups
+        lambda d, _m=int(kind.split(":", 1)[1]): synth_image_payload_grouped(d, _m)
+    )
 
     def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

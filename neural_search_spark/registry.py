@@ -5377,7 +5377,7 @@ PRIORITY_50 = [
     "emb_neardup_scaled", "semantic_dedup_scaled",
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
     "update_by_query", "substring_dedup", "text_bigram_nll",
-    "emb_neardup_grid", "split_leakage_safe",
+    "emb_neardup_grid", "split_leakage_safe", "mm_phash_neardup",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -11750,6 +11750,79 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY d.doc_id
 """
 SPARK_QUERIES["split_leakage_safe"] = q_split_leakage_safe
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup: the image half of the dedup family.
+# REAL container decode (PNG filter reversal / BMP) → nearest-neighbor
+# 8×8 downsample → integer-exact average-hash (bit = px·64 ≥ Σpx) →
+# the SAME pigeonhole band join + Hamming verify the text SimHash path
+# uses (dedup.simhash_neardup_pairs, unchanged). Fixture images come in
+# template groups with per-replica brightness shifts: byte-identical
+# nowhere, perceptually near-identical — exactly what pHash dedup
+# exists to catch. The oracle replays generator formula + NN index
+# math + hash arithmetic in SQL (the mm_resize discipline).
+# ---------------------------------------------------------------------------
+
+MM_PHASH_DOCS = 200
+MM_PHASH_BASE_MOD = 40  # 40 templates × 5 replicas at the graded SF
+MM_PHASH_MAX_H = 6
+
+
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs by average-hash Hamming ≤ {MM_PHASH_MAX_H}
+    (operators/multimodal.py::phash64_batch + dedup.simhash_neardup_pairs).
+    Linear: one decode scan → 64-bit fingerprints, band equi-joins for
+    candidates, exact Hamming on candidates only."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < MM_PHASH_DOCS
+    )
+    media = MM.synthetic_media_table(
+        docs, kind=f"image_grouped:{MM_PHASH_BASE_MOD}"
+    )
+    fp = MM.phash64_batch(media)
+    return DD.simhash_neardup_pairs(fp, max_hamming=MM_PHASH_MAX_H).orderBy("a", "b")
+
+
+ORACLES["mm_phash_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {MM_PHASH_BASE_MOD} AS base,
+         (doc_id // {MM_PHASH_BASE_MOD}) % 3 AS p
+  FROM documents WHERE doc_id < {MM_PHASH_DOCS}
+),
+dims AS (SELECT doc_id, base, p, 4 + base % 13 AS w, 3 + base % 7 AS h FROM d),
+yy AS (SELECT doc_id, base, p, w, h, unnest(range(0, 8)) AS y FROM dims),
+cell AS (SELECT doc_id, base, p, w, h, y, unnest(range(0, 8)) AS x FROM yy),
+v AS (
+  SELECT doc_id, y * 8 + x AS ci,
+         (base * 7 + (((y * h) // 8) * w + (x * w) // 8) * 3 + p) % 256 AS g
+  FROM cell
+),
+sums AS (SELECT doc_id, sum(g) AS s FROM v GROUP BY doc_id),
+fp AS (
+  SELECT v.doc_id,
+         array_to_string(
+           list(CASE WHEN g * 64 >= s THEN '1' ELSE '0' END ORDER BY ci), ''
+         ) AS simhash
+  FROM v JOIN sums USING (doc_id) GROUP BY v.doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.band_idx, b.band
+  FROM (SELECT doc_id, simhash, unnest([{_SIMHASH_BANDS}]) AS b FROM fp)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sh_a, r.simhash AS sh_b
+  FROM banded l
+  JOIN banded r ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
+),
+h AS (SELECT a, b, ({_SIMHASH_HAMMING})::INTEGER AS hamming FROM cands)
+SELECT a, b, hamming FROM h WHERE hamming <= {MM_PHASH_MAX_H}
+ORDER BY a, b
+"""
+SPARK_QUERIES["mm_phash_neardup"] = q_mm_phash_neardup
 
 
 # apply the contract ordering ONCE, after every registration — the

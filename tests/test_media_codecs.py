@@ -258,3 +258,27 @@ def test_image_embedding_visual_neardup(spark):
 
     assert cos(embs[0], embs[1]) > 0.98     # copy ≈ original
     assert cos(embs[0], embs[1]) > cos(embs[0], embs[2]) + 0.2
+
+
+def test_phash_neardup_finds_brightness_shifted_replicas(spark):
+    """The grouped fixture's guarantee: replicas of one template with
+    the SAME brightness shift decode to identical pixels (different
+    container bytes for odd/even ids) → aHash Hamming 0; they MUST be
+    reported as near-dup pairs. Also: the hash is shift-invariant away
+    from the mod-256 wraparound, so all same-template pairs stay
+    within the graded Hamming budget."""
+    from neural_search_spark import registry as R
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in R.SPARK_QUERIES["mm_phash_neardup"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    bm = R.MM_PHASH_BASE_MOD
+    for base in range(bm):
+        # replicas 0 and 3 share shift (0%3 == 3%3): guaranteed identical
+        a, b = base, base + 3 * bm
+        if b < R.MM_PHASH_DOCS:
+            assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
+    assert len(pairs) >= bm  # every template yields at least one pair
