@@ -159,6 +159,7 @@ HEADLINE = [
     "emb_neardup_grid",
     "split_leakage_safe",
     "mm_phash_neardup",
+    "mm_audio_neardup",
 ]
 
 

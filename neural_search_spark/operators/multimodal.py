@@ -351,20 +351,72 @@ def phash64_batch(
     return media.mapInPandas(ph, f"{id_col} long, simhash string")
 
 
+def synth_wav_payload_grouped(doc_id: int, base_mod: int) -> bytes:
+    """Near-dup audio fixture, the WAV analogue of
+    synth_image_payload_grouped: the PCM pattern AND clip length are
+    keyed by doc_id % base_mod, plus a small per-replica DC offset
+    ((doc_id // base_mod) % 3 · 8) applied INSIDE the mod-4096 wrap —
+    replicas share the waveform shape but no byte content."""
+    base = doc_id % base_mod
+    n = 64 + base % 50
+    i = np.arange(n, dtype=np.int64)
+    p = (doc_id // base_mod) % 3 * 8
+    samples = ((base * 13 + i * 5 + p) % 4096 - 2048).astype(np.int16)
+    return MC.encode_wav(samples, sample_rate=8000)
+
+
+def audio_fp64_batch(
+    media: DataFrame,
+    n_windows: int = 64,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Audio fingerprint over REAL decoded PCM: decode WAV → assign
+    sample i of an n-sample clip to window i·W // n → bit w = 1 iff
+    (window sum)·W ≥ clip sum (integer-exact — the average-hash
+    algebra applied to signed PCM energy) → 64-char '0'/'1' string
+    emitted as `simhash`, so dedup.simhash_neardup_pairs' banding +
+    Hamming verify applies unchanged (same shape as phash64_batch)."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                _rate, samples = MC.decode_wav(bytes(p))
+                s = samples.astype(np.int64)
+                n = len(s)
+                w_idx = (np.arange(n, dtype=np.int64) * n_windows) // n
+                sums = np.zeros(n_windows, dtype=np.int64)
+                np.add.at(sums, w_idx, s)
+                total = int(s.sum())
+                bits = "".join(
+                    "1" if int(sw) * n_windows >= total else "0" for sw in sums
+                )
+                rows.append((did, bits))
+            yield pd.DataFrame(rows, columns=[id_col, "simhash"])
+
+    return media.mapInPandas(fp, f"{id_col} long, simhash string")
+
+
 def synthetic_media_table(
     docs: DataFrame, kind: str = "image", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, payload) with REAL container bytes generated
     per-partition (mapInPandas — no driver materialization, same scale
     shape as reading a binary column off parquet)."""
-    gen = {
-        "image": synth_image_payload,
-        "header": synth_header_payload,
-        "wav": synth_wav_payload,
-    }[kind] if not kind.startswith("image_grouped:") else (
+    if kind.startswith("image_grouped:"):
         # "image_grouped:<base_mod>" — near-dup fixture groups
-        lambda d, _m=int(kind.split(":", 1)[1]): synth_image_payload_grouped(d, _m)
-    )
+        _m = int(kind.split(":", 1)[1])
+        gen = lambda d: synth_image_payload_grouped(d, _m)  # noqa: E731
+    elif kind.startswith("wav_grouped:"):
+        _m = int(kind.split(":", 1)[1])
+        gen = lambda d: synth_wav_payload_grouped(d, _m)  # noqa: E731
+    else:
+        gen = {
+            "image": synth_image_payload,
+            "header": synth_header_payload,
+            "wav": synth_wav_payload,
+        }[kind]
 
     def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

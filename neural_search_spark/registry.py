@@ -5378,6 +5378,7 @@ PRIORITY_50 = [
     "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
     "update_by_query", "substring_dedup", "text_bigram_nll",
     "emb_neardup_grid", "split_leakage_safe", "mm_phash_neardup",
+    "mm_audio_neardup",
     # CODE-CHANGED this round: P2 filter pushdown reached every leaf
     # (span/intervals/parent-child/bool-prefix/combined_fields/
     # terms_lookup/sloppy-phrase), artifact-store routing for
@@ -11823,6 +11824,65 @@ SELECT a, b, hamming FROM h WHERE hamming <= {MM_PHASH_MAX_H}
 ORDER BY a, b
 """
 SPARK_QUERIES["mm_phash_neardup"] = q_mm_phash_neardup
+
+
+def q_mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: REAL WAV decode → 64-window integer
+    energy fingerprint (multimodal.audio_fp64_batch) → the same
+    pigeonhole band join + Hamming verify as the text/image hashes.
+    Grouped fixtures share a waveform keyed by doc_id % base_mod with
+    per-replica DC offsets — no byte overlap, near-identical shape."""
+    from .operators import multimodal as MM
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < MM_PHASH_DOCS
+    )
+    media = MM.synthetic_media_table(
+        docs, kind=f"wav_grouped:{MM_PHASH_BASE_MOD}"
+    )
+    fp = MM.audio_fp64_batch(media)
+    return DD.simhash_neardup_pairs(fp, max_hamming=MM_PHASH_MAX_H).orderBy("a", "b")
+
+
+ORACLES["mm_audio_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {MM_PHASH_BASE_MOD} AS base,
+         (doc_id // {MM_PHASH_BASE_MOD}) % 3 * 8 AS p
+  FROM documents WHERE doc_id < {MM_PHASH_DOCS}
+),
+dims AS (SELECT doc_id, base, p, 64 + base % 50 AS n FROM d),
+samp AS (
+  SELECT doc_id, n, u.i AS i,
+         (base * 13 + u.i * 5 + p) % 4096 - 2048 AS s
+  FROM dims, unnest(range(0, n)) u(i)
+),
+win AS (
+  SELECT doc_id, (i * 64) // n AS w, sum(s) AS sw
+  FROM samp GROUP BY doc_id, (i * 64) // n
+),
+tot AS (SELECT doc_id, sum(s) AS total FROM samp GROUP BY doc_id),
+fp AS (
+  SELECT win.doc_id,
+         array_to_string(
+           list(CASE WHEN sw * 64 >= total THEN '1' ELSE '0' END ORDER BY w), ''
+         ) AS simhash
+  FROM win JOIN tot USING (doc_id) GROUP BY win.doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.band_idx, b.band
+  FROM (SELECT doc_id, simhash, unnest([{_SIMHASH_BANDS}]) AS b FROM fp)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sh_a, r.simhash AS sh_b
+  FROM banded l
+  JOIN banded r ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
+),
+h AS (SELECT a, b, ({_SIMHASH_HAMMING})::INTEGER AS hamming FROM cands)
+SELECT a, b, hamming FROM h WHERE hamming <= {MM_PHASH_MAX_H}
+ORDER BY a, b
+"""
+SPARK_QUERIES["mm_audio_neardup"] = q_mm_audio_neardup
 
 
 # apply the contract ordering ONCE, after every registration — the

@@ -282,3 +282,22 @@ def test_phash_neardup_finds_brightness_shifted_replicas(spark):
         if b < R.MM_PHASH_DOCS:
             assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
     assert len(pairs) >= bm  # every template yields at least one pair
+
+
+def test_audio_neardup_finds_dc_shifted_replicas(spark):
+    """WAV analogue of the pHash test: same-template same-offset
+    replicas decode to identical PCM → Hamming 0 and must pair."""
+    from neural_search_spark import registry as R
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in R.SPARK_QUERIES["mm_audio_neardup"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    bm = R.MM_PHASH_BASE_MOD
+    for base in range(bm):
+        a, b = base, base + 3 * bm
+        if b < R.MM_PHASH_DOCS:
+            assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
+    assert len(pairs) >= bm
