@@ -53,14 +53,21 @@ SUBSET = [
     "text_bigram_nll",
     "emb_neardup_grid",
     "split_leakage_safe",
+    "mm_phash_neardup",
+    "mm_audio_neardup",
 ]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # optional 2nd arg: cluster spec "workers,cores,mem_mb" — e.g.
+    # "2,4,1024" runs the same suite under 1 GiB executor heaps, the
+    # SPILL-PRESSURE configuration (shuffle-heavy queries must spill
+    # instead of OOM and still hash-match)
+    spec = sys.argv[2] if len(sys.argv) > 2 else "2,16,4096"
     spark = (
         SparkSession.builder.appName("local-cluster-check")
-        .master("local-cluster[2,16,4096]")
+        .master(f"local-cluster[{spec}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -107,7 +114,7 @@ def main() -> int:
             fails.append(name)
     dt = time.time() - t0
     print(
-        f"local-cluster[2,16,4096] @ {sf_dir}: "
+        f"local-cluster[{spec}] @ {sf_dir}: "
         f"{len(SUBSET) - len(fails)}/{len(SUBSET)} oracle-matched in {dt:.1f}s"
         + (f"; FAILURES: {fails}" if fails else "")
     )
