@@ -159,14 +159,18 @@ def normalize(
         norm_ = F.sqrt(F.sum(s * s).over(w))
         norm_score = F.when(norm_ == 0.0, F.lit(0.0)).otherwise(s / norm_)
     elif technique == "z_score":
-        # ZScoreNormalizationTechnique.java:190-224
+        # ZScoreNormalizationTechnique.java:190-224; σ via commons-math
+        # DescriptiveStatistics.getStandardDeviation()
+        # (ZScoreNormalizationTechnique.java:130-141) = bias-corrected
+        # SAMPLE stddev (n−1), hence stddev_samp (NULL at n=1, but the
+        # s==mean branch fires first for a single-score list)
         mean = F.avg(s).over(w)
-        sd = F.stddev_pop(s).over(w)
+        sd = F.stddev_samp(s).over(w)
         mn, mx = F.min(s).over(w), F.max(s).over(w)
         z = (s - mean) / sd
         norm_score = (
             F.when(s == mean, mx)
-            .when(sd == 0.0, mn)
+            .when(sd.isNull() | (sd == 0.0), mn)
             .otherwise(F.when(z <= 0.0, F.lit(MIN_SCORE)).otherwise(z))
         )
     elif technique == "rrf":

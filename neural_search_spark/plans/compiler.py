@@ -1737,10 +1737,16 @@ class Engine:
             )
             ext = (F.max if kind == "max_bucket" else F.min)(c).over(w_all)
             sel = parent.withColumn("__ext", ext).where(c == F.col("__ext"))
+            # keys emitted as a sorted comma-joined STRING, not an
+            # array: every query's final schema must be scalar-typed
+            # (harness canonicalizers hash per-cell)
             return sel.agg(
                 F.round(F.first("__ext"), 4).alias("value"),
-                F.sort_array(
-                    F.collect_list(F.col(key_col).cast("string"))
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col(key_col).cast("string"))
+                    ),
                 ).alias("keys"),
             )
         if kind == "extended_stats":

@@ -1469,12 +1469,12 @@ SQL_L2_NORM = """
 SQL_ZSCORE_NORM = """
   SELECT u.doc_id, u.subquery_idx, u.raw_score,
          CASE WHEN u.raw_score = avg(u.raw_score) OVER sq THEN max(u.raw_score) OVER sq
-              WHEN stddev_pop(u.raw_score) OVER sq = 0.0 THEN min(u.raw_score) OVER sq
+              WHEN coalesce(stddev_samp(u.raw_score) OVER sq, 0.0) = 0.0 THEN min(u.raw_score) OVER sq
               ELSE CASE WHEN (u.raw_score - avg(u.raw_score) OVER sq)
-                             / stddev_pop(u.raw_score) OVER sq <= 0.0
+                             / stddev_samp(u.raw_score) OVER sq <= 0.0
                         THEN 0.001
                         ELSE (u.raw_score - avg(u.raw_score) OVER sq)
-                             / stddev_pop(u.raw_score) OVER sq
+                             / stddev_samp(u.raw_score) OVER sq
                    END
          END AS norm_score
   FROM u
@@ -8988,7 +8988,8 @@ WITH b AS (
 ),
 m AS (SELECT max(doc_count) AS mx FROM b)
 SELECT round(mx, 4) AS value,
-       (SELECT list(key ORDER BY key) FROM b, m WHERE doc_count = mx) AS keys
+       (SELECT string_agg(key, ',' ORDER BY key)
+        FROM b, m WHERE doc_count = mx) AS keys
 FROM m
 """
 SPARK_QUERIES["dsl_agg_max_bucket"] = q_dsl_agg_max_bucket

@@ -58,8 +58,10 @@ def test_zscore_nonpositive_clamp(spark):
     # z(1.0) < 0 → 0.001 ; z(2.0)=0 → equals mean → max raw (3.0)
     assert out[(0, 1)] == pytest.approx(0.001)
     assert out[(0, 2)] == pytest.approx(3.0)
-    sd = math.sqrt(2.0 / 3.0)
-    assert out[(0, 3)] == pytest.approx(1.0 / sd)
+    # sample stddev (n−1) of [1,2,3] is exactly 1.0 — matches
+    # commons-math DescriptiveStatistics.getStandardDeviation()
+    # used by ZScoreNormalizationTechnique.java:130-141
+    assert out[(0, 3)] == pytest.approx(1.0)
 
 
 def test_rrf_rank_scores(spark):
