@@ -239,6 +239,46 @@ def numpy_checkpoint_loader(
     return _load
 
 
+def trained_checkpoint_loader(npz_path: str) -> Callable[[], object]:
+    """Loader for the in-repo TRAINED encoder (scripts/train_encoder.py):
+    LSA eigenvector weights learned from the corpus TF-IDF doc-term
+    matrix over a unigram+bigram vocabulary — learned weights, not hash
+    algebra, through the same checkpoint-file → load-once-per-worker →
+    Arrow-batch lifecycle as a torch model
+    (ml/MLCommonsClientAccessor.java:110-175 inferenceSentences).
+
+    npz holds `vocab` (V terms incl. space-joined bigrams), `idf` (V,)
+    and `W` (V×d eigenvectors). encode: tokens → unigram+bigram counts
+    → in-vocab tf·idf → x @ W → L2 normalize. Symmetric encoder
+    (content_type accepted per the interface; LSA has no QUERY/PASSAGE
+    asymmetry). Deterministic, so the DuckDB oracle can replay it."""
+
+    def _load() -> object:
+        z = np.load(npz_path, allow_pickle=True)
+        vocab = {str(t): i for i, t in enumerate(z["vocab"])}
+        idf, W = z["idf"], z["W"]
+
+        class _LsaEncoder:
+            def encode(self, texts: list[str], content_type: str = "PASSAGE") -> np.ndarray:
+                X = np.zeros((len(texts), len(vocab)), dtype=np.float64)
+                for i, t in enumerate(texts):
+                    toks = [w for w in (t or "").lower().split(" ") if w]
+                    terms = toks + [
+                        f"{a} {b}" for a, b in zip(toks, toks[1:])
+                    ]
+                    for term in terms:
+                        j = vocab.get(term)
+                        if j is not None:
+                            X[i, j] += 1.0
+                Y = (X * idf) @ W
+                n = np.linalg.norm(Y, axis=1, keepdims=True)
+                return Y / np.where(n == 0.0, 1.0, n)
+
+        return _LsaEncoder()
+
+    return _load
+
+
 def sentence_transformer_loader(model_path: str, device: str = "cpu") -> Callable[[], object]:
     """Loader factory for an actual sentence-transformers encoder —
     the documented real-model path (this container has no torch, so it

@@ -5371,7 +5371,33 @@ for _name, _fn in [
 #              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
-    # ===== ROUND-4 WINDOW (first 50) =====
+    # ===== ROUND-5 WINDOW (first 50) =====
+    # NEW this round: trained LSA encoder end-to-end (learned
+    # eigenvector weights, scripts/train_encoder.py)
+    "trained_model_dense_topk", "trained_model_hybrid",
+    # CODE-CHANGED this round: max_bucket keys array → joined string
+    # (the one r4 driver failure), z-score → sample stddev
+    "dsl_agg_max_bucket", "n3_zscore_fusion",
+    # never-graded fill, in standing order (round-5 spillover)
+    "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
+    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
+    "mget_docs", "field_caps", "search_template_match",
+    "search_fetch_fields", "completion_suggest",
+    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
+    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
+    "dsl_agg_t_test", "dsl_agg_geo_bounds",
+    "cross_index_search", "script_score_cosine", "cross_index_boosted",
+    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
+    "wrapper_match", "query_string_bool", "query_string_field_boost",
+    "match_all_page", "function_score_full",
+    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
+    "rank_feature_saturation", "dsl_agg_matrix_stats",
+    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
+    "dsl_agg_filters", "dsl_agg_rare_terms",
+    "geo_distance", "geo_bounding_box", "geotile_grid",
+    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
+    "runtime_field_agg", "pinned_query",
+    # ===== ROUND-4 WINDOW (graded r4; rotates behind the r5 window) =====
     # NEW this round: N-scaled dedup flagships, real-checkpoint model
     # path, semantic-highlight model tier
     "emb_neardup_scaled", "semantic_dedup_scaled",
@@ -11624,6 +11650,212 @@ if _REAL_MODEL_OK:
     except Exception:
         pass
     SPARK_QUERIES["semantic_highlight_best"] = q_semantic_highlight_best
+
+
+# ---------------------------------------------------------------------------
+# round-5: genuinely TRAINED encoder end-to-end (VERDICT r4 item 3).
+# scripts/train_encoder.py learns LSA eigenvector weights from the
+# corpus TF-IDF doc-term matrix (unigram+bigram vocab, V=192, d=32) —
+# a Spark counting job + a driver-side V×V eigensolve — and commits
+# them as resources/lsa_32.npz. models.trained_checkpoint_loader runs
+# the SAME executor-side load-once / Arrow-batch lifecycle as the
+# hashproj checkpoint, but with learned (not hash-algebra) weights:
+# real vocab lookup, bigram composition, idf scaling, true latent dims
+# (ml/MLCommonsClientAccessor.java:110-175 inferenceSentences). The
+# DuckDB oracle replays the full encoder in SQL from the SAME npz:
+# unigram+bigram explode, vocab VALUES join (term, idf, W-row),
+# tf·idf-weighted projection, L2 normalize, float32 truncation at the
+# UDF boundary, cosine vs the hoisted query literal. Training decimal-
+# rounds weights to 6 places so Python and SQL literals are
+# bit-identical; the encoder CTE is sf-independent (all 192 vocab rows
+# inlined), only the corpus views vary.
+# ---------------------------------------------------------------------------
+
+TRAINED_MODEL_ID = "lsa-trained-32"
+TRAINED_MODEL_DIM = 32
+TRAINED_MODEL_QUERY = "spark join window stream"
+
+
+def _trained_ckpt_path() -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources", "lsa_32.npz",
+    )
+
+
+def _register_trained_model() -> bool:
+    import os as _os
+
+    path = _trained_ckpt_path()
+    if not _os.path.exists(path):
+        return False
+    if TRAINED_MODEL_ID not in models.MODEL_REGISTRY:
+        models.register_model(
+            TRAINED_MODEL_ID,
+            models.trained_checkpoint_loader(path),
+            dim=TRAINED_MODEL_DIM,
+            batch_size=64,
+        )
+    return True
+
+
+_TRAINED_MODEL_OK = _register_trained_model()
+
+
+def q_trained_model_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-k whose embeddings come from the TRAINED checkpoint:
+    query → driver-side encode through the learned weights (coordinator
+    hoisting), corpus → executor-side re-embed through the iterator
+    pandas UDF (npz loaded once per worker), standard R1 cosine
+    TakeOrdered."""
+    eng = _agg_engine(spark, sf_dir)
+    out = eng.search(
+        {"neural": {
+            "query_text": TRAINED_MODEL_QUERY,
+            "model_id": TRAINED_MODEL_ID,
+            "k": K,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _trained_encoder_ctes(q_cte: str = "qd") -> str:
+    """The trained LSA encoder as a CTE chain ending in `e(doc_id, e)`
+    (float32-truncated unit document embeddings) and `{q_cte}(qe)` (the
+    hoisted query vector). All 192 (term, idf, W-row) vocab rows are
+    inlined from the npz, so the chain is sf-independent."""
+    import numpy as _np
+
+    z = _np.load(_trained_ckpt_path(), allow_pickle=True)
+    vocab, idf, W = z["vocab"], z["idf"], z["W"]
+    vrows = ",\n  ".join(
+        "('" + str(t).replace("'", "''") + "', " + repr(float(idf[i]))
+        + ", [" + ", ".join(repr(float(x)) for x in W[i]) + "]::DOUBLE[])"
+        for i, t in enumerate(vocab)
+    )
+    qv = models.encode_query(TRAINED_MODEL_ID, TRAINED_MODEL_QUERY, "QUERY")
+    q_lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    return f"""tl AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(ts) AS term FROM tl
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS term
+  FROM tl, unnest(range(1, len(ts))) t(i)
+),
+cnt AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS c FROM terms GROUP BY 1, 2
+),
+vrows(term, idf, w) AS (VALUES
+  {vrows}
+),
+yel AS (
+  SELECT cnt.doc_id, t.i AS pos, sum(cnt.c * v.idf * v.w[t.i + 1]) AS val
+  FROM cnt JOIN vrows v USING (term),
+       unnest(range(0, {TRAINED_MODEL_DIM})) t(i)
+  GROUP BY 1, 2
+),
+y AS (SELECT doc_id, list(val ORDER BY pos) AS y FROM yel GROUP BY doc_id),
+e AS (
+  SELECT doc_id,
+         list_transform(
+           y, v -> CAST(CAST(v / sqrt(list_dot_product(y, y)) AS REAL) AS DOUBLE)
+         ) AS e
+  FROM y
+),
+{q_cte}(qe) AS (VALUES ({q_lit}))"""
+
+
+def trained_model_oracle_sql() -> str:
+    """DuckDB mirror of the trained-checkpoint dense top-k."""
+    return f"""
+WITH {_trained_encoder_ctes("qd")}
+SELECT doc_id,
+       round(
+         list_dot_product(e, qe)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+         4
+       ) AS score
+FROM e, qd
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def trained_model_hybrid_oracle_sql() -> str:
+    """DuckDB mirror of hybrid = [trained-model dense, BM25 match]
+    with min_max normalization + arithmetic-mean combination over
+    PRESENT legs (same contract as real_model_hybrid)."""
+    q_tokens = sorted({t for t in TRAINED_MODEL_QUERY.lower().split() if t})
+    q_vals = ", ".join(f"('{t}')" for t in q_tokens)
+    return f"""
+WITH {_trained_encoder_ctes("qd")},
+dense_scored AS (
+  SELECT doc_id,
+         list_dot_product(e, qe)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+         AS score
+  FROM e, qd
+),
+dense_top AS (
+  SELECT doc_id, score FROM dense_scored
+  ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+),
+q(token) AS (VALUES {q_vals}),
+{_bm25_cte("m", "documents").strip()},
+m_depth_top AS (
+  SELECT doc_id, score FROM m_scored
+  ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+),
+u AS (
+  SELECT doc_id, score AS raw_score, 0 AS subquery_idx FROM dense_top
+  UNION ALL
+  SELECT doc_id, score AS raw_score, 1 AS subquery_idx FROM m_depth_top
+),
+n AS ({SQL_MINMAX_NORM}),
+fused AS (
+  SELECT doc_id, avg(norm_score) AS score FROM n GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM fused ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+def q_trained_model_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion where the dense leg's embeddings come from the
+    TRAINED checkpoint and the lexical leg is BM25 over the persisted
+    postings artifact — the full R6 pipeline under learned weights."""
+    eng = _agg_engine(spark, sf_dir)
+    out = eng.search(
+        {"hybrid": {
+            "queries": [
+                {"neural": {
+                    "query_text": TRAINED_MODEL_QUERY,
+                    "model_id": TRAINED_MODEL_ID,
+                }},
+                {"match": {"field": "text", "query": TRAINED_MODEL_QUERY}},
+            ],
+            "pagination_depth": HYBRID_DEPTH,
+        }},
+        pipeline={
+            "normalization": {"technique": "min_max"},
+            "combination": {"technique": "arithmetic_mean"},
+        },
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+if _TRAINED_MODEL_OK:
+    ORACLES["trained_model_dense_topk"] = trained_model_oracle_sql()
+    ORACLES["trained_model_hybrid"] = trained_model_hybrid_oracle_sql()
+    SPARK_QUERIES["trained_model_dense_topk"] = q_trained_model_dense_topk
+    SPARK_QUERIES["trained_model_hybrid"] = q_trained_model_hybrid
 
 
 # ---------------------------------------------------------------------------
