@@ -155,11 +155,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel payload length mismatch")
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not mat[:, 0].any():
+        # all rows filter-None (what encode_png and most synthetic /
+        # screenshot corpora emit): one slice, no per-row Python loop
+        return mat[:, 1:].reshape(h, w, ch).copy()
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        out[y] = _unfilter_row(row[0], np.frombuffer(row[1:], dtype=np.uint8), prev, ch)
+        out[y] = _unfilter_row(int(mat[y, 0]), mat[y, 1:], prev, ch)
         prev = out[y]
     return out.reshape(h, w, ch)
 

@@ -329,24 +329,29 @@ def phash64_batch(
     the text half's pair machinery."""
 
     def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n2 = side * side
         for pdf in batches:
-            rows = []
-            for did, p in zip(pdf[id_col], pdf[bin_col]):
+            if not len(pdf):
+                continue
+            # decode is per-payload (variable dims); everything after
+            # the downsample is one (batch × 64) numpy pass — sums,
+            # threshold bits, and '0'/'1' bytes rendered batch-wide
+            T = np.empty((len(pdf), n2), dtype=np.int64)
+            for i, p in enumerate(pdf[bin_col]):
                 b = bytes(p)
                 fmt = MC.sniff_format(b)
                 arr = MC.decode_png(b) if fmt == "png" else MC.decode_bmp(b)
-                t = (
-                    MC.resize_nearest(arr, side, side)
-                    .astype(np.int64)
-                    .reshape(-1)
-                )
-                s = int(t.sum())
-                n2 = side * side
-                bits = "".join(
-                    "1" if int(v) * n2 >= s else "0" for v in t
-                )
-                rows.append((did, bits))
-            yield pd.DataFrame(rows, columns=[id_col, "simhash"])
+                if arr.ndim == 3:  # luminance plane (fixtures are ch=1)
+                    arr = arr[:, :, 0]
+                T[i] = MC.resize_nearest(arr, side, side).reshape(-1)
+            s = T.sum(axis=1, keepdims=True)
+            chars = np.where(T * n2 >= s, 49, 48).astype(np.uint8)  # '1'/'0'
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "simhash": [bytes(r).decode("ascii") for r in chars],
+                }
+            )
 
     return media.mapInPandas(ph, f"{id_col} long, simhash string")
 
@@ -380,20 +385,31 @@ def audio_fp64_batch(
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, p in zip(pdf[id_col], pdf[bin_col]):
+            if not len(pdf):
+                continue
+            # per-clip: one cumsum + boundary-difference window fold
+            # (window w spans samples [ceil(w·n/W), ceil((w+1)·n/W)) —
+            # the inverse of i·W//n == w); per-batch: one numpy pass
+            # renders all threshold bits and '0'/'1' bytes
+            S = np.empty((len(pdf), n_windows), dtype=np.int64)
+            totals = np.empty((len(pdf), 1), dtype=np.int64)
+            wr = np.arange(n_windows + 1, dtype=np.int64)
+            for i, p in enumerate(pdf[bin_col]):
                 _rate, samples = MC.decode_wav(bytes(p))
-                s = samples.astype(np.int64)
-                n = len(s)
-                w_idx = (np.arange(n, dtype=np.int64) * n_windows) // n
-                sums = np.zeros(n_windows, dtype=np.int64)
-                np.add.at(sums, w_idx, s)
-                total = int(s.sum())
-                bits = "".join(
-                    "1" if int(sw) * n_windows >= total else "0" for sw in sums
+                cs = np.concatenate(
+                    ([0], samples.astype(np.int64).cumsum())
                 )
-                rows.append((did, bits))
-            yield pd.DataFrame(rows, columns=[id_col, "simhash"])
+                n = len(samples)
+                edges = -(-wr * n // n_windows)  # ceil(w·n/W)
+                S[i] = cs[edges[1:]] - cs[edges[:-1]]
+                totals[i] = cs[-1]
+            chars = np.where(S * n_windows >= totals, 49, 48).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "simhash": [bytes(r).decode("ascii") for r in chars],
+                }
+            )
 
     return media.mapInPandas(fp, f"{id_col} long, simhash string")
 
