@@ -5376,8 +5376,11 @@ PRIORITY_50 = [
     # eigenvector weights, scripts/train_encoder.py)
     "trained_model_dense_topk", "trained_model_hybrid",
     # CODE-CHANGED this round: max_bucket keys array → joined string
-    # (the one r4 driver failure), z-score → sample stddev
+    # (the one r4 driver failure), z-score → sample stddev, simhash
+    # hamming rewrite + vectorized media fingerprint kernels
     "dsl_agg_max_bucket", "n3_zscore_fusion",
+    "mm_phash_neardup", "mm_audio_neardup",
+    "dedup_simhash", "dedup_simhash_neardup",
     # never-graded fill, in standing order (round-5 spillover)
     "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
     "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
@@ -5395,8 +5398,7 @@ PRIORITY_50 = [
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
-    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg", "pinned_query",
+    "simple_query_string",
     # ===== ROUND-4 WINDOW (graded r4; rotates behind the r5 window) =====
     # NEW this round: N-scaled dedup flagships, real-checkpoint model
     # path, semantic-highlight model tier
