@@ -2579,6 +2579,19 @@ class Engine:
                 "question": body["query_text"],
                 "dsl_query": translated,
             }
+            if "query" in translated:
+                # full search-body translation — the reference agent
+                # rewrites the whole SearchSourceBuilder (query + size/
+                # from/pipeline), not just the query clause
+                # (`processor/AgenticQueryTranslatorProcessor.java:97-150`)
+                pl = dict(pipeline or {})
+                pl.update(translated.get("pipeline") or {})
+                return self.search(
+                    translated["query"],
+                    pl or None,
+                    int(translated.get("size", size)),
+                    int(translated.get("from", from_)),
+                )
             return self.search(translated, pipeline, size, from_)
 
         if qtype == "bool":
@@ -3055,9 +3068,19 @@ class Engine:
             # single-leaf query: size the fetch window as from_+size so
             # pagination offsets into a complete, deterministic prefix
             fetch = max(from_ + size, mmr_cand or 0)
+            if pipeline.get("collapse"):
+                # deeper pool so every surviving group has a candidate
+                fetch = max(fetch, 50)
             result = self._compile_sub(query, fetch).limit(fetch)
             if from_:
                 result = result.offset(from_)
+            if pipeline.get("collapse"):
+                result = FU.collapse(
+                    result,
+                    self.documents(),
+                    pipeline["collapse"]["field"],
+                    k=size,
+                )
             result = result.limit(max(size, mmr_cand or 0))
 
         if mmr:
@@ -3395,7 +3418,12 @@ no prose. Allowed top-level keys (pick exactly one): neural \
 bool ({"must": [...], "must_not": [...], "filter": [...]}), dis_max \
 ({"queries": [...]}), boosting ({"positive": {...}, "negative": {...}, \
 "negative_boost": float}), hybrid ({"queries": [...]}). Sub-queries use \
-the same shapes."""
+the same shapes. To also set result count, pagination, grouping, or \
+fusion, reply instead with a full search body: {"query": <one of the \
+above>, "size": int, "from": int, "pipeline": {"collapse": {"field": \
+str}, "normalization": {"technique": "min_max"|"l2"|"z_score"|"rrf"}, \
+"combination": {"technique": "arithmetic_mean"|"geometric_mean"|\
+"harmonic_mean"}}} — every body key except "query" is optional."""
 
 
 def llm_agent_translate(
@@ -3476,69 +3504,118 @@ def _agentic_translate(question: str) -> dict:
       "starting with"/"autocomplete" → match_phrase_prefix
       "without"/"excluding"/"not" → bool: match(must) + LIKE must_not
       otherwise                   → hybrid(neural + match)
+
+    Search-body modifiers compose with any core rule above; when one is
+    present the translation is a FULL body {"query", "size", "from",
+    "pipeline"} (the reference agent rewrites the whole
+    SearchSourceBuilder, not just the query clause):
+      "top/best/first N"          → size: N
+      "second/next page"          → from: one page (= size)
+      "one per <field>"           → pipeline.collapse {field}
+      "with rrf"/"reciprocal rank"→ hybrid + pipeline.normalization rrf
     """
+    import re as _re
+
     q = question.lower()
-    terms = [t for t in q.replace("?", " ").split() if len(t) > 2]
-    stop = {"similar", "like", "exact", "keyword", "expansion", "sparse",
-            "without", "excluding", "not", "the", "and", "for", "with",
-            "either", "downrank", "demote", "starting", "autocomplete"}
-    core = [t for t in terms if t not in stop]
-    if "similar" in q or "like" in q:
-        return {"neural": {"query_text": " ".join(core)}}
-    if "exact" in q or "keyword" in q:
-        return {"match": {"field": "text", "query": " ".join(core)}}
-    if "expansion" in q or "sparse" in q:
-        return {"neural_sparse": {"query_text": " ".join(core)}}
-    words = q.split()
-    if "either" in words and "or" in words:
-        # "either X or Y": best single leg wins (dis-max), slight
-        # credit for matching both
-        oi = words.index("or")
-        left = [t for t in words[:oi] if len(t) > 2 and t not in stop]
-        right = [t for t in words[oi + 1 :] if len(t) > 2 and t not in stop]
-        return {"dis_max": {
-            "queries": [
-                {"match": {"field": "text", "query": " ".join(left)}},
-                {"match": {"field": "text", "query": " ".join(right)}},
-            ],
-            "tie_breaker": 0.3,
-        }}
-    for marker in ("downrank", "demote"):
-        if marker in words:
-            pos = words.index(marker)
-            demoted = [t for t in words[pos + 1 :] if len(t) > 2][:1]
-            wanted = [t for t in core if t not in demoted]
-            spec = {"boosting": {
-                "positive": {"match": {"field": "text", "query": " ".join(wanted)}},
-                "negative_boost": 0.5,
-            }}
-            if demoted:
-                spec["boosting"]["negative"] = f"text LIKE '%{demoted[0]}%'"
-            else:
-                spec["boosting"]["negative"] = "FALSE"
-            return spec
-    if "autocomplete" in words or "starting with" in q:
-        return {"match_phrase_prefix": {"field": "text", "query": " ".join(core)}}
-    for marker in ("without", "excluding", "not"):
-        if marker in q.split():
-            pos = q.split().index(marker)
-            excluded = [t for t in q.split()[pos + 1 :] if len(t) > 2][:1]
-            wanted = [t for t in core if t not in excluded]
-            spec: dict = {
-                "bool": {"must": {"match": {"field": "text",
-                                            "query": " ".join(wanted)}}}
-            }
-            if excluded:
-                spec["bool"]["must_not"] = f"text LIKE '%{excluded[0]}%'"
-            return spec
-    return {
-        "hybrid": {
-            "queries": [
-                {"neural": {"query_text": " ".join(core)}},
-                {"match": {"field": "text", "query": " ".join(core)}},
-            ]
+    body: dict = {}
+    m = _re.search(r"\b(?:top|best|first)\s+(\d+)\b", q)
+    if m:
+        body["size"] = int(m.group(1))
+        q = q.replace(m.group(0), " ")
+    if _re.search(r"\b(?:second|next)\s+page\b", q):
+        body["from"] = body.get("size", DEFAULT_K)
+        q = _re.sub(r"\b(?:second|next)\s+page(?:\s+of)?\b", " ", q)
+    m = _re.search(r"\bone per (\w+)\b", q)
+    if m:
+        body.setdefault("pipeline", {})["collapse"] = {"field": m.group(1)}
+        q = q.replace(m.group(0), " ")
+    want_rrf = bool(_re.search(r"\bwith rrf\b|\breciprocal rank\b", q))
+    if want_rrf:
+        body.setdefault("pipeline", {})["normalization"] = {
+            "technique": "rrf"
         }
-    }
+        q = _re.sub(r"\bwith rrf\b|\breciprocal rank fusion\b|\breciprocal rank\b", " ", q)
+    def _core() -> dict:
+        terms = [t for t in q.replace("?", " ").split() if len(t) > 2]
+        stop = {"similar", "like", "exact", "keyword", "expansion", "sparse",
+                "without", "excluding", "not", "the", "and", "for", "with",
+                "either", "downrank", "demote", "starting", "autocomplete"}
+        core = [t for t in terms if t not in stop]
+        if "similar" in q or "like" in q:
+            return {"neural": {"query_text": " ".join(core)}}
+        if "exact" in q or "keyword" in q:
+            return {"match": {"field": "text", "query": " ".join(core)}}
+        if "expansion" in q or "sparse" in q:
+            return {"neural_sparse": {"query_text": " ".join(core)}}
+        words = q.split()
+        if "either" in words and "or" in words:
+            # "either X or Y": best single leg wins (dis-max), slight
+            # credit for matching both
+            oi = words.index("or")
+            left = [t for t in words[:oi] if len(t) > 2 and t not in stop]
+            right = [t for t in words[oi + 1 :] if len(t) > 2 and t not in stop]
+            return {"dis_max": {
+                "queries": [
+                    {"match": {"field": "text", "query": " ".join(left)}},
+                    {"match": {"field": "text", "query": " ".join(right)}},
+                ],
+                "tie_breaker": 0.3,
+            }}
+        for marker in ("downrank", "demote"):
+            if marker in words:
+                pos = words.index(marker)
+                demoted = [t for t in words[pos + 1 :] if len(t) > 2][:1]
+                wanted = [t for t in core if t not in demoted]
+                spec = {"boosting": {
+                    "positive": {"match": {"field": "text", "query": " ".join(wanted)}},
+                    "negative_boost": 0.5,
+                }}
+                if demoted:
+                    spec["boosting"]["negative"] = f"text LIKE '%{demoted[0]}%'"
+                else:
+                    spec["boosting"]["negative"] = "FALSE"
+                return spec
+        if "autocomplete" in words or "starting with" in q:
+            return {"match_phrase_prefix": {"field": "text", "query": " ".join(core)}}
+        for marker in ("without", "excluding", "not"):
+            if marker in q.split():
+                pos = q.split().index(marker)
+                excluded = [t for t in q.split()[pos + 1 :] if len(t) > 2][:1]
+                wanted = [t for t in core if t not in excluded]
+                spec: dict = {
+                    "bool": {"must": {"match": {"field": "text",
+                                                "query": " ".join(wanted)}}}
+                }
+                if excluded:
+                    spec["bool"]["must_not"] = f"text LIKE '%{excluded[0]}%'"
+                return spec
+        return {
+            "hybrid": {
+                "queries": [
+                    {"neural": {"query_text": " ".join(core)}},
+                    {"match": {"field": "text", "query": " ".join(core)}},
+                ]
+            }
+        }
+
+    if want_rrf:
+        # rrf is a fusion directive: force the hybrid two-leg shape so
+        # the pipeline's rank-based normalization has legs to fuse
+        core = [
+            t
+            for t in q.replace("?", " ").split()
+            if len(t) > 2 and t not in ("and", "the", "combine", "fusion")
+        ]
+        body["query"] = {"hybrid": {"queries": [
+            {"neural": {"query_text": " ".join(core)}},
+            {"match": {"field": "text", "query": " ".join(core)}},
+        ]}}
+        return body
+    spec = _core()
+    if body:
+        body["query"] = spec
+        return body
+    return spec
 
 
 def cross_index_search(

@@ -148,6 +148,98 @@ def test_agentic_golden_translations():
     }
 
 
+def test_agentic_golden_bodies():
+    """Golden FULL-BODY translations: search-body modifiers (size /
+    pagination / collapse / fusion) compose with every core rule —
+    the reference agent rewrites the whole SearchSourceBuilder
+    (`processor/AgenticQueryTranslatorProcessor.java:97-150`), so the
+    translator contract covers body keys, not just the query clause."""
+    hybrid_joins = {"hybrid": {"queries": [
+        {"neural": {"query_text": "spark joins"}},
+        {"match": {"field": "text", "query": "spark joins"}},
+    ]}}
+    # size modifier over the default-hybrid core
+    assert _agentic_translate("top 5 spark joins") == {
+        "size": 5, "query": hybrid_joins,
+    }
+    # pagination: one page deep (= requested or default size)
+    assert _agentic_translate("second page of spark joins") == {
+        "from": 10, "query": hybrid_joins,
+    }
+    assert _agentic_translate("top 3 next page spark joins") == {
+        "size": 3, "from": 3, "query": hybrid_joins,
+    }
+    # collapse composes with size
+    assert _agentic_translate("top 5 spark joins one per source") == {
+        "size": 5,
+        "pipeline": {"collapse": {"field": "source"}},
+        "query": hybrid_joins,
+    }
+    # collapse composes with a lexical core rule
+    assert _agentic_translate("exact keyword search for spark one per lang") == {
+        "pipeline": {"collapse": {"field": "lang"}},
+        "query": {"match": {"field": "text", "query": "search spark"}},
+    }
+    # collapse composes with a semantic core rule
+    assert _agentic_translate("documents similar to merge sort one per source") == {
+        "pipeline": {"collapse": {"field": "source"}},
+        "query": {"neural": {"query_text": "documents merge sort"}},
+    }
+    # size composes with the semantic rule
+    assert _agentic_translate("top 3 documents similar to merge sort") == {
+        "size": 3, "query": {"neural": {"query_text": "documents merge sort"}},
+    }
+    # rrf forces the hybrid fusion shape + rank-based normalization
+    assert _agentic_translate("spark windows with rrf") == {
+        "pipeline": {"normalization": {"technique": "rrf"}},
+        "query": {"hybrid": {"queries": [
+            {"neural": {"query_text": "spark windows"}},
+            {"match": {"field": "text", "query": "spark windows"}},
+        ]}},
+    }
+    # rrf + size + collapse all at once
+    assert _agentic_translate("top 4 spark windows with rrf one per lang") == {
+        "size": 4,
+        "pipeline": {
+            "collapse": {"field": "lang"},
+            "normalization": {"technique": "rrf"},
+        },
+        "query": {"hybrid": {"queries": [
+            {"neural": {"query_text": "spark windows"}},
+            {"match": {"field": "text", "query": "spark windows"}},
+        ]}},
+    }
+    # size modifier composes with the exclusion (bool) rule
+    assert _agentic_translate("top 6 spark streaming without kafka") == {
+        "size": 6,
+        "query": {"bool": {
+            "must": {"match": {"field": "text", "query": "spark streaming"}},
+            "must_not": "text LIKE '%kafka%'",
+        }},
+    }
+
+
+def test_agentic_bodies_execute(engine):
+    """Full-body translations run end-to-end: size caps rows, collapse
+    yields one row per group, pagination pages don't overlap."""
+    top5 = engine.search(
+        {"agentic": {"query_text": "top 5 spark joins"}}
+    ).collect()
+    assert len(top5) == 5
+    collapsed = engine.search(
+        {"agentic": {"query_text": "exact keyword search for spark one per lang"}}
+    ).collect()
+    langs = len(collapsed)
+    assert 1 <= langs <= 10
+    page1 = engine.search(
+        {"agentic": {"query_text": "top 3 spark joins"}}
+    ).collect()
+    page2 = engine.search(
+        {"agentic": {"query_text": "top 3 next page spark joins"}}
+    ).collect()
+    assert {r["doc_id"] for r in page1}.isdisjoint({r["doc_id"] for r in page2})
+
+
 def test_agentic_compound_rules_execute(engine):
     """The new compound translations run end-to-end through search()."""
     for q in ("either spark or merge", "spark joins downrank hash"):
