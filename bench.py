@@ -160,6 +160,9 @@ HEADLINE = [
     "split_leakage_safe",
     "mm_phash_neardup",
     "mm_audio_neardup",
+    # round-5 additions: the TRAINED (LSA eigenvector) encoder path
+    "trained_model_dense_topk",
+    "trained_model_hybrid",
 ]
 
 

@@ -7,8 +7,12 @@ This flushes accidental driver-state assumptions a single-process
 master cannot catch: closures capturing driver-only state, missing
 broadcasts, per-JVM caches treated as global, Python worker imports.
 
-Usage:  python scripts/local_cluster_check.py [sf_dir]
-Appends a summary line suitable for SCALING.md.
+Usage:  python scripts/local_cluster_check.py [sf_dir] [spec] [--window]
+With --window the suite is the driver's CURRENT 50-query grading
+window (the first 50 names of registry PRIORITY_50 order) instead of
+the representative subset — the round exit gate, so every graded query
+carries two-JVM evidence. Appends a summary line suitable for
+SCALING.md.
 """
 
 from __future__ import annotations
@@ -59,12 +63,14 @@ SUBSET = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    use_window = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # optional 2nd arg: cluster spec "workers,cores,mem_mb" — e.g.
     # "2,4,1024" runs the same suite under 1 GiB executor heaps, the
     # SPILL-PRESSURE configuration (shuffle-heavy queries must spill
     # instead of OOM and still hash-match)
-    spec = sys.argv[2] if len(sys.argv) > 2 else "2,16,4096"
+    spec = args[1] if len(args) > 1 else "2,16,4096"
     spark = (
         SparkSession.builder.appName("local-cluster-check")
         .master(f"local-cluster[{spec}]")
@@ -96,9 +102,13 @@ def main() -> int:
     # the grid variant shares the scaled plane formula (and oracle)
     dynamic_oracles["emb_neardup_grid"] = dynamic_oracles["emb_neardup_scaled"]
 
+    suite = SUBSET
+    if use_window:
+        suite = list(registry._ordered(registry.SPARK_QUERIES).keys())[:50]
+
     t0 = time.time()
     fails = []
-    for name in SUBSET:
+    for name in suite:
         fn = registry.SPARK_QUERIES[name]
         sql = dynamic_oracles.get(name) or registry.ORACLES.get(name)
         try:
@@ -115,7 +125,7 @@ def main() -> int:
     dt = time.time() - t0
     print(
         f"local-cluster[{spec}] @ {sf_dir}: "
-        f"{len(SUBSET) - len(fails)}/{len(SUBSET)} oracle-matched in {dt:.1f}s"
+        f"{len(suite) - len(fails)}/{len(suite)} oracle-matched in {dt:.1f}s"
         + (f"; FAILURES: {fails}" if fails else "")
     )
     spark.stop()
