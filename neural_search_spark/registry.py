@@ -5373,8 +5373,10 @@ for _name, _fn in [
 PRIORITY_50 = [
     # ===== ROUND-5 WINDOW (first 50) =====
     # NEW this round: trained LSA encoder end-to-end (learned
-    # eigenvector weights, scripts/train_encoder.py)
+    # eigenvector weights, scripts/train_encoder.py), CCNet-style
+    # perplexity bucketing
     "trained_model_dense_topk", "trained_model_hybrid",
+    "ccnet_ppl_buckets",
     # CODE-CHANGED this round: max_bucket keys array → joined string
     # (the one r4 driver failure), z-score → sample stddev, simhash
     # hamming rewrite + vectorized media fingerprint kernels
@@ -5398,7 +5400,6 @@ PRIORITY_50 = [
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
     "geo_distance", "geo_bounding_box", "geotile_grid",
-    "simple_query_string",
     # ===== ROUND-4 WINDOW (graded r4; rotates behind the r5 window) =====
     # NEW this round: N-scaled dedup flagships, real-checkpoint model
     # path, semantic-highlight model tier
@@ -6084,6 +6085,51 @@ ORDER BY doc_id
 
 SPARK_QUERIES["text_bigram_nll"] = q_text_bigram_nll
 
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    bigram-LM NLL → per-language head/middle/tail thirds (ntile over
+    the rounded score with doc_id tie-break, so the split is
+    deterministic cross-engine). The canonical curation step after the
+    perplexity gate: 'head' is the keep set, 'tail' the discard set.
+    Plan shape: the per-doc NLL frame (see q_text_bigram_nll — linear,
+    map-side-combinable aggs) joins lang from the doc scan, then ONE
+    window per lang partition; no extra corpus pass."""
+    from pyspark.sql import Window
+
+    nll = q_text_bigram_nll(spark, sf_dir)
+    d = catalog.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("bigram_nll", "doc_id")
+    return (
+        nll.join(d, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .select("doc_id", "lang", "bigram_nll", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_CCNET_NLL_CTES = ORACLES["text_bigram_nll"].split("SELECT d.doc_id")[0]
+
+ORACLES["ccnet_ppl_buckets"] = f"""
+{_CCNET_NLL_CTES}
+, nll AS (
+  SELECT d.doc_id,
+         round(sum(d.tf * -ln((c.c_xy::DOUBLE + {BIGRAM_NLL_K}) /
+                              (x.c_x::DOUBLE + {BIGRAM_NLL_K} * v.v))) / sum(d.tf),
+               4) AS bigram_nll
+  FROM doc_bg d
+  JOIN c_xy c USING (w1, w2)
+  JOIN c_x x USING (w1)
+  CROSS JOIN v
+  GROUP BY d.doc_id
+)
+SELECT n.doc_id, dd.lang, n.bigram_nll,
+       ntile(3) OVER (PARTITION BY dd.lang
+                      ORDER BY n.bigram_nll, n.doc_id) AS bucket
+FROM nll n JOIN documents dd ON dd.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+SPARK_QUERIES["ccnet_ppl_buckets"] = q_ccnet_ppl_buckets
 
 
 # --- next-word completion (search-as-you-type) -----------------------------
