@@ -111,7 +111,9 @@ def test_max_bucket_returns_all_tied_keys(spark, sf_dir):
     ).collect()
     assert len(out) == 1
     assert out[0]["value"] == 2.0
-    assert out[0]["keys"] == ["a", "b"]  # both attain the max, sorted
+    # both attain the max, sorted — emitted as a joined STRING so the
+    # final schema stays scalar-typed (harness canonicalizer contract)
+    assert out[0]["keys"] == "a,b"
 
 
 def test_adjacency_matrix_drops_empty_intersections(spark, sf_dir):
