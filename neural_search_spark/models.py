@@ -249,9 +249,14 @@ def trained_checkpoint_loader(npz_path: str) -> Callable[[], object]:
 
     npz holds `vocab` (V terms incl. space-joined bigrams), `idf` (V,)
     and `W` (V×d eigenvectors). encode: tokens → unigram+bigram counts
-    → in-vocab tf·idf → x @ W → L2 normalize. Symmetric encoder
-    (content_type accepted per the interface; LSA has no QUERY/PASSAGE
-    asymmetry). Deterministic, so the DuckDB oracle can replay it."""
+    → in-vocab weighted projection → x @ W → L2 normalize.
+    QUERY/PASSAGE asymmetry is the classic IR weighting split:
+    PASSAGE side uses tf·idf (term repetition in a document is
+    signal), QUERY side uses binary-presence·idf (repeating a word in
+    a short query should not square its weight) — the same contract
+    slot the reference's asymmetric prompts fill
+    (`NeuralQueryBuilder.java` QUERY vs `TextEmbeddingProcessor`
+    PASSAGE). Deterministic, so the DuckDB oracle can replay it."""
 
     def _load() -> object:
         z = np.load(npz_path, allow_pickle=True)
@@ -270,6 +275,8 @@ def trained_checkpoint_loader(npz_path: str) -> Callable[[], object]:
                         j = vocab.get(term)
                         if j is not None:
                             X[i, j] += 1.0
+                if content_type == "QUERY":
+                    X = np.minimum(X, 1.0)  # binary presence weighting
                 Y = (X * idf) @ W
                 n = np.linalg.norm(Y, axis=1, keepdims=True)
                 return Y / np.where(n == 0.0, 1.0, n)

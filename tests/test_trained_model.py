@@ -48,6 +48,18 @@ def test_encode_deterministic_unit_norm():
     assert norms[2] == 0.0  # all-OOV/empty text stays a zero vector
 
 
+def test_query_passage_asymmetry():
+    """QUERY side uses binary-presence·idf, PASSAGE side tf·idf — the
+    classic IR weighting split: repeating a term changes the passage
+    embedding but not the query embedding."""
+    m = _encoder()
+    rep, single = "spark spark spark join", "spark join"
+    q = m.encode([rep, single], "QUERY")
+    np.testing.assert_allclose(q[0], q[1], atol=1e-12)
+    p = m.encode([rep, single], "PASSAGE")
+    assert np.abs(p[0] - p[1]).max() > 1e-6
+
+
 def test_embeddings_reflect_corpus_semantics():
     """Learned weights place term-overlapping texts closer than
     disjoint ones — a property hash buckets only give by collision."""
