@@ -5383,6 +5383,7 @@ PRIORITY_50 = [
     "dsl_agg_max_bucket", "n3_zscore_fusion",
     "mm_phash_neardup", "mm_audio_neardup",
     "dedup_simhash", "dedup_simhash_neardup",
+    "scroll_page2", "scroll_sliced",
     # never-graded fill, in standing order (round-5 spillover)
     "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
     "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
@@ -5399,7 +5400,7 @@ PRIORITY_50 = [
     "rank_feature_saturation", "dsl_agg_matrix_stats",
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
     "dsl_agg_filters", "dsl_agg_rare_terms",
-    "geo_distance", "geo_bounding_box", "geotile_grid",
+    "geo_distance",
     # ===== ROUND-4 WINDOW (graded r4; rotates behind the r5 window) =====
     # NEW this round: N-scaled dedup flagships, real-checkpoint model
     # path, semantic-highlight model tier
@@ -9686,7 +9687,12 @@ def q_scroll_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _agg_engine(spark, sf_dir)
     pages = eng.scroll({"match": {"field": "text", "query": BM25_QUERY}}, size=K)
     next(pages)
-    return next(pages).select("doc_id", F.round("score", 4).alias("score"))
+    out = next(pages).select("doc_id", F.round("score", 4).alias("score"))
+    # yielded pages are materialized rows — close the scroll context so
+    # its persisted ranking unpersists NOW, not at GC (abandoned
+    # generators were leaking one pinned frame per call)
+    pages.close()
+    return out
 
 
 ORACLES["scroll_page2"] = ORACLES["bm25_match"].replace(
@@ -10956,6 +10962,7 @@ def q_scroll_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=K, slice_spec={"id": 0, "max": SLICE_MAX},
     )
     page = next(gen)
+    gen.close()  # release the persisted scroll context immediately
     return page.select("doc_id", F.round("score", 4).alias("score"))
 
 
