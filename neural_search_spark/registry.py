@@ -6213,10 +6213,18 @@ def _artifact_bundle(spark: SparkSession, sf_dir: str):
 
     if sf_dir in _BUNDLE_CACHE:
         return _BUNDLE_CACHE[sf_dir]
+    # store dir keyed by basename PLUS a hash of the full corpus path:
+    # two distinct corpora that happen to share a basename (e.g. a
+    # test fixture named sf0.001) must never collide on — and rmtree —
+    # each other's artifacts
+    import hashlib as _hashlib
+
+    _norm = _os.path.abspath(_os.path.normpath(sf_dir))
+    _tag = _hashlib.md5(_norm.encode()).hexdigest()[:8]
     root = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), _os.pardir,
         "spark-warehouse", "index_store", _INDEX_STORE_FORMAT,
-        _os.path.basename(_os.path.normpath(sf_dir)),
+        f"{_os.path.basename(_norm)}-{_tag}",
     )
     root = _os.path.normpath(root)
     try:

@@ -16,12 +16,16 @@ from neural_search_spark import registry as R
 
 
 def _store_root(sf_dir: str) -> str:
+    import hashlib
+
     import neural_search_spark
 
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = hashlib.md5(norm.encode()).hexdigest()[:8]
     return os.path.join(
         os.path.dirname(os.path.dirname(neural_search_spark.__file__)),
         "spark-warehouse", "index_store", R._INDEX_STORE_FORMAT,
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(norm)}-{tag}",
     )
 
 
