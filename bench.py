@@ -163,6 +163,12 @@ HEADLINE = [
     # round-5 additions: the TRAINED (LSA eigenvector) encoder path
     "trained_model_dense_topk",
     "trained_model_hybrid",
+    # round-5 additions: Gopher quality gate + repetition fractions,
+    # soft-dedup weighting
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    "ccnet_ppl_buckets",
+    "dedup_soft_weights",
 ]
 
 

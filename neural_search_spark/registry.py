@@ -5377,6 +5377,9 @@ PRIORITY_50 = [
     # perplexity bucketing
     "trained_model_dense_topk", "trained_model_hybrid",
     "ccnet_ppl_buckets",
+    # NEW this round: Gopher quality-rule gate + repetition-fraction
+    # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting
+    "text_gopher_quality", "text_gopher_repetition", "dedup_soft_weights",
     # CODE-CHANGED this round: max_bucket keys array → joined string
     # (the one r4 driver failure), z-score → sample stddev, simhash
     # hamming rewrite + vectorized media fingerprint kernels
@@ -12179,6 +12182,299 @@ SELECT a, b, hamming FROM h WHERE hamming <= {MM_PHASH_MAX_H}
 ORDER BY a, b
 """
 SPARK_QUERIES["mm_audio_neardup"] = q_mm_audio_neardup
+
+
+# ---------------------------------------------------------------------------
+# Round-5: Gopher document-quality rules (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A1.1) — the standard pre-training quality gate, as two
+# contract queries: structural rule columns + keep flags, and the
+# repetition-fraction family (top n-gram / duplicate n-gram character
+# fractions for n = 2..10). Both stay entirely in whole-stage codegen:
+# the quality pass is one projection over the scan; the repetition
+# pass is one explode frame feeding two map-combinable aggregates.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+# repetition ceilings per n (Gopher Table A1): top n-gram char fraction
+# for n = 2..4, duplicate n-gram char fraction for n = 5..10
+GOPHER_TOP_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_quality_frame(docs: DataFrame) -> DataFrame:
+    """Gopher structural quality rules as ONE codegen projection over
+    the corpus scan (no shuffle at all): word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ellipsis), alphabetic-
+    word fraction, and the required-stopword count. Each rule is its
+    own boolean column; keep_core ANDs the structural rules and
+    keep_gopher additionally requires >=2 stopword hits (emitted
+    separately because the synthetic corpus carries only one Gopher
+    stopword in-vocab, so the combined flag is near-constant there
+    while keep_core discriminates on the 50-word floor)."""
+    base = docs.select(
+        "doc_id", "text", S.tokens(F.lower(F.col("text"))).alias("l")
+    )
+    l = F.col("l")
+    nw = F.size(l).cast("long")
+    wchars = F.aggregate(
+        F.transform(l, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_symbols = (
+        F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0))
+    )
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(l, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    m = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.when(nw > 0, F.round(wchars.cast("double") / nw, 4))
+        .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(
+            nw > 0,
+            F.round(
+                F.size(F.filter(l, lambda t: t.rlike("[a-z]"))).cast("double")
+                / nw, 4,
+            ),
+        ).otherwise(F.lit(0.0)).alias("alpha_frac"),
+        F.when(nw > 0, F.round(n_symbols.cast("double") / nw, 4))
+        .otherwise(F.lit(0.0)).alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    rule_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    rule_wlen = (F.col("mean_word_len") >= GOPHER_MIN_WLEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_WLEN
+    )
+    rule_symbol = F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO
+    rule_alpha = F.col("alpha_frac") > GOPHER_MIN_ALPHA_FRAC
+    rule_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
+        "stop_hits",
+        rule_words.alias("rule_words"),
+        rule_wlen.alias("rule_wlen"),
+        rule_symbol.alias("rule_symbol"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stop.alias("rule_stop"),
+        (rule_words & rule_wlen & rule_symbol & rule_alpha).alias("keep_core"),
+        (rule_words & rule_wlen & rule_symbol & rule_alpha & rule_stop).alias(
+            "keep_gopher"
+        ),
+    ).orderBy("doc_id")
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_frame(catalog.table(spark, sf_dir, "documents"))
+
+
+_SQL_STOP_HITS = " + ".join(
+    f"list_contains(l, '{sw}')::INT" for sw in GOPHER_STOPWORDS
+)
+ORACLES["text_gopher_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS_LOWER} AS l FROM documents),
+m AS (
+  SELECT doc_id,
+    len(l)::BIGINT AS n_words,
+    CASE WHEN len(l) > 0 THEN round(
+      list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE / len(l), 4)
+      ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(l) > 0 THEN round(
+      len(list_filter(l, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(l), 4)
+      ELSE 0.0 END AS alpha_frac,
+    CASE WHEN len(l) > 0 THEN round(
+      (length(text) - length(replace(text, '#', ''))
+       + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / len(l), 4)
+      ELSE 0.0 END AS symbol_ratio,
+    ({_SQL_STOP_HITS}) AS stop_hits
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS rule_words,
+  (mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN})
+    AS rule_wlen,
+  (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol,
+  (alpha_frac > {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+  (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS rule_stop,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+   AND mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN}
+   AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+   AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}) AS keep_core,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+   AND mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN}
+   AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+   AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep_gopher
+FROM m ORDER BY doc_id
+"""
+SPARK_QUERIES["text_gopher_quality"] = q_text_gopher_quality
+
+
+def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
+    """Gopher repetition-fraction family: for n = 2..4 the fraction of
+    document characters covered by the single most-frequent n-gram
+    (occurrences x gram chars / doc chars), for n = 5..10 the fraction
+    covered by ALL n-grams occurring more than once. Char coverage is
+    the standard occurrences-times-length approximation (overlapping
+    occurrences are counted per occurrence, not deduplicated by
+    position — the common open implementation of Gopher Table A1, and
+    the oracle replays the identical formula).
+
+    Plan shape: one scan explodes every (n, gram) window (9 gram
+    families ride ONE explode of an array-of-structs — no 9x rescan),
+    then two map-side-combinable aggregates keyed on doc_id; the
+    second reuses the first's partitioning, so one shuffle total."""
+    fams = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                T.word_shingles(F.col("text"), n).alias("gs"),
+            )
+            for n in range(2, 11)
+        ]
+    )
+    grams = (
+        docs.select("doc_id", F.length("text").alias("tc"), F.explode(fams).alias("e"))
+        .select("doc_id", "tc", F.col("e.n").alias("n"), F.explode("e.gs").alias("g"))
+    )
+    per_gram = grams.groupBy("doc_id", "tc", "n", "g").agg(F.count("*").alias("c"))
+    covered = F.col("c") * F.length("g")
+    per_n = per_gram.groupBy("doc_id", "tc", "n").agg(
+        F.max(covered).alias("top_chars"),
+        F.sum(F.when(F.col("c") >= 2, covered).otherwise(F.lit(0))).alias("dup_chars"),
+    )
+    per_doc = per_n.groupBy("doc_id", "tc").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"t{n}")
+            for n in GOPHER_TOP_FRAC_MAX
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"d{n}")
+            for n in GOPHER_DUP_FRAC_MAX
+        ],
+    )
+    # LEFT join back onto the corpus so docs too short to produce any
+    # 2-gram still appear (all fractions 0)
+    base = docs.select("doc_id", F.length("text").alias("tc"))
+    joined = base.join(per_doc.drop("tc"), "doc_id", "left")
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("tc") > 0,
+        F.round(F.coalesce(c, F.lit(0)).cast("double") / F.col("tc"), 4),
+    ).otherwise(F.lit(0.0))
+    cols = [frac(F.col(f"t{n}")).alias(f"top{n}_frac") for n in GOPHER_TOP_FRAC_MAX]
+    cols += [frac(F.col(f"d{n}")).alias(f"dup{n}_frac") for n in GOPHER_DUP_FRAC_MAX]
+    out = joined.select("doc_id", *cols)
+    keep = None
+    for n, mx in GOPHER_TOP_FRAC_MAX.items():
+        r = F.col(f"top{n}_frac") < mx
+        keep = r if keep is None else keep & r
+    for n, mx in GOPHER_DUP_FRAC_MAX.items():
+        keep = keep & (F.col(f"dup{n}_frac") < mx)
+    return out.withColumn("rep_keep", keep).orderBy("doc_id")
+
+
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition_frame(catalog.table(spark, sf_dir, "documents"))
+
+
+_SQL_GREP_PIVOT_T = ",\n       ".join(
+    f"max(CASE WHEN n = {n} THEN top_chars END) AS t{n}" for n in GOPHER_TOP_FRAC_MAX
+)
+_SQL_GREP_PIVOT_D = ",\n       ".join(
+    f"max(CASE WHEN n = {n} THEN dup_chars END) AS d{n}" for n in GOPHER_DUP_FRAC_MAX
+)
+_SQL_GREP_FRACS = ",\n  ".join(
+    [
+        f"CASE WHEN d.tc > 0 THEN round(coalesce(t{n}, 0)::DOUBLE / d.tc, 4) "
+        f"ELSE 0.0 END AS top{n}_frac"
+        for n in GOPHER_TOP_FRAC_MAX
+    ]
+    + [
+        f"CASE WHEN d.tc > 0 THEN round(coalesce(d{n}, 0)::DOUBLE / d.tc, 4) "
+        f"ELSE 0.0 END AS dup{n}_frac"
+        for n in GOPHER_DUP_FRAC_MAX
+    ]
+)
+_SQL_GREP_KEEP = " AND ".join(
+    [f"top{n}_frac < {mx}" for n, mx in GOPHER_TOP_FRAC_MAX.items()]
+    + [f"dup{n}_frac < {mx}" for n, mx in GOPHER_DUP_FRAC_MAX.items()]
+)
+ORACLES["text_gopher_repetition"] = f"""
+WITH t AS (SELECT doc_id, length(text) AS tc, {_SQL_TOKS_LOWER} AS l FROM documents),
+ns AS (SELECT unnest(range(2, 11)) AS n),
+grams AS (
+  SELECT t.doc_id, t.tc, ns.n,
+         array_to_string(list_slice(t.l, u.i, u.i + ns.n - 1), ' ') AS g
+  FROM t, ns, unnest(range(1, len(t.l) - ns.n + 2)) u(i)
+),
+pg AS (SELECT doc_id, tc, n, g, count(*) AS c FROM grams GROUP BY ALL),
+pn AS (
+  SELECT doc_id, tc, n,
+         max(c * length(g)) AS top_chars,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM pg GROUP BY ALL),
+pd AS (
+  SELECT doc_id,
+       {_SQL_GREP_PIVOT_T},
+       {_SQL_GREP_PIVOT_D}
+  FROM pn GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id,
+  {_SQL_GREP_FRACS}
+  FROM (SELECT doc_id, length(text) AS tc FROM documents) d
+  LEFT JOIN pd ON d.doc_id = pd.doc_id)
+SELECT *, ({_SQL_GREP_KEEP}) AS rep_keep FROM f ORDER BY doc_id
+"""
+SPARK_QUERIES["text_gopher_repetition"] = q_text_gopher_repetition
+
+
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup: down-WEIGHT duplicates instead of
+    dropping them — He et al. 2024): every doc in a verified near-dup
+    clique gets sampling weight 1/clique_size so the clique contributes
+    one document's worth of gradient; singletons keep weight 1.0.
+    Reuses the MinHash-LSH + connected-components cluster frame
+    (q_dedup_clusters); the weights table is one broadcast-sized left
+    join onto the corpus — cliques are a tiny fraction of docs."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    weights = cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "sz"
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(weights), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)).cast("double"), 4
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["dedup_soft_weights"] = f"""
+{_CC_CTES}
+SELECT d.doc_id,
+       coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+       round(1.0 / coalesce(s.cluster_size, 1), 4) AS weight
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN szs s ON s.component = c.component
+ORDER BY d.doc_id
+"""
+SPARK_QUERIES["dedup_soft_weights"] = q_dedup_soft_weights
 
 
 # apply the contract ordering ONCE, after every registration — the
