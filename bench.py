@@ -169,6 +169,7 @@ HEADLINE = [
     "text_gopher_repetition",
     "ccnet_ppl_buckets",
     "dedup_soft_weights",
+    "mix_temperature",
 ]
 
 

@@ -80,21 +80,27 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+def shingles_from(toks: Column, n: int) -> Column:
+    """Array of n-word shingle strings from an ALREADY-BOUND token
+    array (a lambda variable or materialized column). Callers that
+    build several shingle sizes from one text should bind the token
+    array once (let) and call this per n — passing a raw tokens()
+    expression here re-runs the tokenizer per shingle."""
+    return F.when(
+        # guard: sequence(1, 0) would generate a DESCENDING range
+        F.size(toks) - (n - 1) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Array of n-word shingle strings (for MinHash / Jaccard dedup)."""
     # let-bind the token array: referencing it straight inside the
     # transform lambda would re-run the tokenizer per shingle
-    return let(
-        tokens(F.lower(text_col)),
-        lambda toks: F.when(
-            # guard: sequence(1, 0) would generate a DESCENDING range
-            F.size(toks) - (n - 1) >= 1,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    return let(tokens(F.lower(text_col)), lambda toks: shingles_from(toks, n))
 
 
 # -- PII detection / redaction (training-data hygiene) ----------------------

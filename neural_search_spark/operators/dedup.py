@@ -652,15 +652,33 @@ def exact_substring_dedup(
     Plan (all O(corpus tokens), no pairwise anything — the suffix
     array's job is done by a gram groupBy):
       1. stride-1 token windows → (gram, doc_id, pos)  [narrow]
-      2. groupBy(gram): count + min occurrence key     [shuffle 1,
-         map-side combinable]
-      3. duplicated grams join back on gram            [shuffle 2]
-      4. explode covered token indices, distinct       [shuffle 3]
-      5. anti-join tokens, reassemble per doc          [shuffle 4]
-    At 100 TB the gram frame is the corpus re-keyed — each shuffle is
-    a linear pass, and steps 2/4 combine map-side. The occurrence key
-    is doc_id·10^6 + pos (positions are bounded far below 10^6), so
-    keeper selection is a plain integer min on both engines."""
+      2. ONE hash aggregation per gram collecting the occurrence-key
+         list; non-keepers = array_remove(ks, array_min(ks)) exploded
+         back out (keys are globally unique, so exactly the minimal
+         occurrence survives). This replaces the earlier
+         groupBy(gram) + join-back shape, which shuffled the gram
+         frame twice AND re-ran the explode on the probe side; a
+         per-gram window was tried and rejected — it forces a
+         whole-frame sort by gram string (measured slower than the
+         join it replaced).
+      3. non-keeper window starts collected per doc    [shuffle 2 —
+         the dup-start frame only, a tiny fraction of tokens]
+      4. rebuild per doc with ARRAY EXPRESSIONS: covered positions =
+         distinct(flatten(sequences)), kept positions = hash-based
+         array_except(0..n-1, covered), text = join(element_at) over
+         a LET-BOUND token array (lambda-scoped re-evaluation of
+         split() per element is real: binding it measured 1.7x on the
+         whole query) — O(tokens) per doc inside whole-stage codegen,
+         no token-level explode/anti-join/collect_list reassembly
+         (those cost three extra exchanges over the WIDEST frame,
+         every corpus token).
+    At 100 TB the gram frame is the corpus re-keyed once; a
+    pathologically viral gram builds one long occurrence array in one
+    task (8 bytes per occurrence — the same task-level skew the
+    join shape had, now memory-shaped; millions of occurrences of one
+    5-gram is megabytes). The occurrence key is doc_id·10^6 + pos
+    (positions are bounded far below 10^6), so keeper selection is a
+    plain integer min on both engines."""
     split = F.split(F.col(text_col), " ")
     n_tok = F.size(split)
     win_starts = F.when(
@@ -676,45 +694,49 @@ def exact_substring_dedup(
             )
         ).alias("pos", "gram"),
     )
-    occ_key = F.col(id_col).cast("long") * 1_000_000 + F.col("pos")
-    stats = (
-        grams.withColumn("__k", occ_key)
-        .groupBy("gram")
-        .agg(F.count("*").alias("cnt"), F.min("__k").alias("keeper"))
-        .where(F.col("cnt") > 1)
-        .select("gram", "keeper")
+    occ_key = (F.col(id_col).cast("long") * 1_000_000 + F.col("pos")).alias("__k")
+    agg = grams.select("gram", occ_key).groupBy("gram").agg(
+        F.collect_list("__k").alias("ks")
     )
     dup_occ = (
-        grams.join(stats, "gram")
-        .where(occ_key != F.col("keeper"))
-        .select(F.col(id_col), "pos")
-    )
-    covered = dup_occ.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
-        ).alias("ti"),
-    ).distinct()
-    tok_rows = docs.select(F.col(id_col), F.posexplode(split).alias("ti", "tok"))
-    kept = tok_rows.join(covered, [id_col, "ti"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("kept_text")
-    )
-    removed_agg = covered.groupBy(id_col).agg(F.count("*").alias("n_removed"))
-    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-    return (
-        base.join(removed_agg, id_col, "left")
-        .join(kept_agg, id_col, "left")
+        agg.where(F.size("ks") > 1)
+        .select(F.explode(F.array_remove(F.col("ks"), F.array_min("ks"))).alias("k"))
         .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.expr("k DIV 1000000").alias(id_col),
+            (F.col("k") % 1_000_000).cast("int").alias("pos"),
         )
+    )
+    from ..functions.common import let
+
+    starts = dup_occ.groupBy(id_col).agg(F.collect_list("pos").alias("dups"))
+    joined = docs.join(starts, id_col, "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("dups"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + span_tokens - 1),
+            )
+        )
+    )
+    packed = let(
+        split,
+        lambda sp: let(
+            covered,
+            lambda cov: F.struct(
+                F.size(cov).alias("n_removed"),
+                F.array_join(
+                    F.transform(
+                        F.array_except(F.sequence(F.lit(0), F.size(sp) - 1), cov),
+                        lambda i: F.element_at(sp, i + 1),
+                    ),
+                    " ",
+                ).alias("kept_text"),
+            ),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        packed["n_removed"].cast("long").alias("n_removed"),
+        packed["kept_text"].alias("kept_text"),
     )

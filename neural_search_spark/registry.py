@@ -5378,8 +5378,10 @@ PRIORITY_50 = [
     "trained_model_dense_topk", "trained_model_hybrid",
     "ccnet_ppl_buckets",
     # NEW this round: Gopher quality-rule gate + repetition-fraction
-    # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting
+    # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting,
+    # temperature-resampled source mixture
     "text_gopher_quality", "text_gopher_repetition", "dedup_soft_weights",
+    "mix_temperature",
     # CODE-CHANGED this round: max_bucket keys array → joined string
     # (the one r4 driver failure), z-score → sample stddev, simhash
     # hamming rewrite + vectorized media fingerprint kernels
@@ -12318,6 +12320,87 @@ FROM m ORDER BY doc_id
 SPARK_QUERIES["text_gopher_quality"] = q_text_gopher_quality
 
 
+def _gopher_rep_batches(batches):
+    """Arrow-batch kernel for the repetition metrics: per document and
+    per n in 2..10, the integer char-coverage numerators (top n-gram
+    count*len for n=2..4, duplicated n-gram Σ count*len for n=5..10).
+    INTEGERS ONLY leave this kernel — division, rounding and the keep
+    flags happen JVM-side with the same F.round the oracle replays, so
+    no float ever crosses an engine boundary.
+
+    Fully vectorized across the batch: tokens of every doc concatenate
+    into one code array (np.unique factorization — exact string
+    identity, no hashing, no collisions); each family is one lexsort
+    of the in-doc windows by (doc, code_0..code_n-1), run boundaries
+    by vector compare, counts by diff-of-boundaries, per-doc max/sum
+    by ufunc.reduceat. re.ASCII keeps Python's \\s identical to the
+    Java regex the Spark tokenizer uses (both ASCII-only)."""
+    import re
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    ncols = [f"t{n}" for n in GOPHER_TOP_FRAC_MAX] + [
+        f"d{n}" for n in GOPHER_DUP_FRAC_MAX
+    ]
+    for pdf in batches:
+        ndocs = len(pdf)
+        out = {c: np.zeros(ndocs, dtype=np.int64) for c in ncols}
+        if ndocs == 0:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+            continue
+        docs_tokens = [
+            [t for t in re.split(r"\s+", s.lower(), flags=re.ASCII) if t]
+            for s in pdf["text"]
+        ]
+        doc_lens = np.fromiter((len(ts) for ts in docs_tokens), np.int64, ndocs)
+        all_toks = list(chain.from_iterable(docs_tokens))
+        ntok = len(all_toks)
+        if ntok == 0:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+            continue
+        codes = np.unique(np.array(all_toks, dtype=object), return_inverse=True)[1]
+        tlen = np.fromiter((len(t) for t in all_toks), np.int64, ntok)
+        clen_cum = np.concatenate(([0], np.cumsum(tlen)))
+        doc_of = np.repeat(np.arange(ndocs), doc_lens)
+        for j, n in enumerate(range(2, 11)):
+            col = ncols[j]
+            if ntok < n:
+                continue
+            w = ntok - n + 1
+            # a window is valid iff it does not straddle two documents
+            valid = np.nonzero(doc_of[:w] == doc_of[n - 1 :])[0]
+            if valid.size == 0:
+                continue
+            keys = tuple(
+                codes[valid + k] for k in range(n - 1, -1, -1)
+            ) + (doc_of[valid],)
+            order = np.lexsort(keys)  # primary doc, then code_0..code_n-1
+            sv = valid[order]
+            ds = doc_of[sv]
+            change = np.ones(len(sv), dtype=bool)
+            change[1:] = ds[1:] != ds[:-1]
+            for k in range(n):
+                ck = codes[sv + k]
+                change[1:] |= ck[1:] != ck[:-1]
+            run_starts = np.nonzero(change)[0]
+            run_counts = np.diff(np.append(run_starts, len(sv)))
+            ws = sv[run_starts]
+            glen = clen_cum[ws + n] - clen_cum[ws] + (n - 1)
+            run_doc = ds[run_starts]
+            doc_change = np.ones(len(run_doc), dtype=bool)
+            doc_change[1:] = run_doc[1:] != run_doc[:-1]
+            db = np.nonzero(doc_change)[0]
+            docs_here = run_doc[db]
+            if n <= 4:
+                out[col][docs_here] = np.maximum.reduceat(run_counts * glen, db)
+            else:
+                dupval = np.where(run_counts >= 2, run_counts * glen, 0)
+                out[col][docs_here] = np.add.reduceat(dupval, db)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+
+
 def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     """Gopher repetition-fraction family: for n = 2..4 the fraction of
     document characters covered by the single most-frequent n-gram
@@ -12328,50 +12411,38 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     position — the common open implementation of Gopher Table A1, and
     the oracle replays the identical formula).
 
-    Plan shape: one scan explodes every (n, gram) window (9 gram
-    families ride ONE explode of an array-of-structs — no 9x rescan),
-    then two map-side-combinable aggregates keyed on doc_id; the
-    second reuses the first's partitioning, so one shuffle total."""
-    fams = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("n"),
-                T.word_shingles(F.col("text"), n).alias("gs"),
-            )
-            for n in range(2, 11)
-        ]
+    Plan shape: per-document metrics need NO shuffle at all — a doc's
+    grams live in its own row, so this is a pure map. Three shapes
+    were measured at sf0.1 before settling on the Arrow kernel:
+    explode → groupBy(doc,n,gram) → re-aggregate (7.3 s warm — two
+    shuffles of ~360 gram strings per doc that the semantics never
+    needed), a zero-shuffle 9-family run-length scan in F.aggregate
+    (9.6 s — higher-order functions run interpreted, no codegen), and
+    the vectorized-numpy mapInPandas kernel below (3.6 s warm, ~1.8 s
+    per execution — the contract orderBy's range-sampling pass runs
+    the plan twice; production writes would skip it). The kernel
+    emits integer numerators only; fractions, rounding and keep flags
+    stay JVM-side so cross-engine float discipline is untouched."""
+    kern = docs.select(
+        "doc_id", F.length("text").cast("int").alias("tc"), "text"
+    ).mapInPandas(
+        _gopher_rep_batches,
+        "doc_id long, tc int, "
+        + ", ".join(f"t{n} long" for n in GOPHER_TOP_FRAC_MAX)
+        + ", "
+        + ", ".join(f"d{n} long" for n in GOPHER_DUP_FRAC_MAX),
     )
-    grams = (
-        docs.select("doc_id", F.length("text").alias("tc"), F.explode(fams).alias("e"))
-        .select("doc_id", "tc", F.col("e.n").alias("n"), F.explode("e.gs").alias("g"))
-    )
-    per_gram = grams.groupBy("doc_id", "tc", "n", "g").agg(F.count("*").alias("c"))
-    covered = F.col("c") * F.length("g")
-    per_n = per_gram.groupBy("doc_id", "tc", "n").agg(
-        F.max(covered).alias("top_chars"),
-        F.sum(F.when(F.col("c") >= 2, covered).otherwise(F.lit(0))).alias("dup_chars"),
-    )
-    per_doc = per_n.groupBy("doc_id", "tc").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"t{n}")
-            for n in GOPHER_TOP_FRAC_MAX
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"d{n}")
-            for n in GOPHER_DUP_FRAC_MAX
-        ],
-    )
-    # LEFT join back onto the corpus so docs too short to produce any
-    # 2-gram still appear (all fractions 0)
-    base = docs.select("doc_id", F.length("text").alias("tc"))
-    joined = base.join(per_doc.drop("tc"), "doc_id", "left")
     frac = lambda c: F.when(  # noqa: E731
         F.col("tc") > 0,
-        F.round(F.coalesce(c, F.lit(0)).cast("double") / F.col("tc"), 4),
+        F.round(c.cast("double") / F.col("tc"), 4),
     ).otherwise(F.lit(0.0))
-    cols = [frac(F.col(f"t{n}")).alias(f"top{n}_frac") for n in GOPHER_TOP_FRAC_MAX]
-    cols += [frac(F.col(f"d{n}")).alias(f"dup{n}_frac") for n in GOPHER_DUP_FRAC_MAX]
-    out = joined.select("doc_id", *cols)
+    cols = [
+        frac(F.col(f"t{n}")).alias(f"top{n}_frac") for n in GOPHER_TOP_FRAC_MAX
+    ]
+    cols += [
+        frac(F.col(f"d{n}")).alias(f"dup{n}_frac") for n in GOPHER_DUP_FRAC_MAX
+    ]
+    out = kern.select("doc_id", *cols)
     keep = None
     for n, mx in GOPHER_TOP_FRAC_MAX.items():
         r = F.col(f"top{n}_frac") < mx
@@ -12475,6 +12546,58 @@ LEFT JOIN szs s ON s.component = c.component
 ORDER BY d.doc_id
 """
 SPARK_QUERIES["dedup_soft_weights"] = q_dedup_soft_weights
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled source mixture (the mT5 / XLM-R
+    multilingual recipe: sampling weight proportional to corpus_size^alpha,
+    flattening the head so low-resource sources are not drowned).
+    Weights derive FROM the data — per-source token totals, one
+    |sources|-row aggregate collected driver-side (bounded like a
+    centroid table) — then feed the same largest-feasible-budget
+    prefix selection as mix_sources. alpha = 1/2 keeps every weight an
+    IEEE-exact sqrt of an exactly-summed integer total, so Spark and
+    the oracle agree bit-for-bit with no rounding compromise; the
+    budget algebra is scale-invariant in the weights, so no
+    normalization division is needed either."""
+    import math
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    ntok = T.token_count_ws(F.col("text")).cast("double")
+    totals = docs.groupBy("source").agg(F.sum(ntok).alias("tok")).collect()
+    targets = {r["source"]: math.sqrt(r["tok"]) for r in totals}
+    return PK.mix_sources(docs, T.token_count_ws(F.col("text")), targets)
+
+
+ORACLES["mix_temperature"] = f"""
+WITH d0 AS (
+  SELECT doc_id, source, {_SQL_NTOK}::DOUBLE AS n_tokens FROM documents
+),
+tgt AS (SELECT source, sqrt(sum(n_tokens)) AS target_w FROM d0 GROUP BY source),
+d AS (SELECT d0.*, tgt.target_w FROM d0 JOIN tgt USING (source)),
+totals AS (
+  SELECT source, target_w, sum(n_tokens) AS tok_total
+  FROM d GROUP BY source, target_w
+),
+b AS (SELECT min(tok_total / target_w) AS budget FROM totals),
+kept AS (
+  SELECT * FROM (
+    SELECT d.*, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+  ) c CROSS JOIN b
+  WHERE c.cum <= b.budget * c.target_w
+),
+agg AS (
+  SELECT source, target_w, count(*) AS kept_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source, target_w
+)
+SELECT source, target_w, kept_docs, kept_tokens,
+       round(kept_tokens / (SELECT sum(kept_tokens)::DOUBLE FROM agg), 4) AS share
+FROM agg ORDER BY source
+"""
+SPARK_QUERIES["mix_temperature"] = q_mix_temperature
 
 
 # apply the contract ordering ONCE, after every registration — the
