@@ -288,6 +288,13 @@ def main() -> None:
         "curate_training_set", "mix_sources", "logreg_lang_en",
         "nb_lang_predict", "more_like_this", "bool_scored",
         "update_by_query",
+        # round-5 flagships: trained encoder, Gopher gates, soft dedup,
+        # temperature mixture, perplexity buckets, hot-bucket grid
+        "trained_model_dense_topk", "trained_model_hybrid",
+        "text_gopher_quality", "text_gopher_repetition",
+        "dedup_soft_weights", "mix_temperature", "ccnet_ppl_buckets",
+        "mm_phash_neardup", "emb_neardup_grid", "text_bigram_nll",
+        "split_leakage_safe",
     ]
     drop_order = [k for k in timings if k not in KEEP_FIRST][::-1] + [
         k for k in KEEP_FIRST[::-1] if k in timings
