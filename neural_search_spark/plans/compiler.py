@@ -613,7 +613,18 @@ class Engine:
                     postings = postings.join(
                         F.broadcast(candidate_ids), "doc_id", "semi"
                     )
-                return R.two_phase_sparse(postings, qt, k=k)
+                # two_phase: true uses processor defaults; a dict carries
+                # the NeuralSparseTwoPhaseProcessor knobs (`two_phase_
+                # parameter` in the reference: prune_ratio, expansion_rate,
+                # max_window_size — NeuralSparseTwoPhaseProcessor.java)
+                tp = body["two_phase"]
+                tp = tp if isinstance(tp, dict) else {}
+                return R.two_phase_sparse(
+                    postings, qt, k=k,
+                    prune_ratio=float(tp.get("prune_ratio", 0.4)),
+                    expansion_rate=float(tp.get("expansion_rate", 5.0)),
+                    max_window=int(tp.get("max_window_size", 10000)),
+                )
             return R.sparse_topk_postings(postings, qt, k=k, candidate_ids=candidate_ids)
         if qtype == "match":
             if "query" not in body:

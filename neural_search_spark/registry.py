@@ -12423,9 +12423,18 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     the plan twice; production writes would skip it). The kernel
     emits integer numerators only; fractions, rounding and keep flags
     stay JVM-side so cross-engine float discipline is untouched."""
+    # sort the INPUT, not the output: orderBy's range-sampling pass
+    # re-executes its child, and on the output side the child is the
+    # Arrow kernel (the whole kernel would run twice per query). Here
+    # sampling re-runs only the parquet scan; mapInPandas is 1:1 and
+    # yields rows in input order, so partition-ordered collect returns
+    # the frame already globally sorted by doc_id (measured 3.6→2.2 s
+    # warm at sf0.1). The sort exists only for contract display order
+    # — a production 100 TB run drops it and the whole query is a
+    # pure shuffle-free map over the scan.
     kern = docs.select(
         "doc_id", F.length("text").cast("int").alias("tc"), "text"
-    ).mapInPandas(
+    ).orderBy("doc_id").mapInPandas(
         _gopher_rep_batches,
         "doc_id long, tc int, "
         + ", ".join(f"t{n} long" for n in GOPHER_TOP_FRAC_MAX)
@@ -12449,7 +12458,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         keep = r if keep is None else keep & r
     for n, mx in GOPHER_DUP_FRAC_MAX.items():
         keep = keep & (F.col(f"dup{n}_frac") < mx)
-    return out.withColumn("rep_keep", keep).orderBy("doc_id")
+    return out.withColumn("rep_keep", keep)
 
 
 def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
