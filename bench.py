@@ -170,6 +170,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "dedup_soft_weights",
     "mix_temperature",
+    "seismic_explain",
 ]
 
 

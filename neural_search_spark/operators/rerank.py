@@ -21,15 +21,19 @@ def rerank_by_field(
     keep_previous_score: bool = False,
     k: int | None = None,
     id_col: str = "doc_id",
+    previous_score_field: str = "previous_score",
 ) -> DataFrame:
     """Q2 `rerank`/`by_field`: `_score := doc[target_field]`, re-sort.
 
-    Parity: `processor/rerank/ByFieldRerankProcessor.java:74-83`.
+    Parity: `processor/rerank/ByFieldRerankProcessor.java:74-83`;
+    ``previous_score_field`` is the 3.8 enhancement (#1880) letting the
+    caller pick where the pre-rerank score is kept so it cannot
+    overwrite an existing document field.
     """
     joined = results.join(corpus.select(id_col, target_field), id_col)
     cols = [F.col(id_col)]
     if keep_previous_score:
-        cols.append(F.col("score").alias("previous_score"))
+        cols.append(F.col("score").alias(previous_score_field))
     cols.append(F.col(target_field).cast("double").alias("score"))
     out = joined.select(*cols)
     out = out.orderBy(F.col("score").desc(), F.col(id_col))

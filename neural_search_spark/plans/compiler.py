@@ -2525,8 +2525,23 @@ class Engine:
         pipeline: dict[str, Any] | None = None,
         size: int = DEFAULT_K,
         from_: int = 0,
+        search_type: str = "query_then_fetch",
     ) -> DataFrame:
         pipeline = pipeline or {}
+        # 3.8 fix (#1873): hybrid + dfs_query_then_fetch produces wrong
+        # global stats in the reference and is rejected outright there;
+        # mirror the validation error
+        if search_type == "dfs_query_then_fetch" and "hybrid" in query:
+            raise ValueError(
+                "hybrid query is not supported with search_type="
+                "dfs_query_then_fetch"
+            )
+        # 3.8 enhancement (#1898): the two-phase rescore optimization is
+        # SKIPPED when the request sorts by fields — with a field sort
+        # the hit set must be exact, so every neural_sparse leaf runs
+        # the single-phase scorer
+        if pipeline.get("sort"):
+            query = _strip_two_phase(query)
         if "default_model_id" in pipeline:
             self.default_model_id = pipeline["default_model_id"]
             # Q9 enricher ran (typed stat parity: EventStatName)
@@ -2688,6 +2703,14 @@ class Engine:
             # field-value functions — the same two-phase over-fetch
             # discipline as R10, so the corpus is never re-scanned.
             inner = body["query"]
+            if isinstance(inner, dict) and "hybrid" in inner:
+                # 3.6 fix (#1791): hybrid nested inside compound queries
+                # (function_score / script_score) is blocked — fusion
+                # normalization is a request-level pipeline, not a
+                # per-clause score
+                raise ValueError(
+                    "hybrid query cannot be nested inside function_score"
+                )
             window = int(body.get("window", 10 * (from_ + size)))
             base = self.search(inner, None, size=window).select("doc_id", "score")
             # base is ≤window rows — broadcast it onto the documents
@@ -2956,6 +2979,10 @@ class Engine:
             # query's top-`window` hits with an expression over the
             # doc's columns plus `_score`. Same two-phase over-fetch
             # shape as function_score — the corpus is never re-scanned.
+            if isinstance(body.get("query"), dict) and "hybrid" in body["query"]:
+                raise ValueError(
+                    "hybrid query cannot be nested inside script_score"
+                )
             window = int(body.get("window", 10 * (from_ + size)))
             base = self.search(body["query"], None, size=window).select(
                 "doc_id", F.col("score").alias("_score")
@@ -3110,7 +3137,14 @@ class Engine:
             if rerank.get("type") == "by_field":
                 self._evt("rerank_by_field_processor_executions")
                 result = RR.rerank_by_field(
-                    result, self.documents(), rerank["target_field"], k=size
+                    result, self.documents(), rerank["target_field"], k=size,
+                    keep_previous_score=bool(rerank.get("keep_previous_score")),
+                    # 3.8 enhancement (#1880): custom field name for the
+                    # kept previous score, so it can't collide with an
+                    # existing document field
+                    previous_score_field=rerank.get(
+                        "previous_score_field", "previous_score"
+                    ),
                 )
             else:
                 self._evt("rerank_ml_processor_executions")
@@ -3132,6 +3166,23 @@ class Engine:
                 F.col("score").desc(), F.col("doc_id")
             )
         return result
+
+
+def _strip_two_phase(query):
+    """Recursively drop `two_phase` from every neural_sparse body —
+    the 3.8 behavior (#1898) that disables the two-phase rescore
+    optimization for requests with field sorts (the hit set must be
+    exact when ordering is not score-driven)."""
+    if isinstance(query, dict):
+        out = {}
+        for k, v in query.items():
+            if k == "neural_sparse" and isinstance(v, dict) and "two_phase" in v:
+                v = {kk: vv for kk, vv in v.items() if kk != "two_phase"}
+            out[k] = _strip_two_phase(v)
+        return out
+    if isinstance(query, list):
+        return [_strip_two_phase(v) for v in query]
+    return query
 
 
 def _parse_simple_query_string(q: str) -> dict:

@@ -5381,7 +5381,7 @@ PRIORITY_50 = [
     # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting,
     # temperature-resampled source mixture
     "text_gopher_quality", "text_gopher_repetition", "dedup_soft_weights",
-    "mix_temperature",
+    "mix_temperature", "seismic_explain",
     # CODE-CHANGED this round: max_bucket keys array → joined string
     # (the one r4 driver failure), z-score → sample stddev, simhash
     # hamming rewrite + vectorized media fingerprint kernels
@@ -12607,6 +12607,103 @@ SELECT source, target_w, kept_docs, kept_tokens,
 FROM agg ORDER BY source
 """
 SPARK_QUERIES["mix_temperature"] = q_mix_temperature
+
+
+def q_seismic_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-ANN explain (3.5 feature: explain within SEISMIC —
+    sparse/query/explain/SparseExplanationBuilder.java:62-178): for one
+    document, the per-query-token scoring breakdown — search-side
+    quantized byte, ingest-side quantized byte, their integer product
+    (the token's contribution), the integer raw dot, the quantization
+    rescale factor boost*ceil_ingest*ceil_search/255/255, and the
+    rescaled final score. One row per query token; every number either
+    integer-exact or a product of IEEE-identical literals, so the
+    oracle matches bit-for-bit."""
+    from .operators import seismic as SE
+    from .operators.retrieval import token_frame
+
+    idx = _seismic_exact_index(spark, sf_dir)
+    qt = _query_tokens_tf(spark, sf_dir)
+    qmx = max(qt.values())
+    # search-side quantization — the same floor(x*255/ceil + 0.5) as
+    # seismic_search's integer query weights
+    import math
+
+    qbytes = {
+        t: float(
+            math.floor(
+                min(max(w / qmx * SE.QUANT_CEIL_SEARCH, 0.0), SE.QUANT_CEIL_SEARCH)
+                * 255.0 / SE.QUANT_CEIL_SEARCH + 0.5
+            )
+        )
+        for t, w in qt.items()
+    }
+    q_df = token_frame(spark, qbytes).select(
+        "token", F.col("qw").cast("int").alias("q_byte")
+    )
+    doc_vec = (
+        idx.forward.where(F.col("doc_id") == QUERY_DOC_ID)
+        .select(F.explode("vector").alias("token", "d"))
+        .select("token", F.col("d").cast("int").alias("d_byte"))
+    )
+    from pyspark.sql import Window as _W
+
+    rescale = SE.QUANT_CEIL_INGEST * SE.QUANT_CEIL_SEARCH / 255.0 / 255.0
+    j = (
+        q_df.join(doc_vec, "token", "left")
+        .select(
+            F.lit(QUERY_DOC_ID).cast("long").alias("doc_id"),
+            "token",
+            "q_byte",
+            F.coalesce(F.col("d_byte"), F.lit(0)).alias("d_byte"),
+        )
+        .withColumn(
+            "contribution", (F.col("q_byte") * F.col("d_byte")).cast("long")
+        )
+    )
+    w_all = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    return (
+        j.withColumn("raw_score", F.sum("contribution").over(w_all))
+        .withColumn("rescale", F.round(F.lit(rescale), 6))
+        .withColumn(
+            "final_score",
+            F.round(F.col("raw_score") * F.lit(rescale), 4),
+        )
+        .orderBy("token")
+    )
+
+
+ORACLES["seismic_explain"] = f"""
+WITH p AS ({SQL_TF_POSTINGS}),
+mx AS (SELECT max(weight) AS m FROM p),
+qz AS (
+  SELECT doc_id, token,
+         round(least(greatest(weight / m * 3.0, 0.0), 3.0) * 255.0 / 3.0) AS q
+  FROM p CROSS JOIN mx
+),
+qtf AS ({SQL_QUERY_TOKENS}),
+qquant AS (
+  SELECT token,
+         floor(least(greatest(qw / (SELECT max(qw) FROM qtf) * 16.0, 0.0), 16.0)
+               * 255.0 / 16.0 + 0.5) AS qi
+  FROM qtf
+),
+j AS (
+  SELECT qq.token,
+         CAST(qq.qi AS INT) AS q_byte,
+         CAST(coalesce(z.q, 0) AS INT) AS d_byte
+  FROM qquant qq
+  LEFT JOIN (SELECT * FROM qz WHERE doc_id = {QUERY_DOC_ID}) z USING (token)
+)
+SELECT {QUERY_DOC_ID}::BIGINT AS doc_id, token, q_byte, d_byte,
+       (q_byte * d_byte)::BIGINT AS contribution,
+       (SELECT sum(q_byte * d_byte) FROM j)::BIGINT AS raw_score,
+       round(3.0 * 16.0 / 255.0 / 255.0, 6) AS rescale,
+       round((SELECT sum(q_byte * d_byte) FROM j)
+             * (3.0 * 16.0 / 255.0 / 255.0), 4) AS final_score
+FROM j ORDER BY token
+"""
+SPARK_QUERIES["seismic_explain"] = q_seismic_explain
 
 
 # apply the contract ordering ONCE, after every registration — the
