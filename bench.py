@@ -294,6 +294,7 @@ def main() -> None:
         "trained_model_dense_topk", "trained_model_hybrid",
         "text_gopher_quality", "text_gopher_repetition",
         "dedup_soft_weights", "mix_temperature", "ccnet_ppl_buckets",
+        "seismic_explain",
         "mm_phash_neardup", "emb_neardup_grid", "text_bigram_nll",
         "split_leakage_safe",
     ]

@@ -12209,7 +12209,7 @@ GOPHER_TOP_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def gopher_quality_frame(docs: DataFrame) -> DataFrame:
+def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Gopher structural quality rules as ONE codegen projection over
     the corpus scan (no shuffle at all): word-count bounds, mean word
     length bounds, symbol-to-word ratio (# and ellipsis), alphabetic-
@@ -12218,7 +12218,12 @@ def gopher_quality_frame(docs: DataFrame) -> DataFrame:
     keep_gopher additionally requires >=2 stopword hits (emitted
     separately because the synthetic corpus carries only one Gopher
     stopword in-vocab, so the combined flag is near-constant there
-    while keep_core discriminates on the 50-word floor)."""
+    while keep_core discriminates on the 50-word floor).
+
+    ``ordered=False`` skips the contract display sort, which also
+    makes the frame STREAMING-COMPATIBLE — a stateless projection
+    applies unchanged to a readStream source (the streaming quality
+    gate test runs exactly this)."""
     base = docs.select(
         "doc_id", "text", S.tokens(F.lower(F.col("text"))).alias("l")
     )
@@ -12260,7 +12265,7 @@ def gopher_quality_frame(docs: DataFrame) -> DataFrame:
     rule_symbol = F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO
     rule_alpha = F.col("alpha_frac") > GOPHER_MIN_ALPHA_FRAC
     rule_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
-    return m.select(
+    out = m.select(
         "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
         "stop_hits",
         rule_words.alias("rule_words"),
@@ -12272,7 +12277,8 @@ def gopher_quality_frame(docs: DataFrame) -> DataFrame:
         (rule_words & rule_wlen & rule_symbol & rule_alpha & rule_stop).alias(
             "keep_gopher"
         ),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
