@@ -171,6 +171,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "mix_temperature",
     "seismic_explain",
+    "quality_classifier_gate",
 ]
 
 
@@ -294,7 +295,7 @@ def main() -> None:
         "trained_model_dense_topk", "trained_model_hybrid",
         "text_gopher_quality", "text_gopher_repetition",
         "dedup_soft_weights", "mix_temperature", "ccnet_ppl_buckets",
-        "seismic_explain",
+        "seismic_explain", "quality_classifier_gate",
         "mm_phash_neardup", "emb_neardup_grid", "text_bigram_nll",
         "split_leakage_safe",
     ]

@@ -5381,7 +5381,7 @@ PRIORITY_50 = [
     # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting,
     # temperature-resampled source mixture
     "text_gopher_quality", "text_gopher_repetition", "dedup_soft_weights",
-    "mix_temperature", "seismic_explain",
+    "mix_temperature", "seismic_explain", "quality_classifier_gate",
     # CODE-CHANGED this round: max_bucket keys array → joined string
     # (the one r4 driver failure), z-score → sample stddev, simhash
     # hamming rewrite + vectorized media fingerprint kernels
@@ -12710,6 +12710,67 @@ SELECT {QUERY_DOC_ID}::BIGINT AS doc_id, token, q_byte, d_byte,
 FROM j ORDER BY token
 """
 SPARK_QUERIES["seismic_explain"] = q_seismic_explain
+
+
+def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-EDU-style model-scored quality gate: the Gopher
+    structural rules provide WEAK LABELS (keep_core), and the
+    distributed logistic regression (classify.logreg_train — one
+    narrow aggregate per GD round, engine-exact integer-micro-unit
+    weight trajectory) learns a smooth quality score from cheap
+    numeric features; every document then gets a probability and a
+    hard gate. This is the standard rules→weak-labels→classifier
+    curation composition (FineWeb-EDU / DCLM recipe) built entirely
+    from in-repo pieces — no feature crosses an engine boundary as a
+    float (labels are booleans, features exact-decimal)."""
+    from .operators import classify as CLF
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    labels = gopher_quality_frame(docs, ordered=False).select(
+        "doc_id", F.col("keep_core").cast("double").alias("y")
+    )
+    feats = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (F.size(S.tokens(F.col("text"))).cast("double") / F.lit(100.0)).alias("x2"),
+    ).join(labels, "doc_id")
+    w = CLF.logreg_train(feats, rounds=LOGREG_ROUNDS, lr=1.0)
+    pred = CLF.logreg_predict(feats.where(F.col("doc_id") < LOGREG_PRED_LIMIT), w)
+    return pred.orderBy("doc_id")
+
+
+# weak-label expression shared with the text_gopher_quality oracle's
+# rule columns; the GD chain is the logreg oracle's tail verbatim so
+# both classifiers share one training definition
+_SQL_GOPHER_KEEP_CORE = f"""
+  SELECT doc_id,
+    CASE WHEN len(l) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AND (CASE WHEN len(l) > 0 THEN round(
+              list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE
+              / len(l), 4) ELSE 0.0 END) BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}
+         AND (CASE WHEN len(l) > 0 THEN round(
+              (length(text) - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / len(l), 4)
+              ELSE 0.0 END) < {GOPHER_MAX_SYMBOL_RATIO}
+         AND (CASE WHEN len(l) > 0 THEN round(
+              len(list_filter(l, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+              / len(l), 4) ELSE 0.0 END) > {GOPHER_MIN_ALPHA_FRAC}
+    THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT doc_id, text, {_SQL_TOKS_LOWER} AS l FROM documents)
+"""
+_SQL_LOGREG_TAIL = ORACLES["logreg_lang_en"].split("g1 AS", 1)[1]
+ORACLES["quality_classifier_gate"] = f"""
+WITH lab AS ({_SQL_GOPHER_KEEP_CORE}),
+f AS (
+  SELECT d.doc_id, 1.0 AS x0, d.n_chars / 1000.0 AS x1,
+         len(list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t != '')) / 100.0 AS x2,
+         lab.y
+  FROM documents d JOIN lab USING (doc_id)
+),
+g1 AS {_SQL_LOGREG_TAIL}
+"""
+SPARK_QUERIES["quality_classifier_gate"] = q_quality_classifier_gate
 
 
 # apply the contract ordering ONCE, after every registration — the
