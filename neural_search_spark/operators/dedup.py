@@ -676,9 +676,11 @@ def exact_substring_dedup(
     pathologically viral gram builds one long occurrence array in one
     task (8 bytes per occurrence — the same task-level skew the
     join shape had, now memory-shaped; millions of occurrences of one
-    5-gram is megabytes). The occurrence key is doc_id·10^6 + pos
-    (positions are bounded far below 10^6), so keeper selection is a
-    plain integer min on both engines."""
+    5-gram is megabytes). The occurrence key is doc_id·10^6 + pos, so
+    keeper selection is a plain integer min on both engines; the
+    packing preconditions (id >= 0, pos < 10^6) are ENFORCED with a
+    codegen raise_error guard rather than assumed — a 1M-token doc
+    fails loudly instead of trimming the wrong occurrence."""
     split = F.split(F.col(text_col), " ")
     n_tok = F.size(split)
     win_starts = F.when(
@@ -694,7 +696,31 @@ def exact_substring_dedup(
             )
         ).alias("pos", "gram"),
     )
-    occ_key = (F.col(id_col).cast("long") * 1_000_000 + F.col("pos")).alias("__k")
+    # The packed key is LOAD-BEARING for correctness (it decides which
+    # occurrence gets trimmed), so the packing preconditions are
+    # enforced, not assumed: a doc with >= 1e6 token positions or a
+    # negative id would silently corrupt the (doc, pos) decode. The
+    # guard is one codegen branch per occurrence — raise_error() fails
+    # the job with an actionable message instead of mis-trimming.
+    guarded_id = F.when(
+        F.col(id_col).cast("long") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("exact_substring_dedup: negative id breaks key packing: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long"))
+    guarded_pos = F.when(
+        F.col("pos") >= 1_000_000,
+        F.raise_error(
+            F.lit(
+                "exact_substring_dedup: document with >= 1e6 token positions"
+                " exceeds the packed-key bound"
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
+    occ_key = (guarded_id * 1_000_000 + guarded_pos).alias("__k")
     agg = grams.select("gram", occ_key).groupBy("gram").agg(
         F.collect_list("__k").alias("ks")
     )

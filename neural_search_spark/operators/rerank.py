@@ -30,6 +30,18 @@ def rerank_by_field(
     caller pick where the pre-rerank score is kept so it cannot
     overwrite an existing document field.
     """
+    if keep_previous_score and previous_score_field in (
+        "score",
+        id_col,
+        target_field,
+    ):
+        # The 3.8 feature exists precisely to avoid field collisions —
+        # reject names that would produce duplicate/ambiguous columns.
+        raise ValueError(
+            f"previous_score_field={previous_score_field!r} collides with "
+            f"'score', the id column {id_col!r}, or target_field "
+            f"{target_field!r}"
+        )
     joined = results.join(corpus.select(id_col, target_field), id_col)
     cols = [F.col(id_col)]
     if keep_previous_score:

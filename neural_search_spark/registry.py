@@ -12262,8 +12262,10 @@ def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     rule_wlen = (F.col("mean_word_len") >= GOPHER_MIN_WLEN) & (
         F.col("mean_word_len") <= GOPHER_MAX_WLEN
     )
-    rule_symbol = F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO
-    rule_alpha = F.col("alpha_frac") > GOPHER_MIN_ALPHA_FRAC
+    # Rae et al. A1.1 REMOVES docs with symbol ratio > 0.1 or alphabetic
+    # fraction < 0.8, so keep is inclusive at the boundary (<= / >=)
+    rule_symbol = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    rule_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
     rule_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
     out = m.select(
         "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
@@ -12309,17 +12311,17 @@ SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
   (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS rule_words,
   (mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN})
     AS rule_wlen,
-  (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol,
-  (alpha_frac > {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+  (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol,
+  (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
   (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS rule_stop,
   (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
    AND mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN}
-   AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
-   AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}) AS keep_core,
+   AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+   AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS keep_core,
   (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
    AND mean_word_len >= {GOPHER_MIN_WLEN} AND mean_word_len <= {GOPHER_MAX_WLEN}
-   AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
-   AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}
+   AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+   AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
    AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep_gopher
 FROM m ORDER BY doc_id
 """
@@ -12447,6 +12449,16 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         + ", "
         + ", ".join(f"d{n} long" for n in GOPHER_DUP_FRAC_MAX),
     )
+    # Spark does not contractually guarantee row order through
+    # mapInPandas. The input orderBy makes partitions disjoint
+    # ascending doc_id ranges (range partitioner) and the kernel is
+    # 1:1, but the WITHIN-partition order is only an implementation
+    # detail of the kernel — pin it with an explicit per-partition
+    # sort. sortWithinPartitions is shuffle-free and needs no
+    # range-sampling pass, so the kernel still executes once; the
+    # cross-partition invariant (range partitions collect in ascending
+    # order) is asserted by tests/test_gopher_repetition.py.
+    kern = kern.sortWithinPartitions("doc_id")
     frac = lambda c: F.when(  # noqa: E731
         F.col("tc") > 0,
         F.round(c.cast("double") / F.col("tc"), 4),
@@ -12458,12 +12470,14 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         frac(F.col(f"d{n}")).alias(f"dup{n}_frac") for n in GOPHER_DUP_FRAC_MAX
     ]
     out = kern.select("doc_id", *cols)
+    # Gopher Table A1 removes docs whose fraction EXCEEDS the ceiling,
+    # so keep is inclusive at the boundary (<=)
     keep = None
     for n, mx in GOPHER_TOP_FRAC_MAX.items():
-        r = F.col(f"top{n}_frac") < mx
+        r = F.col(f"top{n}_frac") <= mx
         keep = r if keep is None else keep & r
     for n, mx in GOPHER_DUP_FRAC_MAX.items():
-        keep = keep & (F.col(f"dup{n}_frac") < mx)
+        keep = keep & (F.col(f"dup{n}_frac") <= mx)
     return out.withColumn("rep_keep", keep)
 
 
@@ -12490,8 +12504,8 @@ _SQL_GREP_FRACS = ",\n  ".join(
     ]
 )
 _SQL_GREP_KEEP = " AND ".join(
-    [f"top{n}_frac < {mx}" for n, mx in GOPHER_TOP_FRAC_MAX.items()]
-    + [f"dup{n}_frac < {mx}" for n, mx in GOPHER_DUP_FRAC_MAX.items()]
+    [f"top{n}_frac <= {mx}" for n, mx in GOPHER_TOP_FRAC_MAX.items()]
+    + [f"dup{n}_frac <= {mx}" for n, mx in GOPHER_DUP_FRAC_MAX.items()]
 )
 ORACLES["text_gopher_repetition"] = f"""
 WITH t AS (SELECT doc_id, length(text) AS tc, {_SQL_TOKS_LOWER} AS l FROM documents),

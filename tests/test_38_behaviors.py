@@ -93,3 +93,25 @@ def test_hybrid_blocked_inside_compound(spark, sf_dir):
         eng.search({"function_score": {"query": hybrid, "functions": []}})
     with pytest.raises(ValueError, match="script_score"):
         eng.search({"script_score": {"query": hybrid, "script": "_score"}})
+
+
+def test_previous_score_field_collision_rejected(spark, sf_dir):
+    """previous_score_field exists to AVOID collisions (#1880) — a name
+    that collides with score/id/target must raise, not produce
+    duplicate columns."""
+    import pytest
+
+    from neural_search_spark.operators.rerank import rerank_by_field
+    from neural_search_spark import catalog
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    results = docs.selectExpr("doc_id", "1.0 as score").limit(3)
+    for bad in ("score", "doc_id", "n_tokens"):
+        with pytest.raises(ValueError, match="collides"):
+            rerank_by_field(
+                results,
+                docs.selectExpr("doc_id", "doc_id as n_tokens"),
+                target_field="n_tokens",
+                keep_previous_score=True,
+                previous_score_field=bad,
+            )

@@ -63,3 +63,37 @@ def test_repetition_short_doc_survives(spark):
     out = gopher_repetition_frame(_docs(spark, [(1, "solo")])).collect()
     assert len(out) == 1
     assert out[0]["top2_frac"] == 0.0 and out[0]["rep_keep"]
+
+
+def test_quality_boundary_inclusive(spark):
+    # Rae et al. A1.1 REMOVES docs with symbol ratio > 0.1 / alpha
+    # fraction < 0.8 — a doc sitting EXACTLY on either boundary is kept.
+    # 60 words + 6 '#' chars appended to the last word: 6/60 == 0.1
+    words = ("the quick brown fox jumps over lazy dogs and cats with glee "
+             * 5).split()
+    assert len(words) == 60
+    words_sym = words[:-1] + [words[-1] + "######"]
+    doc_sym = " ".join(words_sym)
+    # 48 alphabetic words + 12 digit-only words: 48/60 == 0.8
+    words_alpha = words[:48] + [str(100 + i) for i in range(12)]
+    doc_alpha = " ".join(words_alpha)
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_frame(
+            _docs(spark, [(1, doc_sym), (2, doc_alpha)])
+        ).collect()
+    }
+    assert out[1]["symbol_ratio"] == 0.1
+    assert out[1]["rule_symbol"], "symbol_ratio == 0.1 must be kept (<=)"
+    assert out[2]["alpha_frac"] == 0.8
+    assert out[2]["rule_alpha"], "alpha_frac == 0.8 must be kept (>=)"
+
+
+def test_repetition_output_globally_sorted(spark):
+    # the contract guarantees ORDER BY doc_id; the input sort + 1:1
+    # kernel + sortWithinPartitions must survive a multi-partition,
+    # shuffled-input frame (ids inserted in reverse order)
+    rows = [(int(i), f"tok{i} " * 8) for i in range(499, -1, -1)]
+    df = _docs(spark, rows).repartition(8)
+    got = [r["doc_id"] for r in gopher_repetition_frame(df).collect()]
+    assert got == sorted(got)

@@ -52,3 +52,19 @@ def test_overlapping_windows_merge(spark):
     assert out[0]["n_removed"] == 0
     assert out[1]["n_removed"] == 7  # merged coverage, not 15
     assert out[1]["kept_text"] == "y"
+
+
+def test_packed_key_preconditions_guarded(spark):
+    """The doc_id*1e6+pos occurrence key is load-bearing — violating
+    its preconditions must fail loudly, never mis-trim."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from neural_search_spark.operators.dedup import exact_substring_dedup
+
+    neg = spark.createDataFrame(
+        [(-1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Py4JJavaError, match="negative id"):
+        exact_substring_dedup(neg).collect()
