@@ -248,6 +248,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # FULL per-query map persisted in-repo every run: the driver's
+    # 2000-char stdout tail forces the payload below to drop entries
+    # (58 of 133 in r5), which cost round-over-round comparability.
+    # BENCH_full_r{N}.json keeps every timing; N comes from the highest
+    # existing CORRECTNESS_r{N}.json + 1 (the round being built), or
+    # BENCH_FULL_TAG when set.
+    try:
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        tag = os.environ.get("BENCH_FULL_TAG")
+        if not tag:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+            ]
+            tag = f"r{(max(rounds) + 1 if rounds else 1):02d}"
+        with open(os.path.join(here, f"BENCH_full_{tag}.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_query_suite_total",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "queries_cold": cold,
+                    "cold_total": round(sum(cold.values()), 3),
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError as e:  # never let bookkeeping kill the bench
+        print(f"BENCH_full write failed: {e}", file=sys.stderr)
+
     # SIZE CONTRACT: the driver captures only the LAST 2000 chars of
     # stdout and parses the JSON out of that tail — a payload longer
     # than the buffer arrives truncated mid-document and parses as

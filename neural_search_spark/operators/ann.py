@@ -396,46 +396,68 @@ def lsh_multitable_neardup_blocked(
             .dropDuplicates(["a", "b"])
         )
 
-    # --- hot-bucket grid path -------------------------------------------
+    # --- hot-bucket grid path, gated on OBSERVED bucket size -------------
+    # The grid engages PER BUCKET: a window count over the SAME
+    # (table, bucket) hash partitioning the scoring groupBy needs
+    # routes each bucket, so buckets at or under the bound take the
+    # direct one-task path and only oversized ones pay the splitting.
+    # (A groupBy-count + broadcast-join-back was rejected: the size
+    # frame has one row per non-empty bucket, which at N-scaled plane
+    # counts grows with the corpus — not broadcastable at 100 TB.)
+    #
+    # Cell replication is ONE explode, not joins: with cnt and bn in
+    # hand, a row in block bn derives its own grid cells — A side of
+    # (bn, j) for j in bn..nbm, B side of (i, bn) for i < bn (the
+    # diagonal cell reads A rows only). The earlier 3-consumer shape
+    # (grid frame + rows_a/rows_b equi-joins) re-computed the bucket-
+    # hash scan three times and measured ~30-50% no-op overhead; the
+    # explode keeps the big branch one linear chain. Replication is
+    # still ~nb copies per row, materialized by the generator, never
+    # nb², and the (table, bucket, bn_a, bn_b) shuffle spreads cells
+    # across the cluster.
     from pyspark.sql import Window
 
+    wcnt = Window.partitionBy("table", "bucket")
+    tagged = laid.withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
+    small = tagged.where(F.col("__cnt") <= max_block_rows).drop("__cnt")
+    small_pairs = small.groupBy("table", "bucket").applyInPandas(
+        score_bucket, "a long, b long, cosine double"
+    )
+
     w = Window.partitionBy("table", "bucket").orderBy(id_col)
-    blocked = laid.withColumn(
-        "bn", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_rows)).cast("int")
-    )
-    # block-pair frame: one row per grid cell (bi ≤ bj) per bucket —
-    # nb² rows per bucket where nb = ceil(|bucket|/B), tiny vs the data
-    grid = (
-        blocked.groupBy("table", "bucket")
-        .agg(F.max("bn").alias("nbm"))
-        .select(
-            F.col("table").alias("gt"),
-            F.col("bucket").alias("gb"),
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, nbm), i ->"
-                    " transform(sequence(i, nbm), j ->"
-                    " struct(i AS bn_a, j AS bn_b))))"
-                )
-            ).alias("p"),
+    blocked = (
+        tagged.where(F.col("__cnt") > max_block_rows)
+        .withColumn(
+            "bn",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_rows))
+            .cast("int"),
         )
-        .select("gt", "gb", F.col("p.bn_a").alias("bn_a"), F.col("p.bn_b").alias("bn_b"))
+        .withColumn(
+            "nbm",
+            (((F.col("__cnt") - F.lit(1)) / F.lit(max_block_rows)).cast("int")),
+        )
     )
-    # a row in block b joins every grid cell where it is the A side
-    # (bn == bn_a) or the B side (bn == bn_b) — 3-key equi-joins, so a
-    # row is replicated ~nb times, never nb²
-    rows_a = blocked.join(
-        grid,
-        (F.col("table") == F.col("gt"))
-        & (F.col("bucket") == F.col("gb"))
-        & (F.col("bn") == F.col("bn_a")),
-    ).select("table", "bucket", "bn_a", "bn_b", id_col, "__v", F.lit("A").alias("side"))
-    rows_b = blocked.join(
-        grid,
-        (F.col("table") == F.col("gt"))
-        & (F.col("bucket") == F.col("gb"))
-        & (F.col("bn") == F.col("bn_b")),
-    ).select("table", "bucket", "bn_a", "bn_b", id_col, "__v", F.lit("B").alias("side"))
+    cells = blocked.select(
+        "table",
+        "bucket",
+        F.col(id_col),
+        "__v",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(sequence(bn, nbm),"
+                "           j -> struct(bn AS bn_a, j AS bn_b, 'A' AS side)),"
+                " CASE WHEN bn > 0 THEN"
+                "   transform(sequence(0, bn - 1),"
+                "             i -> struct(i AS bn_a, bn AS bn_b, 'B' AS side))"
+                " ELSE array() END)"
+            )
+        ).alias("c"),
+    ).select(
+        "table", "bucket",
+        F.col("c.bn_a").alias("bn_a"), F.col("c.bn_b").alias("bn_b"),
+        id_col, "__v", F.col("c.side").alias("side"),
+    )
 
     def score_grid(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -482,12 +504,14 @@ def lsh_multitable_neardup_blocked(
         hi = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"a": lo, "b": hi, "cosine": cosv})
 
-    return (
-        rows_a.unionByName(rows_b)
-        .groupBy("table", "bucket", "bn_a", "bn_b")
+    big_pairs = (
+        cells.groupBy("table", "bucket", "bn_a", "bn_b")
         .applyInPandas(score_grid, "a long, b long, cosine double")
-        .dropDuplicates(["a", "b"])
     )
+    # one global pair-dedup across both branches: the same pair can
+    # surface from a small bucket in one table and a split bucket in
+    # another
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
 
 
 def lsh_topk(

@@ -2598,7 +2598,57 @@ class Engine:
             self._evt("agentic_query_requests")
             self._evt("agentic_query_translator_processor_executions")
             self._evt("agentic_context_processor_executions")
-            translated = self.agent_translate(body["query_text"])
+            # failure surface mirrors
+            # `processor/AgenticQueryTranslatorProcessor.java:97-230` +
+            # `query/AgenticSearchQueryBuilder.java:126-166`: the
+            # failure reason is recorded on the context (the
+            # setAgentFailureReason channel) BEFORE the error raises.
+
+            def _agent_fail(reason: str, blocked: bool = False):
+                self.last_agent_context = {
+                    "question": body.get("query_text"),
+                    "dsl_query": None,
+                    "agent_failure_reason": reason,
+                }
+                verb = "blocked" if blocked else "failed"
+                raise ValueError(f"Agentic search {verb} - {reason}")
+
+            qt = body.get("query_text")
+            if not isinstance(qt, str) or not qt.strip():
+                _agent_fail("[query_text] is required")
+            unknown = set(body) - {"query_text", "query_fields"}
+            if unknown:
+                _agent_fail(f"Unknown field [{sorted(unknown)[0]}]")
+            qfields = body.get("query_fields") or []
+            if len(qfields) > 25:
+                _agent_fail("Too many query fields. Maximum allowed is 25")
+            # agentic must be used ALONE — no other search features
+            # (hasOtherSearchFeatures: aggs/sort/highlight/post_filter/
+            # suggest/rescore/collapse); here those arrive through the
+            # pipeline dict
+            features = {"collapse", "sort", "rescore", "highlight",
+                        "post_filter", "suggest", "aggs"}
+            bad = features & set(pipeline or {})
+            if bad:
+                _agent_fail(
+                    "Invalid usage with other search features like "
+                    f"aggregation, sort, filters, collapse: {sorted(bad)}",
+                    blocked=True,
+                )
+            try:
+                translated = self.agent_translate(qt)
+            except Exception as e:  # Agent execution error path
+                _agent_fail(f"Agent execution error - {e}")
+            if translated is None:
+                _agent_fail("Null response from agent")
+            if not isinstance(translated, dict):
+                _agent_fail(f"Parse error - agent reply is not a DSL "
+                            f"dict: {type(translated).__name__}")
+            import json as _json
+
+            if len(_json.dumps(translated)) > 10_000:
+                # MAX_AGENT_RESPONSE_SIZE, AgenticQueryTranslatorProcessor.java:54
+                _agent_fail("Response size exceeded limit", blocked=True)
             # Q10 agentic_context response processor: expose the agent's
             # question + emitted DSL (`processor/AgenticContextResponseProcessor.java`)
             self.last_agent_context = {

@@ -1384,3 +1384,114 @@ def test_function_score_random_score_deterministic(engine):
     assert shared
     assert any(abs(a[d] - c[d]) > 1e-9 for d in shared)
     assert all(0.0 <= s < 1.0 for s in a.values())
+
+
+def test_agentic_failure_paths(spark, sf_dir):
+    """The reference's agentic failure surface
+    (`processor/AgenticQueryTranslatorProcessor.java:97-230`,
+    `query/AgenticSearchQueryBuilder.java:126-166`): every failure
+    records its reason on the agentic context (the
+    setAgentFailureReason channel) and raises with the blocked/failed
+    verb the reference uses."""
+    import pytest
+
+    eng = Engine(spark, sf_dir)
+
+    # 1. empty / missing query_text -> "[query_text] is required"
+    for bad_body in ({"query_text": "   "}, {"query_text": None}, {}):
+        with pytest.raises(ValueError, match=r"\[query_text\] is required"):
+            eng.search({"agentic": bad_body})
+        assert "required" in eng.last_agent_context["agent_failure_reason"]
+
+    # 2. unknown body field -> parse error, like fromXContent
+    with pytest.raises(ValueError, match="Unknown field"):
+        eng.search({"agentic": {"query_text": "spark", "boost": 2.0}})
+
+    # 3. > 25 query_fields -> "Too many query fields"
+    with pytest.raises(ValueError, match="Too many query fields"):
+        eng.search({"agentic": {
+            "query_text": "spark",
+            "query_fields": [f"f{i}" for i in range(26)],
+        }})
+
+    # 4. agentic must be used ALONE (hasOtherSearchFeatures) -> blocked
+    with pytest.raises(ValueError, match="Agentic search blocked"):
+        eng.search(
+            {"agentic": {"query_text": "spark"}},
+            pipeline={"collapse": {"field": "lang"}},
+        )
+    assert "Invalid usage" in eng.last_agent_context["agent_failure_reason"]
+
+    # 5. agent raises -> "Agent execution error"
+    def boom(q):
+        raise RuntimeError("model exploded")
+
+    eng_boom = Engine(spark, sf_dir, agent_translate=boom)
+    with pytest.raises(ValueError, match="Agent execution error"):
+        eng_boom.search({"agentic": {"query_text": "spark"}})
+    assert "model exploded" in (
+        eng_boom.last_agent_context["agent_failure_reason"]
+    )
+
+    # 6. null reply -> "Null response from agent"
+    eng_null = Engine(spark, sf_dir, agent_translate=lambda q: None)
+    with pytest.raises(ValueError, match="Null response from agent"):
+        eng_null.search({"agentic": {"query_text": "spark"}})
+
+    # 7. non-dict reply -> "Parse error"
+    eng_str = Engine(spark, sf_dir, agent_translate=lambda q: "not json")
+    with pytest.raises(ValueError, match="Parse error"):
+        eng_str.search({"agentic": {"query_text": "spark"}})
+
+    # 8. oversized reply (> MAX_AGENT_RESPONSE_SIZE = 10000 chars) ->
+    #    blocked, reference AgenticQueryTranslatorProcessor.java:164
+    eng_big = Engine(
+        spark, sf_dir,
+        agent_translate=lambda q: {
+            "match": {"field": "text", "query": "x" * 11_000}
+        },
+    )
+    with pytest.raises(ValueError, match="Response size exceeded limit"):
+        eng_big.search({"agentic": {"query_text": "spark"}})
+
+
+def test_agentic_golden_adversarial():
+    """Adversarial / ambiguous questions pin the rule precedence so a
+    future translator change cannot silently reorder it."""
+    # conflicting modifiers: semantic markers outrank lexical ones
+    # (rule order: similar/like > exact/keyword > sparse)
+    assert _agentic_translate("exact keyword but similar to spark") == {
+        "neural": {"query_text": "but spark"}
+    }
+    # "not" inside an exclusion with no object: exclusion list empty,
+    # falls back to a must-only bool (no must_not key)
+    assert _agentic_translate("spark streaming not") == {
+        "bool": {"must": {"match": {"field": "text",
+                                    "query": "spark streaming"}}}
+    }
+    # stopword-only question: every token filtered, default hybrid over
+    # an empty core query (search still executes; embeds "")
+    assert _agentic_translate("the and for") == {
+        "hybrid": {"queries": [
+            {"neural": {"query_text": ""}},
+            {"match": {"field": "text", "query": ""}},
+        ]}
+    }
+    # size 0 is translated verbatim (the engine, like OpenSearch,
+    # returns zero hits rather than erroring)
+    assert _agentic_translate("top 0 spark joins") == {
+        "size": 0,
+        "query": {"hybrid": {"queries": [
+            {"neural": {"query_text": "spark joins"}},
+            {"match": {"field": "text", "query": "spark joins"}},
+        ]}},
+    }
+    # downrank with no object: negative leg is the never-matching
+    # FALSE filter, positives keep full score
+    assert _agentic_translate("spark joins downrank") == {
+        "boosting": {
+            "positive": {"match": {"field": "text", "query": "spark joins"}},
+            "negative_boost": 0.5,
+            "negative": "FALSE",
+        }
+    }
