@@ -12409,7 +12409,7 @@ def _gopher_rep_batches(batches):
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
 
 
-def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
+def gopher_repetition_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Gopher repetition-fraction family: for n = 2..4 the fraction of
     document characters covered by the single most-frequent n-gram
     (occurrences x gram chars / doc chars), for n = 5..10 the fraction
@@ -12440,9 +12440,16 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     # warm at sf0.1). The sort exists only for contract display order
     # — a production 100 TB run drops it and the whole query is a
     # pure shuffle-free map over the scan.
-    kern = docs.select(
+    base = docs.select(
         "doc_id", F.length("text").cast("int").alias("tc"), "text"
-    ).orderBy("doc_id").mapInPandas(
+    )
+    # ordered=False also makes the frame STREAMING-COMPATIBLE: the
+    # kernel is a stateless 1:1 map, so with the sorts skipped it
+    # applies unchanged to a readStream source (streaming forbids
+    # sorting; tests/test_streaming_quality_gate.py runs exactly this)
+    if ordered:
+        base = base.orderBy("doc_id")
+    kern = base.mapInPandas(
         _gopher_rep_batches,
         "doc_id long, tc int, "
         + ", ".join(f"t{n} long" for n in GOPHER_TOP_FRAC_MAX)
@@ -12457,8 +12464,9 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     # sort. sortWithinPartitions is shuffle-free and needs no
     # range-sampling pass, so the kernel still executes once; the
     # cross-partition invariant (range partitions collect in ascending
-    # order) is asserted by tests/test_gopher_repetition.py.
-    kern = kern.sortWithinPartitions("doc_id")
+    # order) is asserted by tests/test_gopher_rules.py.
+    if ordered:
+        kern = kern.sortWithinPartitions("doc_id")
     frac = lambda c: F.when(  # noqa: E731
         F.col("tc") > 0,
         F.round(c.cast("double") / F.col("tc"), 4),

@@ -48,3 +48,119 @@ def test_stream_matches_batch(spark, tmp_path):
     keeps = {r["doc_id"]: r["keep_core"] for r in got}
     assert keeps[1] and keeps[4]
     assert not keeps[2] and not keeps[3]
+
+
+def test_repetition_stream_matches_batch(spark, tmp_path):
+    """The Gopher repetition kernel is a stateless 1:1 mapInPandas, so
+    with ordered=False it runs unchanged on a readStream source —
+    micro-batch union must equal the batch frame row-for-row."""
+    from neural_search_spark.registry import gopher_repetition_frame
+
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, " ".join([phrase] * 12)),           # fails dup5..10 + top2
+        (2, " ".join(f"w{i:03d}" for i in range(60))),  # all-distinct
+        (3, "solo"),                             # no 2-gram at all
+        (4, " ".join(["x y"] * 30)),             # top2 dominated
+    ]
+    src = str(tmp_path / "rep_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src + "/f1")
+    df.coalesce(1).write.parquet(src + "/f2")  # second micro-batch (dup ids ok: stateless)
+
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_frame(df, ordered=False).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = []
+    q = (
+        gopher_repetition_frame(stream, ordered=False)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rep_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 2 * len(rows)
+    for r in got:
+        assert r.asDict() == batch[r["doc_id"]]
+    keeps = {r["doc_id"]: r["rep_keep"] for r in got}
+    assert not keeps[1] and keeps[2] and keeps[3] and not keeps[4]
+
+
+def test_classifier_gate_stream_matches_batch(spark, tmp_path):
+    """Model-scored quality gate as a streaming stage: the logistic
+    regression trains BATCH-side (multi-pass GD cannot stream), the
+    learned weights broadcast into the stream, and the scoring
+    projection (logreg_predict — one codegen select) runs per
+    micro-batch. Stream scores must equal the batch scores
+    row-for-row — the FineWeb-EDU-style train-offline / score-in-
+    stream split a 100 TB ingest pipeline uses."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.operators import classify as CLF
+    from neural_search_spark.registry import gopher_quality_frame
+
+    rows = [
+        (i, " ".join(
+            ["the quick brown fox jumps and runs with glee"] * (3 + i % 5)
+        ) if i % 3 else "short text " * 2)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def feats_of(frame):
+        from neural_search_spark.functions.sparse import tokens as _toks
+
+        return frame.select(
+            "doc_id",
+            F.lit(1.0).alias("x0"),
+            (F.length("text").cast("double") / F.lit(1000.0)).alias("x1"),
+            (F.size(_toks(F.col("text"))).cast("double") / F.lit(100.0))
+            .alias("x2"),
+        )
+
+    labels = gopher_quality_frame(df, ordered=False).select(
+        "doc_id", F.col("keep_core").cast("double").alias("y")
+    )
+    train = feats_of(df).join(labels, "doc_id")
+    w = CLF.logreg_train(train, rounds=20, lr=1.0)  # batch-side training
+
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in CLF.logreg_predict(feats_of(df), w).collect()
+    }
+
+    src = str(tmp_path / "clf_src")
+    df.coalesce(1).write.parquet(src + "/f1")
+    df.coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = []
+    q = (
+        CLF.logreg_predict(feats_of(stream), w)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "clf_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 2 * len(rows)
+    for r in got:
+        assert r.asDict() == batch[r["doc_id"]]
+    # the gate discriminates on this stream (both classes present)
+    preds = {r["doc_id"]: r["p"] if "p" in r.asDict() else None for r in got}
+    assert preds, "no predictions collected"
