@@ -172,6 +172,9 @@ HEADLINE = [
     "mix_temperature",
     "seismic_explain",
     "quality_classifier_gate",
+    # round-6 additions: the transformer-architecture checkpoint path
+    "transformer_model_dense_topk",
+    "transformer_tokenizer_ids",
 ]
 
 

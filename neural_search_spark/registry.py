@@ -5371,188 +5371,97 @@ for _name, _fn in [
 #              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
-    # ===== ROUND-5 WINDOW (first 50) =====
-    # NEW this round: trained LSA encoder end-to-end (learned
-    # eigenvector weights, scripts/train_encoder.py), CCNet-style
-    # perplexity bucketing
-    "trained_model_dense_topk", "trained_model_hybrid",
-    "ccnet_ppl_buckets",
-    # NEW this round: Gopher quality-rule gate + repetition-fraction
-    # family (Rae et al. 2021 Appendix A1.1), soft-dedup weighting,
-    # temperature-resampled source mixture
-    "text_gopher_quality", "text_gopher_repetition", "dedup_soft_weights",
-    "mix_temperature", "seismic_explain", "quality_classifier_gate",
-    # CODE-CHANGED this round: max_bucket keys array → joined string
-    # (the one r4 driver failure), z-score → sample stddev, simhash
-    # hamming rewrite + vectorized media fingerprint kernels
-    "dsl_agg_max_bucket", "n3_zscore_fusion",
-    "mm_phash_neardup", "mm_audio_neardup",
-    "dedup_simhash", "dedup_simhash_neardup",
-    "scroll_page2", "scroll_sliced",
-    # never-graded fill, in standing order (round-5 spillover)
-    "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
-    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
-    "mget_docs", "field_caps", "search_template_match",
-    "search_fetch_fields", "completion_suggest",
-    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
-    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
-    "dsl_agg_t_test", "dsl_agg_geo_bounds",
-    "cross_index_search", "script_score_cosine", "cross_index_boosted",
-    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
-    "wrapper_match", "query_string_bool", "query_string_field_boost",
-    "match_all_page", "function_score_full",
-    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation", "dsl_agg_matrix_stats",
+    # ===== ROUND-6 WINDOW (first 50) =====
+    # NEW this round: the transformer ARCHITECTURE executes in-repo
+    # (tiny 2-layer/2-head distilled checkpoint through
+    # models.transformer_checkpoint_loader; dense top-k rows-only +
+    # integer-exact tokenizer oracle)
+    "transformer_model_dense_topk", "transformer_tokenizer_ids",
+    # CODE-CHANGED this round: Gopher keep rules inclusive at the
+    # thresholds (quality + repetition + the classifier gate's weak
+    # labels), exact-substring packed-key guard, hot-bucket grid gated
+    # on observed bucket size + explode-based cell replication
+    "text_gopher_quality", "text_gopher_repetition",
+    "quality_classifier_gate", "substring_dedup", "emb_neardup_grid",
+    # never-graded fill, in standing order (round-6: agg tree
+    # remainder, geo, TPC-H breadth, events/temporal, selection)
     "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
-    "dsl_agg_filters", "dsl_agg_rare_terms",
-    "geo_distance",
-    # ===== ROUND-4 WINDOW (graded r4; rotates behind the r5 window) =====
-    # NEW this round: N-scaled dedup flagships, real-checkpoint model
-    # path, semantic-highlight model tier
-    "emb_neardup_scaled", "semantic_dedup_scaled",
-    "real_model_dense_topk", "real_model_hybrid", "semantic_highlight_best",
-    "update_by_query", "substring_dedup", "text_bigram_nll",
-    "emb_neardup_grid", "split_leakage_safe", "mm_phash_neardup",
-    "mm_audio_neardup",
-    # CODE-CHANGED this round: P2 filter pushdown reached every leaf
-    # (span/intervals/parent-child/bool-prefix/combined_fields/
-    # terms_lookup/sloppy-phrase), artifact-store routing for
-    # BM25/positional/chunk queries, single-scan rank_eval,
-    # search_after-backed scroll
-    "has_child_sum", "has_parent_inherit", "parent_id_children",
-    "dsl_agg_children", "dsl_agg_nested_reverse",
-    "rank_eval_metrics", "scroll_page2", "scroll_sliced",
-    "match_phrase_slop", "span_or", "span_first", "span_not",
-    "span_containing", "span_within", "span_near", "intervals_ordered",
-    "match_bool_prefix", "combined_fields", "terms_lookup",
-    "rescore_weighted", "bm25_match", "match_phrase", "nested_inner_hits",
-    # NEVER-GRADED fill, in standing order (agg tree, selection,
-    # suggesters) — positions 29-50
-    "dsl_agg_terms_nested", "dsl_agg_top_hits", "dsl_agg_extended_stats",
-    "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
-    "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
-    "dsl_agg_diversified_sampler", "dsl_agg_max_bucket",
-    "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
-    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text",
-    "dsl_agg_global", "dsl_agg_date_histogram_fixed",
-    "dsir_select", "phrase_suggest",
-    "dsl_agg_auto_date_histogram", "dsl_agg_date_range",
-    "dsl_agg_top_metrics", "dsl_agg_mad",
-    # ===== below position 50: round-5 spillover (never-graded order
-    # preserved), then the already-graded r1-r3 names at the back =====
-    "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
-    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
-    "mget_docs", "field_caps", "search_template_match",
-    "search_fetch_fields", "completion_suggest",
-    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
-    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
-    "dsl_agg_t_test", "dsl_agg_geo_bounds",
-    "cross_index_search", "script_score_cosine", "cross_index_boosted",
-    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
-    "wrapper_match", "query_string_bool", "query_string_field_boost",
-    "match_all_page", "function_score_full",
-    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation", "dsl_agg_matrix_stats",
-    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
-    "dsl_agg_filters", "dsl_agg_rare_terms",
-    "geo_distance", "geo_bounding_box", "geotile_grid",
+    "dsl_agg_filters", "dsl_agg_rare_terms", "geo_distance",
+    "dsl_agg_date_histogram_fixed", "dsir_select", "phrase_suggest",
+    "dsl_agg_auto_date_histogram", "dsl_agg_date_range", "dsl_agg_top_metrics",
+    "dsl_agg_mad", "geo_bounding_box", "geotile_grid",
     "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
     "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
-    "terms_set",
-    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
-    "events_user_deltas", "events_user_cumulative", "events_pivot",
-    "events_histogram", "events_ntile", "events_argmax", "events_cube",
-    "events_json_extract",
+    "terms_set", "tpch_q2", "tpch_q4",
+    "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q13", "tpch_q16", "tpch_q20",
+    "tpch_q21", "events_user_deltas", "events_user_cumulative",
+    "events_pivot", "events_histogram", "events_ntile",
+    "events_argmax", "events_cube", "events_json_extract",
     "customer_no_orders", "docs_grouping_sets", "topk_per_group",
-    "split_train_valid_test", "sample_stratified_hash", "sample_weighted",
-    "emb_centroids", "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
+    "split_train_valid_test",
+    # ===== below position 50: round-6 spillover (never-graded order
+    # preserved — these are the r7 window fill), then every
+    # previously-graded name rotated to the back =====
+    "sample_stratified_hash", "sample_weighted", "emb_centroids",
+    "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
     "text_bigram_pmi", "text_normalize", "decontaminate_overlap",
     "text_repetition", "vocab_coverage", "text_unigram_nll",
     "text_source_kl", "mine_hard_negatives", "label_rebalance",
-    "fuzzy_match", "prefix_suggest", "more_like_this", "next_word_suggest",
-    "mm_media_meta", "late_interaction_maxsim",
-    # --- graded in r1-r3 (rotate to the back for re-verification) ---
+    "fuzzy_match", "prefix_suggest", "more_like_this",
+    "next_word_suggest", "mm_media_meta", "late_interaction_maxsim",
+    "batch_dense_topk", "batch_sparse_topk", "events_sessionize",
+    "events_session_window", "r10_dense_rescore", "events_sliding_window",
+    "batch_hybrid_fusion", "tpch_q3", "tpch_q6",
+    "r7_seismic_sparse_ann", "f1_dense_embed_stub", "events_approx_distinct",
+    "events_approx_quantiles", "ann_lsh_multitable", "shuffle_deterministic",
+    "trained_model_dense_topk", "trained_model_hybrid", "ccnet_ppl_buckets",
+    "dedup_soft_weights", "mix_temperature", "seismic_explain",
+    "dsl_agg_max_bucket", "n3_zscore_fusion", "mm_phash_neardup",
+    "mm_audio_neardup", "dedup_simhash", "dedup_simhash_neardup",
+    "scroll_page2", "scroll_sliced", "dsl_agg_boxplot",
+    "dsl_agg_scripted_metric", "dsl_agg_bucket_script", "dsl_agg_cumulative_cardinality",
+    "dsl_agg_geo_centroid", "mget_docs", "field_caps",
+    "search_template_match", "search_fetch_fields", "completion_suggest",
+    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket", "dsl_agg_normalize",
+    "dsl_agg_moving_fn", "dsl_agg_rate", "dsl_agg_t_test",
+    "dsl_agg_geo_bounds", "cross_index_search", "script_score_cosine",
+    "cross_index_boosted", "distance_feature", "dsl_agg_moving_percentiles",
+    "sort_script_page", "wrapper_match", "query_string_bool",
+    "query_string_field_boost", "match_all_page", "function_score_full",
+    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
+    "rank_feature_saturation", "dsl_agg_matrix_stats", "emb_neardup_scaled",
+    "semantic_dedup_scaled", "real_model_dense_topk", "real_model_hybrid",
+    "semantic_highlight_best", "update_by_query", "text_bigram_nll",
+    "split_leakage_safe", "has_child_sum", "has_parent_inherit",
+    "parent_id_children", "dsl_agg_children", "dsl_agg_nested_reverse",
+    "rank_eval_metrics", "match_phrase_slop", "span_or",
+    "span_first", "span_not", "span_containing",
+    "span_within", "span_near", "intervals_ordered",
+    "match_bool_prefix", "combined_fields", "terms_lookup",
+    "rescore_weighted", "bm25_match", "match_phrase",
+    "nested_inner_hits", "dsl_agg_terms_nested", "dsl_agg_top_hits",
+    "dsl_agg_extended_stats", "dsl_agg_string_stats", "dsl_agg_missing",
+    "dsl_agg_multi_terms", "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
+    "dsl_agg_diversified_sampler", "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
+    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text", "dsl_agg_global",
     "emb_neardup_cosine", "emb_neardup_exact", "bm25_match_folded",
     "kmeans_clusters", "semantic_dedup", "dedup_span_windows",
     "domain_cap_sample", "bpe_merge_pairs", "ann_ivfpq_topk",
     "bpe_token_count", "multi_match_best_fields", "multi_match_most_fields",
-    "term_suggest", "nb_lang_predict", "ann_sq8_topk", "matryoshka_topk",
-    "match_phrase_prefix",
-    "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
+    "term_suggest", "nb_lang_predict", "ann_sq8_topk",
+    "matryoshka_topk", "match_phrase_prefix", "dsl_agg_terms",
+    "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
     "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
     "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
-    "mm_audio_pcm_stats",
-    "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
-    "dsl_constant_score", "dsl_dis_max", "dsl_boosting", "dsl_script_score",
-    "logreg_lang_en", "bm25_explain_doc",
-    "r7_seismic_oracle_exact", "term_vectors_doc",
+    "mm_audio_pcm_stats", "bm25_match_stemmed", "bm25_edge_ngram",
+    "bm25_shingles", "dsl_constant_score", "dsl_dis_max",
+    "dsl_boosting", "dsl_script_score", "logreg_lang_en",
+    "bm25_explain_doc", "r7_seismic_oracle_exact", "term_vectors_doc",
     "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
-    "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q19", "tpch_q22",
-    # (below: the pre-rotation tail retained verbatim — every name is a
-    # duplicate of one placed above; dict construction in _ordered keeps
-    # the FIRST occurrence's position, so these are inert)
-    "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
-    "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
-    "dsl_agg_diversified_sampler", "dsl_agg_max_bucket",
-    "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
-    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text",
-    "dsl_agg_global", "dsl_agg_date_histogram_fixed",
-    # round-3 session-2: DSIR data selection + phrase suggester
-    "dsir_select", "phrase_suggest",
-    # round-3 session-4: remaining agg surface + endpoint parity (new →
-    # they head the ROUND-4 window per the rotation rule)
-    "dsl_agg_auto_date_histogram", "dsl_agg_date_range",
-    "dsl_agg_top_metrics", "dsl_agg_mad", "dsl_agg_boxplot",
-    "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
-    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
-    "mget_docs", "field_caps", "scroll_page2", "search_template_match",
-    "search_fetch_fields", "completion_suggest",
-    "span_or", "span_first", "intervals_ordered", "match_bool_prefix",
-    "combined_fields", "terms_lookup",
-    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
-    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
-    "dsl_agg_t_test", "dsl_agg_geo_bounds",
-    "match_phrase_slop", "nested_inner_hits", "cross_index_search",
-    "script_score_cosine", "rescore_weighted", "cross_index_boosted",
-    "span_not", "span_containing", "span_within",
-    "distance_feature", "dsl_agg_moving_percentiles",
-    "has_child_sum", "has_parent_inherit", "parent_id_children",
-    "dsl_agg_children", "dsl_agg_nested_reverse", "sort_script_page",
-    "wrapper_match", "scroll_sliced",
-    "query_string_bool", "query_string_field_boost", "match_all_page",
-    "function_score_full",
-    # new this round (graded r4 if the window overflows): bulk + visual
-    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation", "span_near", "dsl_agg_matrix_stats",
-    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
-    "dsl_agg_filters", "dsl_agg_rare_terms",
-    "geo_distance", "geo_bounding_box", "geotile_grid",
-    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
-    "terms_set",
-    # remaining never-graded TPC-H breadth
-    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q16", "tpch_q20", "tpch_q21",
-    # events/temporal never-graded
-    "events_user_deltas", "events_user_cumulative", "events_pivot",
-    "events_histogram", "events_ntile", "events_argmax", "events_cube",
-    "events_json_extract",
-    # relational/misc never-graded
-    "customer_no_orders", "docs_grouping_sets", "topk_per_group",
-    "split_train_valid_test", "sample_stratified_hash", "sample_weighted",
-    # embeddings / ANN never-graded
-    "emb_centroids", "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
-    # text/training-data never-graded
-    "text_bigram_pmi", "text_normalize", "decontaminate_overlap",
-    "text_repetition", "vocab_coverage", "text_unigram_nll",
-    "text_source_kl", "mine_hard_negatives", "label_rebalance",
-    # suggesters / lexical never-graded
-    "fuzzy_match", "prefix_suggest", "more_like_this", "next_word_suggest",
-    # multimodal metadata never-graded (r1-graded variant was mm_media_meta
-    # under rows? — it carries an oracle and has not been driver-hashed)
-    "mm_media_meta", "late_interaction_maxsim", "rank_eval_metrics",
+    "tpch_q7", "tpch_q8", "tpch_q12",
+    "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22",
 ]
 
 
@@ -11924,6 +11833,159 @@ if _TRAINED_MODEL_OK:
     ORACLES["trained_model_hybrid"] = trained_model_hybrid_oracle_sql()
     SPARK_QUERIES["trained_model_dense_topk"] = q_trained_model_dense_topk
     SPARK_QUERIES["trained_model_hybrid"] = q_trained_model_hybrid
+
+
+# ---------------------------------------------------------------------------
+# round-6: the transformer ARCHITECTURE executes in-repo (VERDICT r5
+# item 2). resources/tiny_transformer_32.npz is a 2-layer / 2-head /
+# d=32 transformer encoder (learned token + positional embeddings,
+# pre-LN multi-head self-attention, GELU FFN, final LN, masked mean
+# pooling, L2 normalize — functions/tinyformer.py) TRAINED in-repo by
+# scripts/train_transformer.py: hand-written analytic backprop
+# (finite-difference-verified) + Adam, distilling to the trained LSA
+# encoder's QUERY/PASSAGE targets. models.transformer_checkpoint_loader
+# runs the same load-once-per-worker / Arrow-batch lifecycle as every
+# other checkpoint (`ml/MLCommonsClientAccessor.java:110-175`), with
+# the e5-style [QRY]/[PSG] prefix-token asymmetry.
+#
+# Correctness split: the full forward pass (softmax attention,
+# layernorm, GELU) is float math DuckDB cannot replay bit-for-bit, so
+# transformer_model_dense_topk is a ROWS-ONLY contract query whose
+# fidelity gates live in tests/test_tinyformer.py (golden vectors,
+# attention invariants, order sensitivity no BOW model can show,
+# distillation recall vs the LSA teacher). The TOKENIZER half is
+# integer-exact, so transformer_tokenizer_ids is fully oracle-matched:
+# vocab lookup, [UNK] fallback, [PSG] prefix, max_len truncation.
+# ---------------------------------------------------------------------------
+
+TINYFORMER_MODEL_ID = "tiny-transformer-32"
+TINYFORMER_DIM = 32
+
+
+def _tinyformer_ckpt_path() -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources", "tiny_transformer_32.npz",
+    )
+
+
+def _register_tinyformer() -> bool:
+    import os as _os
+
+    path = _tinyformer_ckpt_path()
+    if not _os.path.exists(path):
+        return False
+    if TINYFORMER_MODEL_ID not in models.MODEL_REGISTRY:
+        models.register_model(
+            TINYFORMER_MODEL_ID,
+            models.transformer_checkpoint_loader(path),
+            dim=TINYFORMER_DIM,
+            batch_size=64,
+        )
+    return True
+
+
+_TINYFORMER_OK = _register_tinyformer()
+
+
+def q_transformer_model_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-k through the tiny TRANSFORMER checkpoint: query →
+    driver-side encode (coordinator hoisting, [QRY] prefix token),
+    corpus → executor-side re-embed through the iterator pandas UDF
+    ([PSG] prefix; attention + pooling run inside the Spark job),
+    standard R1 cosine TakeOrdered. Rows-only: softmax/layernorm float
+    math is not SQL-replayable — see tests/test_tinyformer.py for the
+    fidelity gates."""
+    eng = _agg_engine(spark, sf_dir)
+    out = eng.search(
+        {"neural": {
+            "query_text": TRAINED_MODEL_QUERY,
+            "model_id": TINYFORMER_MODEL_ID,
+            "k": K,
+        }},
+        size=K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _tinyformer_vocab() -> list[str]:
+    import numpy as _np
+
+    z = _np.load(_tinyformer_ckpt_path(), allow_pickle=True)
+    return [str(t) for t in z["vocab"]]
+
+
+def q_transformer_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformer's tokenizer as pure column expressions (no
+    UDF): lowercase whitespace split, vocab-map lookup with [UNK]=1
+    fallback, [PSG]=3 content-type prefix at pos 0, truncation to
+    max_len — integer-exact, so the DuckDB oracle replays it as a
+    vocab VALUES join. One row per (doc, position)."""
+    from .functions import tinyformer as _TF
+
+    vocab = _tinyformer_vocab()
+    max_len = 48
+    vmap = F.create_map(
+        *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    ids = F.concat(
+        F.array(F.lit(_TF.PSG)),
+        F.transform(
+            F.slice(toks, 1, max_len - 1),
+            lambda t: F.coalesce(
+                F.element_at(vmap, t), F.lit(_TF.UNK)
+            ).cast("int"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def transformer_tokenizer_oracle_sql() -> str:
+    from .functions import tinyformer as _TF
+
+    vocab = _tinyformer_vocab()
+    vrows = ",\n  ".join(
+        "('" + t.replace("'", "''") + "', " + str(i) + ")"
+        for i, t in enumerate(vocab)
+    )
+    return f"""
+WITH v(term, id) AS (VALUES
+  {vrows}
+),
+tl AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+  FROM documents
+),
+body0 AS (
+  SELECT tl.doc_id, u.i AS pos, ts[u.i] AS term
+  FROM tl, unnest(range(1, least(len(ts), 47) + 1)) u(i)
+),
+body AS (
+  SELECT b.doc_id, b.pos, coalesce(v.id, {_TF.UNK}) AS token_id
+  FROM body0 b LEFT JOIN v ON v.term = b.term
+)
+SELECT doc_id, pos, token_id FROM (
+  SELECT doc_id, 0 AS pos, {_TF.PSG} AS token_id FROM tl
+  UNION ALL
+  SELECT doc_id, pos, token_id FROM body
+) ORDER BY doc_id, pos
+"""
+
+
+if _TINYFORMER_OK:
+    SPARK_QUERIES["transformer_model_dense_topk"] = q_transformer_model_dense_topk
+    SPARK_QUERIES["transformer_tokenizer_ids"] = q_transformer_tokenizer_ids
+    ORACLES["transformer_tokenizer_ids"] = transformer_tokenizer_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

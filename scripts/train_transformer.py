@@ -43,7 +43,7 @@ RES = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "..", "neural_search_spark", "resources",
 )
-DIM, LAYERS, HEADS, FFN, MAX_LEN = 32, 2, 2, 64, 48
+DIM, LAYERS, HEADS, FFN, MAX_LEN = 32, 2, 4, 96, 101
 SEED = 20260815
 
 
@@ -70,8 +70,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--eval-sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--epochs", type=int, default=30)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=2e-3)
     args = ap.parse_args()
 
@@ -112,12 +112,25 @@ def main() -> None:
     vel = {k: np.zeros_like(params[k]) for k in mkeys}
     b1, b2, eps = 0.9, 0.999, 1e-8
     step = 0
-    order = np.arange(len(examples))
+    # length-bucketed batching: sort examples by token length once,
+    # form fixed batches over the sorted order, and shuffle BATCH
+    # order per epoch — attention cost is O(batch * max_len_in_batch^2),
+    # so batching similar lengths together cuts pad waste ~2-3x (the
+    # same layout lesson as the registry's q_inference_length_buckets)
+    by_len = np.argsort(
+        [len(examples[i][0].split()) for i in range(len(examples))],
+        kind="stable",
+    )
+    batches = [
+        by_len[s : s + args.batch]
+        for s in range(0, len(by_len), args.batch)
+    ]
     for epoch in range(args.epochs):
-        rng.shuffle(order)
+        border = np.arange(len(batches))
+        rng.shuffle(border)
         ep_loss, nb = 0.0, 0
-        for s in range(0, len(order), args.batch):
-            sel = order[s : s + args.batch]
+        for bi in border:
+            sel = batches[bi]
             # batch must share a content type for one forward pass —
             # split the minibatch by type, accumulate grads
             grads = {k: np.zeros_like(params[k]) for k in mkeys}
@@ -137,8 +150,7 @@ def main() -> None:
                 for k in mkeys:
                     grads[k] += g[k]
             step += 1
-            total_steps = args.epochs * ((len(order) + args.batch - 1)
-                                         // args.batch)
+            total_steps = args.epochs * len(batches)
             # linear warmup then cosine decay to 5% of peak
             warm = min(1.0, step / 100.0)
             prog = step / max(1, total_steps)
