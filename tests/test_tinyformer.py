@@ -196,3 +196,17 @@ def test_distillation_fidelity_vs_lsa_teacher():
         top_t = set(np.argsort(-(t_doc @ t_q[i]))[:10])
         rec.append(len(top_s & top_t) / 10.0)
     assert float(np.mean(rec)) >= 0.6
+
+
+def test_sentence_transformer_loader_error_path():
+    """The torch-backed loader path (models.sentence_transformer_loader)
+    cannot run in this container — assert it fails AT LOAD TIME with
+    the documented actionable ImportError, not at registration (the
+    lazy-loader contract every checkpoint shares)."""
+    import pytest
+
+    from neural_search_spark import models
+
+    loader = models.sentence_transformer_loader("/nonexistent/model")
+    with pytest.raises(ImportError, match="register a custom loader"):
+        loader()
