@@ -210,3 +210,20 @@ def test_sentence_transformer_loader_error_path():
     loader = models.sentence_transformer_loader("/nonexistent/model")
     with pytest.raises(ImportError, match="register a custom loader"):
         loader()
+
+
+def test_tokenizer_oracle_sf_independent(spark):
+    """The tokenizer contract query must hash-match its oracle at any
+    sf dir (constants like the vocab are checkpoint-resident, not
+    corpus-resident) — the driver grades at sf0.01, this pins sf0.001
+    too."""
+    from neural_search_spark import registry
+    from tests.oracle_check import compare
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ok, msg = compare(
+            registry.SPARK_QUERIES["transformer_tokenizer_ids"](spark, sf),
+            registry.ORACLES["transformer_tokenizer_ids"],
+            sf,
+        )
+        assert ok, f"{sf}: {msg}"
