@@ -43,7 +43,7 @@ RES = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "..", "neural_search_spark", "resources",
 )
-DIM, LAYERS, HEADS, FFN, MAX_LEN = 32, 2, 4, 96, 101
+DIM, LAYERS, HEADS, FFN, MAX_LEN = 32, 2, 4, 160, 101
 SEED = 20260815
 
 
