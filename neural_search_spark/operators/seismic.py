@@ -227,12 +227,16 @@ def seismic_search(
     # ~2.5 s → ~1.5 s warm. Term order is the fixed qt insertion order
     # (weight-desc, token tie-break), so the float sum is deterministic.
     cand = index.postings_clustered.join(F.broadcast(q_df), "token")
-    sdot = None
+    # seed 0.0 so an empty query map yields summary_dot = 0.0 (the
+    # F.aggregate fold this unrolling replaced returned 0.0 there, and
+    # a None seed would raise AttributeError at .alias below); 0.0 + x
+    # is exact in IEEE754, so the float-sum order is unchanged
+    sdot = F.lit(0.0)
     for t, w in qt.items():
         term = F.coalesce(
             F.element_at(F.col("summary"), F.lit(t)), F.lit(0.0)
         ) * F.lit(float(w))
-        sdot = term if sdot is None else sdot + term
+        sdot = sdot + term
     scored_clusters = cand.select("token", "cluster_id", "members", sdot.alias("summary_dot"))
 
     def exact_of(members_df: DataFrame) -> DataFrame:

@@ -5373,7 +5373,7 @@ for _name, _fn in [
 PRIORITY_50 = [
     # ===== ROUND-6 WINDOW (first 50) =====
     # NEW this round: the transformer ARCHITECTURE executes in-repo
-    # (tiny 2-layer/2-head distilled checkpoint through
+    # (tiny 2-layer/4-head distilled checkpoint through
     # models.transformer_checkpoint_loader; dense top-k rows-only +
     # integer-exact tokenizer oracle)
     "transformer_model_dense_topk", "transformer_tokenizer_ids",
@@ -11837,7 +11837,8 @@ if _TRAINED_MODEL_OK:
 
 # ---------------------------------------------------------------------------
 # round-6: the transformer ARCHITECTURE executes in-repo (VERDICT r5
-# item 2). resources/tiny_transformer_32.npz is a 2-layer / 2-head /
+# item 2). resources/tiny_transformer_32.npz is a 2-layer / 4-head
+# (ffn 160, max_len 101) /
 # d=32 transformer encoder (learned token + positional embeddings,
 # pre-LN multi-head self-attention, GELU FFN, final LN, masked mean
 # pooling, L2 normalize — functions/tinyformer.py) TRAINED in-repo by
@@ -11917,6 +11918,18 @@ def _tinyformer_vocab() -> list[str]:
     return [str(t) for t in z["vocab"]]
 
 
+def _tinyformer_max_len() -> int:
+    """max_len as the CHECKPOINT declares it (_meta = [n_layers,
+    n_heads, max_len]) — the tokenizer contract queries must follow
+    the model's actual truncation, not a hardcoded figure (round-7
+    advice fix: the shipped checkpoint was retrained with max_len 101
+    while the query still said 48)."""
+    import numpy as _np
+
+    z = _np.load(_tinyformer_ckpt_path(), allow_pickle=True)
+    return int(z["_meta"][2])
+
+
 def q_transformer_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transformer's tokenizer as pure column expressions (no
     UDF): lowercase whitespace split, vocab-map lookup with [UNK]=1
@@ -11926,7 +11939,7 @@ def q_transformer_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import tinyformer as _TF
 
     vocab = _tinyformer_vocab()
-    max_len = 48
+    max_len = _tinyformer_max_len()
     vmap = F.create_map(
         *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
     )
@@ -11953,22 +11966,28 @@ def transformer_tokenizer_oracle_sql() -> str:
     from .functions import tinyformer as _TF
 
     vocab = _tinyformer_vocab()
+    body_max = _tinyformer_max_len() - 1  # prefix token occupies pos 0
     vrows = ",\n  ".join(
         "('" + t.replace("'", "''") + "', " + str(i) + ")"
         for i, t in enumerate(vocab)
     )
+    # split on \s+ (regexp), NOT ' ': Spark's tokenizer splits on any
+    # whitespace run — a doc containing a tab or newline must tokenize
+    # identically on both engines (round-7 advice fix; planted-doc
+    # parity test in tests/test_tinyformer.py)
     return f"""
 WITH v(term, id) AS (VALUES
   {vrows}
 ),
 tl AS (
   SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS ts
   FROM documents
 ),
 body0 AS (
   SELECT tl.doc_id, u.i AS pos, ts[u.i] AS term
-  FROM tl, unnest(range(1, least(len(ts), 47) + 1)) u(i)
+  FROM tl, unnest(range(1, least(len(ts), {body_max}) + 1)) u(i)
 ),
 body AS (
   SELECT b.doc_id, b.pos, coalesce(v.id, {_TF.UNK}) AS token_id
@@ -12836,10 +12855,10 @@ _SQL_GOPHER_KEEP_CORE = f"""
          AND (CASE WHEN len(l) > 0 THEN round(
               (length(text) - length(replace(text, '#', ''))
                + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / len(l), 4)
-              ELSE 0.0 END) < {GOPHER_MAX_SYMBOL_RATIO}
+              ELSE 0.0 END) <= {GOPHER_MAX_SYMBOL_RATIO}
          AND (CASE WHEN len(l) > 0 THEN round(
               len(list_filter(l, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-              / len(l), 4) ELSE 0.0 END) > {GOPHER_MIN_ALPHA_FRAC}
+              / len(l), 4) ELSE 0.0 END) >= {GOPHER_MIN_ALPHA_FRAC}
     THEN 1.0 ELSE 0.0 END AS y
   FROM (SELECT doc_id, text, {_SQL_TOKS_LOWER} AS l FROM documents)
 """

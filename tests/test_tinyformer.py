@@ -227,3 +227,37 @@ def test_tokenizer_oracle_sf_independent(spark):
             sf,
         )
         assert ok, f"{sf}: {msg}"
+
+
+def test_tokenizer_oracle_tab_newline_parity(spark, tmp_path):
+    """Round-7 advice fix: Spark tokenizes on \\s+ while the oracle
+    used string_split(' ') — hash-equal only while the corpus is
+    single-spaced. Plant a doc containing tabs, newlines and CR and
+    assert the contract query still hash-matches its oracle."""
+    import pandas as pd
+
+    from neural_search_spark import registry
+    from tests.oracle_check import compare
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", f"{sf}/{t}.parquet")
+    docs = pd.read_parquet(f"{src}/documents.parquet")
+    planted = pd.DataFrame([
+        {"doc_id": 900001,
+         "text": "data\tpipeline\nquality   filter\r\nthe\t\tmodel",
+         "lang": "en", "source": "planted", "n_chars": 44},
+        {"doc_id": 900002, "text": "\n\t  \t", "lang": "en",
+         "source": "planted", "n_chars": 5},
+    ])
+    pd.concat([docs, planted], ignore_index=True).to_parquet(
+        f"{sf}/documents.parquet", index=False
+    )
+    ok, msg = compare(
+        registry.SPARK_QUERIES["transformer_tokenizer_ids"](spark, sf),
+        registry.ORACLES["transformer_tokenizer_ids"],
+        sf,
+    )
+    assert ok, msg
