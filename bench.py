@@ -175,6 +175,10 @@ HEADLINE = [
     # round-6 additions: the transformer-architecture checkpoint path
     "transformer_model_dense_topk",
     "transformer_tokenizer_ids",
+    # round-7 additions: hash-matchable integer-quantized transformer
+    # ranking; BPE-subword transformer tokenizer ids
+    "transformer_model_dense_topk_int",
+    "transformer_bpe_tokenizer_ids",
 ]
 
 

@@ -121,13 +121,19 @@ def merge_expr(sym: Column, pair: str) -> Column:
     return F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
 
 
-def encode_token_count(word: Column, merges: list[str]) -> Column:
-    """Symbols remaining in `word` after applying `merges` in order —
-    the word's BPE token count, as a pure codegen expression chain."""
+def encode_symbols(word: Column, merges: list[str]) -> Column:
+    """`word`'s BPE symbol sequence (array<string>, in order) after
+    applying `merges` — the replace chain as pure string expressions."""
     sym = symbolize(word)
     for pair in merges:
         sym = merge_expr(sym, pair)
-    return F.size(F.split(F.trim(sym), " "))
+    return F.split(F.trim(sym), " ")
+
+
+def encode_token_count(word: Column, merges: list[str]) -> Column:
+    """Symbols remaining in `word` after applying `merges` in order —
+    the word's BPE token count, as a pure codegen expression chain."""
+    return F.size(encode_symbols(word, merges))
 
 
 def doc_token_count(tokens_col: Column, merges: list[str]) -> Column:

@@ -267,12 +267,61 @@ class Tokenizer:
         return ids, mask
 
 
+class BPETokenizer(Tokenizer):
+    """Subword (BPE) tokenizer: lowercase whitespace words → the
+    learned merge chain (functions/bpe.py portable convention:
+    left-to-right non-overlapping replace where a match consumes its
+    right delimiter — identical semantics in Python str.replace, Spark
+    `replace`, and DuckDB `replace`, which is what keeps the
+    checkpoint's tokenization SQL-replayable) → symbol-id lookup with
+    [UNK] fallback, [QRY]/[PSG] prefix, max_len truncation. `vocab` is
+    SPECIALS + the symbol inventory; `merges` are 'a b' pair strings
+    in learned order — both stored IN the checkpoint, so the model
+    carries its whole tokenizer like a sentence-transformers bundle."""
+
+    def __init__(self, vocab: list[str], merges: list[str], max_len: int):
+        super().__init__(vocab, max_len)
+        self.merges = [str(m) for m in merges]
+        self._word_syms: dict[str, list[str]] = {}
+
+    def word_symbols(self, w: str) -> list[str]:
+        if w not in self._word_syms:
+            s = " " + "".join(c + " " for c in w)  # bpe.symbolize
+            for pair in self.merges:
+                a, b = pair.split(" ")
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+            self._word_syms[w] = s.split()
+        return self._word_syms[w]
+
+    def encode(self, text: str, content_type: str = "PASSAGE") -> list[int]:
+        prefix = QRY if content_type == "QUERY" else PSG
+        ids = [prefix]
+        for w in (text or "").lower().split():
+            if len(ids) >= self.max_len:
+                break
+            for s in self.word_symbols(w):
+                if len(ids) >= self.max_len:
+                    break
+                ids.append(self.vocab.get(s, UNK))
+        return ids
+
+
 class TinyTransformer:
     """Inference wrapper with the registry's encode() contract."""
 
-    def __init__(self, params: dict[str, np.ndarray], vocab: list[str]):
+    def __init__(
+        self,
+        params: dict[str, np.ndarray],
+        vocab: list[str],
+        merges: list[str] | None = None,
+    ):
         self.params = params
-        self.tok = Tokenizer(vocab, int(params["_meta"][2]))
+        max_len = int(params["_meta"][2])
+        self.tok = (
+            BPETokenizer(vocab, merges, max_len)
+            if merges is not None
+            else Tokenizer(vocab, max_len)
+        )
 
     def encode(
         self, texts: list[str], content_type: str = "PASSAGE"
@@ -281,10 +330,19 @@ class TinyTransformer:
         return forward(self.params, ids, mask)
 
 
-def save_checkpoint(path: str, params: dict[str, np.ndarray], vocab: list[str]):
+def save_checkpoint(
+    path: str,
+    params: dict[str, np.ndarray],
+    vocab: list[str],
+    merges: list[str] | None = None,
+):
+    extra = {}
+    if merges is not None:
+        extra["merges"] = np.array(merges, dtype=object)
     np.savez(
         path,
         vocab=np.array(vocab, dtype=object),
+        **extra,
         **{k: v for k, v in params.items()},
     )
 
@@ -292,5 +350,10 @@ def save_checkpoint(path: str, params: dict[str, np.ndarray], vocab: list[str]):
 def load_checkpoint(path: str) -> TinyTransformer:
     z = np.load(path, allow_pickle=True)
     vocab = [str(t) for t in z["vocab"]]
-    params = {k: z[k] for k in z.files if k != "vocab"}
-    return TinyTransformer(params, vocab)
+    merges = (
+        [str(m) for m in z["merges"]] if "merges" in z.files else None
+    )
+    params = {
+        k: z[k] for k in z.files if k not in ("vocab", "merges")
+    }
+    return TinyTransformer(params, vocab, merges)

@@ -129,6 +129,23 @@ class ModelSpec:
     loader: Callable[[], object]
     dim: int = DIM
     batch_size: int = 64
+    # content hash of the underlying weights (checkpoint file md5):
+    # keys the persisted model-corpus artifact so a RETRAINED
+    # checkpoint with the same id/dim invalidates stale embeddings
+    # instead of silently serving them (sources/index_store.py)
+    fingerprint: str | None = None
+
+
+def file_fingerprint(path: str) -> str:
+    """md5 of a checkpoint file — the weights-identity half of a
+    persisted model-corpus artifact's cache key."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 class _StubDenseModel:
@@ -155,8 +172,11 @@ def register_model(
     loader: Callable[[], object],
     dim: int = DIM,
     batch_size: int = 64,
+    fingerprint: str | None = None,
 ) -> None:
-    MODEL_REGISTRY[model_id] = ModelSpec(model_id, loader, dim, batch_size)
+    MODEL_REGISTRY[model_id] = ModelSpec(
+        model_id, loader, dim, batch_size, fingerprint
+    )
     _MODEL_INSTANCES.pop(model_id, None)
 
 

