@@ -179,6 +179,8 @@ HEADLINE = [
     # ranking; BPE-subword transformer tokenizer ids
     "transformer_model_dense_topk_int",
     "transformer_bpe_tokenizer_ids",
+    # round-7 additions: C4 heuristic cleaning
+    "text_c4_quality",
 ]
 
 

@@ -5403,7 +5403,12 @@ PRIORITY_50 = [
     "r10_dense_rescore", "events_sliding_window", "batch_hybrid_fusion",
     "tpch_q3", "tpch_q6", "r7_seismic_sparse_ann",
     "f1_dense_embed_stub", "events_approx_distinct", "events_approx_quantiles",
-    "ann_lsh_multitable", "shuffle_deterministic", "semantic_highlight_best",
+    "ann_lsh_multitable", "shuffle_deterministic",
+    # position 51+: round-7 additions AFTER the window — the first 50
+    # close the 286/286 driver sweep; these new queries carry
+    # oracle-parity + two-JVM evidence and lead the round-8 window
+    "text_c4_quality",
+    "semantic_highlight_best",
     "ccnet_ppl_buckets", "mix_temperature", "dsl_agg_max_bucket",
     "n3_zscore_fusion", "mm_phash_neardup", "mm_audio_neardup",
     "dedup_simhash", "dedup_simhash_neardup", "scroll_page2",
@@ -13351,6 +13356,129 @@ f AS (
 g1 AS {_SQL_LOGREG_TAIL}
 """
 SPARK_QUERIES["quality_classifier_gate"] = q_quality_classifier_gate
+
+
+# ---------------------------------------------------------------------------
+# round-7: C4 heuristic cleaning (Raffel et al. 2020 §2.2) — the
+# line-level filter family every large-scale text pipeline applies
+# before the Gopher-style document rules. One stateless codegen
+# projection (streaming-compatible via ordered=False, exactly like
+# gopher_quality_frame). The paper's remaining two C4 steps are
+# already separate operators: the three-sentence-span dedup is
+# `dedup_span_windows` and language ID is `text_lang_id`.
+#
+# Deterministic semantics (both engines replay them bit-for-bit):
+# - lines = text split on \n; a line is RETAINED iff it ends in a
+#   terminal punctuation mark (. ! ? "), has >= 3 whitespace words,
+#   and does not contain the word "javascript" (case-insensitive).
+# - n_sentences approximates the paper's sentence count as the number
+#   of [.!?] characters across retained lines (C4 used an ICU
+#   sentence splitter; a punctuation count is the deterministic
+#   cross-engine stand-in, documented divergence).
+# - page drops: fewer than 5 sentences, "lorem ipsum" anywhere
+#   (lowercased), any curly brace "{", or any token on the bad-words
+#   list. The published LDNOOBW list is an external resource this
+#   repo cannot ship; C4_BADWORDS is a clearly-marked placeholder
+#   pair exercised by planted tests — a deployment swaps in the real
+#   list (one tuple).
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+C4_BADWORDS = ("badword1", "badword2")  # placeholder for LDNOOBW
+
+
+def c4_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
+    """C4 cleaning as ONE shuffle-free projection: per-line filters →
+    retained_text, punctuation-count sentence proxy, page-level drop
+    flags, keep_c4. ``ordered=False`` skips the display sort so the
+    frame applies unchanged to a readStream source."""
+    lines = F.split(F.col("text"), "\n")
+
+    def _line_keep(ln):
+        wc = F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+        return (
+            ln.rlike(C4_TERMINAL_RE)
+            & (wc >= C4_MIN_WORDS_PER_LINE)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.filter(lines, _line_keep).alias("kept"),
+    )
+    n_sent = F.aggregate(
+        F.col("kept"),
+        F.lit(0),
+        lambda a, ln: a + F.size(F.regexp_extract_all(ln, F.lit(r"[.!?]"), 0)),
+    )
+    m = base.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+        F.arrays_overlap(
+            S.tokens(F.lower(F.col("text"))),
+            F.array(*[F.lit(w) for w in C4_BADWORDS]),
+        ).alias("has_badword"),
+        F.array_join("kept", "\n").alias("retained_text"),
+    )
+    keep = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword")
+    )
+    out = m.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_lorem", "has_brace", "has_badword",
+        keep.alias("keep_c4"), "retained_text",
+    )
+    return out.orderBy("doc_id") if ordered else out
+
+
+def q_text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_quality_frame(catalog.table(spark, sf_dir, "documents"))
+
+
+_SQL_C4_BAD = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+ORACLES["text_c4_quality"] = f"""
+WITH k AS (
+  SELECT doc_id, text,
+    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+    list_filter(string_split(text, chr(10)), ln ->
+      regexp_matches(ln, '[.!?"]\\s*$')
+      AND len(list_filter(regexp_split_to_array(ln, '\\s+'), w -> w != ''))
+          >= {C4_MIN_WORDS_PER_LINE}
+      AND NOT contains(lower(ln), 'javascript')
+    ) AS kept
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_lines,
+    len(kept)::BIGINT AS n_kept_lines,
+    coalesce(list_aggregate(
+      list_transform(kept, ln -> len(regexp_extract_all(ln, '[.!?]'))),
+      'sum'), 0)::BIGINT AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{{') AS has_brace,
+    len(list_intersect({_SQL_TOKS_LOWER}, [{_SQL_C4_BAD}])) > 0 AS has_badword,
+    coalesce(array_to_string(kept, chr(10)), '') AS retained_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+  has_lorem, has_brace, has_badword,
+  (n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem AND NOT has_brace
+   AND NOT has_badword) AS keep_c4,
+  retained_text
+FROM m ORDER BY doc_id
+"""
+SPARK_QUERIES["text_c4_quality"] = q_text_c4_quality
 
 
 # apply the contract ordering ONCE, after every registration — the
