@@ -47,6 +47,47 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot(a, b) / denom)
 
 
+def dot_lit(a: Column, vec: list[float]) -> Column:
+    """dot(a, lit_vector(vec)) unrolled to a fixed codegen sum.
+
+    Catalyst runs higher-order functions (zip_with/aggregate)
+    INTERPRETED per element — measured to dominate large scans (the
+    SEISMIC pass-1 summary-dot finding, BASELINE.md round 6: 2.5 s →
+    1.1 s per query at 4M docs). When the query side is a known
+    literal, the same sum unrolls into whole-stage codegen. The
+    summation order is the fold's own ((0+x₁)+x₂)+…, every term kept
+    (including zero weights), so the result is bit-identical to
+    `dot(as_double(a), lit_vector(vec))` and oracles are unaffected.
+    """
+    s: Column = F.lit(0.0)
+    for i, v in enumerate(vec):
+        s = s + F.element_at(a, i + 1).cast("double") * F.lit(float(v))
+    return s
+
+
+def l2_norm_sq_unrolled(a: Column, dim: int) -> Column:
+    """Σ a[i]² as a fixed codegen sum — same order as the dot fold."""
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        e = F.element_at(a, i + 1).cast("double")
+        s = s + e * e
+    return s
+
+
+def cosine_lit(a: Column, vec: list[float]) -> Column:
+    """cosine(a, lit_vector(vec)) with both the dot and ‖a‖ unrolled
+    (dim = len(vec)); ‖vec‖ is folded driver-side in the identical
+    sequential order (Python float == IEEE double). Bit-identical to
+    `cosine(as_double(a), lit_vector(vec))`."""
+    import math
+
+    nv_sq = 0.0
+    for v in vec:
+        nv_sq = nv_sq + float(v) * float(v)
+    denom = F.sqrt(l2_norm_sq_unrolled(a, len(vec))) * F.lit(math.sqrt(nv_sq))
+    return F.when(denom != 0.0, dot_lit(a, vec) / denom)
+
+
 def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

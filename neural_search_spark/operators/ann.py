@@ -50,6 +50,50 @@ def ivf_assign(
     return embs.select(F.col(id_col), (-best["ncid"]).cast("int").alias("cluster_id"))
 
 
+def ivf_assign_arrow(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized ingest-time IVF assignment: one numpy matmul per
+    Arrow batch instead of |C| struct expressions per row.
+
+    `ivf_assign`'s expression form is right for the handful of
+    centroids a contract query carries, but its plan grows linearly
+    with |C| (256 centroids × a 32-term cosine each = an 8k-node
+    projection per row). Ingest-time assignment at index-build scale
+    wants the Arrow batch form: normalize the centroid matrix once
+    per executor, then each batch is a single (B×d)·(d×|C|) matmul +
+    argmax. Same contract as ivf_assign — max cosine, ties to the
+    LOWEST centroid id (np.argmax keeps the first maximum and the
+    centroid matrix is laid out in ascending-cid order); zero-norm
+    vectors get sim 0 everywhere and fall to the lowest cid, matching
+    the coalesce(-inf) tie chain. Equality is pinned by
+    tests/test_vector_unrolled.py."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(centroids, key=lambda c: c[0])
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    C = np.array([v for _, v in order], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    def gen(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            np.divide(V, nrm, out=V, where=nrm != 0)
+            best = cids[np.argmax(V @ Cn.T, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster_id": best.astype("int32")}
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, cluster_id int"
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     centroids: list[tuple[int, list[float]]],
