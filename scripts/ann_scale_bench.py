@@ -78,7 +78,18 @@ def build_vectors(n_docs: int) -> str:
 
 def kmeans_centroids(path: str, k: int, sample: int = 200_000,
                      iters: int = 6) -> list[tuple[int, list[float]]]:
+    """Centroids are persisted next to the vectors: DuckDB's reservoir
+    sample is not deterministic across processes even with REPEATABLE,
+    and probes computed from re-trained centroids would point at the
+    wrong cells of a cached index (recall collapses to ~0 — measured,
+    that's why this cache exists)."""
     import duckdb
+
+    cpath = path.replace(".parquet", f"_centroids_{k}.npy")
+    if os.path.exists(cpath):
+        C = np.load(cpath)
+        print(f"centroids loaded: {cpath}")
+        return [(int(j), [float(x) for x in C[j]]) for j in range(k)]
 
     t0 = time.perf_counter()
     V = np.array(
@@ -98,6 +109,7 @@ def kmeans_centroids(path: str, k: int, sample: int = 200_000,
             if m.any():
                 C[j] = V[m].mean(axis=0)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
+    np.save(cpath, C)
     print(f"kmeans: {k} cells over {len(V)} samples, "
           f"{time.perf_counter() - t0:.1f}s")
     return [(int(j), [float(x) for x in C[j]]) for j in range(k)]
