@@ -179,8 +179,12 @@ HEADLINE = [
     # ranking; BPE-subword transformer tokenizer ids
     "transformer_model_dense_topk_int",
     "transformer_bpe_tokenizer_ids",
-    # round-7 additions: C4 heuristic cleaning
+    # round-7 additions: C4 heuristic cleaning; the BPE-subword
+    # checkpoint tier (registered only when the npz exists)
     "text_c4_quality",
+    "curation_pipeline",
+    "transformer_bpe_ckpt_tokenizer_ids",
+    "transformer_bpe_model_dense_topk_int",
 ]
 
 
@@ -236,7 +240,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.SPARK_QUERIES[name]
+        fn = registry.SPARK_QUERIES.get(name)
+        if fn is None:  # conditionally-registered tier absent
+            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)

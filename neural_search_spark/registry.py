@@ -5407,7 +5407,7 @@ PRIORITY_50 = [
     # position 51+: round-7 additions AFTER the window — the first 50
     # close the 286/286 driver sweep; these new queries carry
     # oracle-parity + two-JVM evidence and lead the round-8 window
-    "text_c4_quality",
+    "text_c4_quality", "curation_pipeline",
     "semantic_highlight_best",
     "ccnet_ppl_buckets", "mix_temperature", "dsl_agg_max_bucket",
     "n3_zscore_fusion", "mm_phash_neardup", "mm_audio_neardup",
@@ -13479,6 +13479,69 @@ SELECT doc_id, n_lines, n_kept_lines, n_sentences,
 FROM m ORDER BY doc_id
 """
 SPARK_QUERIES["text_c4_quality"] = q_text_c4_quality
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE contract query — the
+    composition a training-data run actually executes: C4 line
+    cleaning → Gopher structural rules → repetition ceilings →
+    soft-dedup 1/clique weights, emitting every gate's verdict plus
+    the final sampling weight. keep_final is the Rae et al. document
+    pipeline (structural ∧ stopword ∧ repetition); keep_c4 is emitted
+    alongside and keep_web additionally requires it (the synthetic
+    corpus has no punctuation, so folding C4 into keep_final would
+    zero the frame — web corpora use keep_web). Every component is
+    individually oracle-matched; this query pins the composition.
+
+    Plan shape: the C4 and Gopher frames are stateless projections
+    and the repetition frame is a 1:1 Arrow kernel, all over the same
+    scan — at scale the doc_id equi-joins co-partition on the join
+    key (one shuffle each side, AQE-broadcast at small SF); the
+    weights side is the broadcast-sized clique frame."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    c4 = c4_quality_frame(docs, ordered=False).select("doc_id", "keep_c4")
+    gop = gopher_quality_frame(docs, ordered=False).select(
+        "doc_id", "keep_core", "keep_gopher"
+    )
+    rep = gopher_repetition_frame(docs, ordered=False).select(
+        "doc_id", "rep_keep"
+    )
+    cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
+    w = DD.soft_weights(docs, cc, ordered=False).select("doc_id", "weight")
+    keep_final = F.col("keep_gopher") & F.col("rep_keep")
+    return (
+        gop.join(rep, "doc_id").join(c4, "doc_id").join(w, "doc_id")
+        .select(
+            "doc_id", "keep_c4", "keep_core", "keep_gopher", "rep_keep",
+            keep_final.alias("keep_final"),
+            (keep_final & F.col("keep_c4")).alias("keep_web"),
+            F.when(keep_final, F.col("weight"))
+            .otherwise(F.lit(0.0)).alias("sample_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    """Compose the four component oracles as derived tables (DuckDB
+    allows WITH/WITH RECURSIVE inside a subquery) — one definition per
+    rule, shared with the standalone queries."""
+    return f"""
+SELECT g.doc_id, c.keep_c4, g.keep_core, g.keep_gopher, r.rep_keep,
+       (g.keep_gopher AND r.rep_keep) AS keep_final,
+       (g.keep_gopher AND r.rep_keep AND c.keep_c4) AS keep_web,
+       CASE WHEN g.keep_gopher AND r.rep_keep THEN w.weight
+            ELSE 0.0 END AS sample_weight
+FROM ({ORACLES["text_gopher_quality"]}) g
+JOIN ({ORACLES["text_gopher_repetition"]}) r USING (doc_id)
+JOIN ({ORACLES["text_c4_quality"]}) c USING (doc_id)
+JOIN ({ORACLES["dedup_soft_weights"]}) w USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+ORACLES["curation_pipeline"] = _curation_pipeline_oracle_sql()
+SPARK_QUERIES["curation_pipeline"] = q_curation_pipeline
 
 
 # apply the contract ordering ONCE, after every registration — the
