@@ -395,8 +395,8 @@ def test_bpe_ckpt_distillation_fidelity():
     s_doc = student.encode(texts, "PASSAGE")
     t_doc = teacher.encode(texts, "PASSAGE")
     doc_cos = (s_doc * t_doc).sum(1)
-    assert doc_cos.mean() >= 0.90
-    assert doc_cos.min() >= 0.75
+    assert doc_cos.mean() >= 0.94  # measured 0.9681 (64-merge ckpt)
+    assert doc_cos.min() >= 0.82   # measured 0.8673
     q_texts = [" ".join(t.lower().split()[:4]) for t in texts[:20]]
     s_q = student.encode(q_texts, "QUERY")
     t_q = teacher.encode(q_texts, "QUERY")
@@ -405,7 +405,7 @@ def test_bpe_ckpt_distillation_fidelity():
         top_s = set(np.argsort(-(s_doc @ s_q[i]))[:10])
         top_t = set(np.argsort(-(t_doc @ t_q[i]))[:10])
         rec.append(len(top_s & top_t) / 10.0)
-    assert float(np.mean(rec)) >= 0.30
+    assert float(np.mean(rec)) >= 0.40  # measured 0.535
 
 
 def test_bpe_ckpt_tokenizer_contract_matches_python(spark):
