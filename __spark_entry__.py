@@ -35,4 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # expensive corpus-encoding oracles build lazily so Python WORKERS
+    # importing the registry (mapInPandas kernels pickle by reference)
+    # never pay for them — only this driver-side access does
+    registry.materialize_oracles()
     return dict(registry.ORACLES)

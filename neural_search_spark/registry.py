@@ -1269,6 +1269,29 @@ def _oracle_hybrid_union() -> str:
 
 ORACLES: dict[str, str] = {}
 
+# Oracles whose CONSTRUCTION is expensive (they encode the grading
+# corpus through a model driver-side to inline quantized embeddings as
+# VALUES). These must NOT build at import: every mapInPandas kernel in
+# this module is pickled by reference, so each Python WORKER imports
+# the registry — 32 workers simultaneously re-encoding the corpus
+# turned the first Arrow-kernel query of a session from ~5 s into
+# ~45-65 s (measured round 7). materialize_oracles() builds them once,
+# driver-side, on the contract's oracle_sql() access.
+_LAZY_ORACLES: dict[str, "Callable[[], str]"] = {}
+
+
+def materialize_oracles() -> None:
+    """Build any still-lazy oracle SQL into ORACLES (idempotent; a
+    builder that fails — e.g. missing testdata — is dropped silently,
+    leaving its query rows-only, same as the old import-time
+    try/except)."""
+    while _LAZY_ORACLES:
+        name, build = _LAZY_ORACLES.popitem()
+        try:
+            ORACLES[name] = build()
+        except Exception:  # noqa: BLE001
+            pass
+
 ORACLES["r1_neural_dense_topk"] = f"""
 WITH q AS {SQL_QVEC},
 scored AS ({SQL_DENSE_SCORED})
@@ -12139,12 +12162,9 @@ if _TINYFORMER_OK:
     SPARK_QUERIES["transformer_model_dense_topk_int"] = (
         q_transformer_model_dense_topk_int
     )
-    try:
-        ORACLES["transformer_model_dense_topk_int"] = (
-            transformer_int_oracle_sql("/root/testdata/sf0.01")
-        )
-    except Exception:
-        pass
+    _LAZY_ORACLES["transformer_model_dense_topk_int"] = (
+        lambda: transformer_int_oracle_sql("/root/testdata/sf0.01")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12495,12 +12515,9 @@ if _TINYFORMER_BPE_OK:
     SPARK_QUERIES["transformer_bpe_model_dense_topk_int"] = (
         q_transformer_bpe_model_dense_topk_int
     )
-    try:
-        ORACLES["transformer_bpe_model_dense_topk_int"] = (
-            transformer_bpe_int_oracle_sql("/root/testdata/sf0.01")
-        )
-    except Exception:
-        pass
+    _LAZY_ORACLES["transformer_bpe_model_dense_topk_int"] = (
+        lambda: transformer_bpe_int_oracle_sql("/root/testdata/sf0.01")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,8 @@ def main() -> int:
     from neural_search_spark import registry
     from tests.oracle_check import compare
 
+    registry.materialize_oracles()  # lazy corpus-encoding oracles
+
     # the N-scaled dedup flagships derive their knob from the corpus
     # rowcount — their STATIC oracles are pinned to the driver's
     # graded SF, so at any other SF the oracle must be rebuilt with

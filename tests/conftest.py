@@ -23,3 +23,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _materialized_oracles():
+    """Tests read registry.ORACLES directly; build the lazily-declared
+    (corpus-encoding) oracles once per session, driver-side — exactly
+    what the driver's oracle_sql() access does."""
+    from neural_search_spark import registry
+
+    registry.materialize_oracles()
