@@ -12182,6 +12182,7 @@ if _TINYFORMER_OK:
 # ---------------------------------------------------------------------------
 
 _BPE_SYMBOL_VOCAB_CACHE: dict[str, list[str]] = {}
+_BPE_CKPT_WORD_IDS_CACHE: dict[tuple, list] = {}
 
 
 def _bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -12220,20 +12221,46 @@ def q_transformer_bpe_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFra
         *[x for i, s in enumerate(sym_vocab) for x in (F.lit(s), F.lit(i + 4))]
     )
     docs = catalog.table(spark, sf_dir, "documents")
+    # same distinct-word hoist as the checkpoint variant: the merge
+    # chain is interpreted string work, so Spark evaluates it once per
+    # DISTINCT word (bounded collect) instead of per token occurrence;
+    # the word→ids table rides into the scan as a literal map.
+    cache_key = (sf_dir, "corpus-bpe", max_len)
+    wrows = _BPE_CKPT_WORD_IDS_CACHE.get(cache_key)
+    if wrows is None:
+        wrows = [
+            (r["w"], tuple(r["ids"]))
+            for r in docs.select(
+                F.explode(S.tokens(F.col("text"))).alias("w")
+            )
+            .distinct()
+            .select(
+                "w",
+                F.transform(
+                    BP.encode_symbols(F.col("w"), merges),
+                    lambda s: F.coalesce(
+                        F.element_at(vmap, s), F.lit(_TF.UNK)
+                    ).cast("int"),
+                ).alias("ids"),
+            )
+            .collect()
+        ]
+        _BPE_CKPT_WORD_IDS_CACHE[cache_key] = wrows
+    wmap = F.create_map(
+        *[
+            x
+            for w, wids in wrows
+            for x in (F.lit(w), F.array(*[F.lit(i) for i in wids]))
+        ]
+    )
     flat = F.flatten(
         F.transform(
             S.tokens(F.col("text")),
-            lambda w: BP.encode_symbols(w, merges),
+            lambda w: F.element_at(wmap, w),
         )
     )
     ids = F.concat(
-        F.array(F.lit(_TF.PSG)),
-        F.transform(
-            F.slice(flat, 1, max_len - 1),
-            lambda s: F.coalesce(
-                F.element_at(vmap, s), F.lit(_TF.UNK)
-            ).cast("int"),
-        ),
+        F.array(F.lit(_TF.PSG)), F.slice(flat, 1, max_len - 1)
     )
     return (
         docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
@@ -12382,20 +12409,50 @@ def q_transformer_bpe_ckpt_tokenizer_ids(spark: SparkSession, sf_dir: str) -> Da
         *[x for i, s in enumerate(vocab) for x in (F.lit(s), F.lit(i))]
     )
     docs = catalog.table(spark, sf_dir, "documents")
+    # evaluate the merge chain once per DISTINCT word, not per token
+    # occurrence: the 64-deep replace chain is interpreted string
+    # work, and running it on every occurrence cost ~7 s at sf0.1
+    # (~300k occurrences over a ~31-word vocabulary). Spark still
+    # evaluates the chain itself — over the distinct-words frame — and
+    # the resulting word→ids table inlines as a literal map (the
+    # bounded |vocab| collect every BPE artifact here shares). Output
+    # is bit-identical: same chain, same ids, same positions.
+    cache_key = (sf_dir, len(vocab), len(merges))
+    wrows = _BPE_CKPT_WORD_IDS_CACHE.get(cache_key)
+    if wrows is None:
+        wrows = [
+            (r["w"], tuple(r["ids"]))
+            for r in docs.select(
+                F.explode(S.tokens(F.lower(F.col("text")))).alias("w")
+            )
+            .distinct()
+            .select(
+                "w",
+                F.transform(
+                    BP.encode_symbols(F.col("w"), merges),
+                    lambda s: F.coalesce(
+                        F.element_at(vmap, s), F.lit(_TF.UNK)
+                    ).cast("int"),
+                ).alias("ids"),
+            )
+            .collect()
+        ]
+        _BPE_CKPT_WORD_IDS_CACHE[cache_key] = wrows
+    wmap = F.create_map(
+        *[
+            x
+            for w, wids in wrows
+            for x in (F.lit(w), F.array(*[F.lit(i) for i in wids]))
+        ]
+    )
     flat = F.flatten(
         F.transform(
             S.tokens(F.lower(F.col("text"))),
-            lambda w: BP.encode_symbols(w, merges),
+            lambda w: F.element_at(wmap, w),
         )
     )
     ids = F.concat(
-        F.array(F.lit(_TF.PSG)),
-        F.transform(
-            F.slice(flat, 1, max_len - 1),
-            lambda s: F.coalesce(
-                F.element_at(vmap, s), F.lit(_TF.UNK)
-            ).cast("int"),
-        ),
+        F.array(F.lit(_TF.PSG)), F.slice(flat, 1, max_len - 1)
     )
     return (
         docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
