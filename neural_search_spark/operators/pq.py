@@ -377,6 +377,87 @@ def pq_adc_topk(
     return rescored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+def adc_scores_arrow(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, approx_dist) via a numpy LUT gather per Arrow batch — the
+    large-k ADC path.
+
+    The expression form in ivfpq_topk/pq_adc_topk indexes an
+    F.array of k literals per subspace per row; at k=16 that is fine
+    and stays whole-stage-codegen, but at k=256 the 8×256-literal
+    expression tree is the same interpreted-unroll pathology SKEW.md
+    round-7 records for the 2048-term experiment (measured here: a
+    probed 4M-scale ADC went ~1.3 s at k=16 → ~4.5 s at k=256). One
+    numpy take() per subspace per batch produces the identical
+    integer sums (integer addition is exact under any association)."""
+    import numpy as np
+    import pandas as pd
+
+    lut = np.asarray(adc_lut(codebooks, query_vec), dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            acc = np.zeros(len(X), dtype=np.int64)
+            for mi in range(lut.shape[0]):
+                acc += lut[mi].take(X[:, mi])
+            yield pd.DataFrame({id_col: pdf[id_col], "approx_dist": acc})
+
+    return codes.select(id_col, "codes").mapInPandas(
+        gen, schema=f"{id_col} long, approx_dist long"
+    )
+
+
+def ivfpq_topk_arrow(
+    codes: DataFrame,
+    embs: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivfpq_topk with the Arrow ADC kernel — identical results (the
+    integer approx_dist is exact either way; probe set, shortlist
+    rank and rescore are unchanged). Use when the codebooks carry
+    more than a few dozen centroids per subspace."""
+    import math
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    short = (
+        adc_scores_arrow(
+            codes.where(F.col("cluster_id").isin(probe_ids)),
+            codebooks, query_vec, id_col=id_col,
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    q = lit_vector([float(x) for x in query_vec])
+    rescored = short.join(embs.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("doc_id"),
+        cosine(as_double(F.col(vec_col)), q).alias("score"),
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
 # -- binary (sign) quantization tier ---------------------------------------
 # OpenSearch k-NN's 1-bit binary quantization: each dim compresses to
 # its sign, the shortlist ranks by Hamming similarity (agreeing sign

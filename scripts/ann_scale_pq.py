@@ -1,0 +1,138 @@
+"""IVF-PQ at index scale — extends scripts/ann_scale_bench.py's 4M
+measurement with the compressed-codes tier: within the probed cells
+only the PQ codes are scanned (integer ADC), and the wide float
+vectors are joined for just the shortlist rescore. Reuses the
+vectors, persisted centroids and partitioned IVF layout that
+ann_scale_bench built under /tmp/ann_scale.
+
+Usage: python scripts/ann_scale_pq.py [n_docs] [n_queries] [nprobe]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "/tmp/ann_scale"
+DIM = 32
+K_CELLS = 256
+SEED = 20260816
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    vec_path = f"{OUT}/vectors_{n_docs}.parquet"
+    idx_path = f"{OUT}/ivf_{n_docs}"
+    cen_path = vec_path.replace(".parquet", f"_centroids_{K_CELLS}.npy")
+    for p in (vec_path, idx_path, cen_path):
+        if not os.path.exists(p):
+            sys.exit(f"missing {p} — run scripts/ann_scale_bench.py first")
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.functions.vector import dot_lit
+    from neural_search_spark.operators import pq as PQ
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("ann-scale-pq")
+    C = np.load(cen_path)
+    centroids = [(int(j), [float(x) for x in C[j]]) for j in range(K_CELLS)]
+    index = spark.read.parquet(idx_path)  # vec_id, embedding, cluster_id
+
+    # ---- ingest: train codebooks on a sample, encode codes table ----
+    codes_path = f"{OUT}/pq_{n_docs}"
+    t0 = time.perf_counter()
+    books = PQ.train_codebooks(index, k=256, sample_n=8192)
+    if not os.path.exists(codes_path):
+        (
+            PQ.encode_pq(index, books)
+            .join(index.select("vec_id", "cluster_id"), "vec_id")
+            .write.partitionBy("cluster_id")
+            .parquet(codes_path)
+        )
+    build_s = time.perf_counter() - t0
+    codes = spark.read.parquet(codes_path)
+    print(f"PQ codes build: {build_s:.1f}s  rows: {codes.count()}  "
+          f"m={len(books)} k={len(books[0])}")
+
+    rng = np.random.default_rng(SEED + 2)
+    q_ids = rng.integers(0, n_docs, n_queries)
+    vectors = spark.read.parquet(vec_path)
+    base = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.where(
+            F.col("vec_id").isin([int(i) for i in q_ids])
+        ).collect()
+    }
+    queries = []
+    for qid in q_ids:
+        qv = base[int(qid)] + 0.05 * rng.standard_normal(DIM)
+        qv /= np.linalg.norm(qv)
+        queries.append([float(x) for x in qv])
+
+    def timed(fn, reps=2):
+        best, out = float("inf"), None
+        fn()
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    import statistics as st
+
+    sp, rc, ivf_sp = [], [], []
+    for qi, qv in enumerate(queries):
+        score = dot_lit(F.col("embedding"), qv).alias("score")
+        t_ex, ex = timed(
+            lambda: index.select("vec_id", score)
+            .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
+        )
+        ex_ids = [r["vec_id"] for r in ex]
+
+        probes = np.argsort(-(C @ np.array(qv)))[:nprobe]
+        probe_ids = [int(p) for p in probes]
+        t_iv, _ = timed(
+            lambda: index.where(F.col("cluster_id").isin(probe_ids))
+            .select("vec_id", score)
+            .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
+        )
+        # rescore against the probe-pruned clustered frame, not the
+        # full vectors table: shortlist members are in probed cells by
+        # construction, so the join reads the same pruned slice the
+        # IVF scan reads — the docstring's shortlist-only cost model
+        pruned = index.where(
+            F.col("cluster_id").isin(probe_ids)
+        ).select("vec_id", "embedding")
+        t_pq, pqr = timed(
+            lambda: PQ.ivfpq_topk_arrow(
+                codes, pruned, books, centroids, qv,
+                k=10, nprobe=nprobe, shortlist=400,
+            ).collect()
+        )
+        pq_ids = [r["doc_id"] for r in pqr]
+        rec = len(set(pq_ids) & set(ex_ids)) / 10.0
+        sp.append(t_ex / t_pq)
+        ivf_sp.append(t_ex / t_iv)
+        rc.append(rec)
+        print(f"q{qi}: exact {t_ex:.2f}s  ivf {t_iv:.2f}s  "
+              f"ivfpq {t_pq:.2f}s  speedup {t_ex / t_pq:.1f}x  "
+              f"recall@10 {rec:.2f}")
+
+    print(f"\nSUMMARY docs={n_docs} cells={K_CELLS} nprobe={nprobe} "
+          f"shortlist=400: IVF-PQ median speedup {st.median(sp):.1f}x "
+          f"(IVF alone {st.median(ivf_sp):.1f}x), mean recall@10 "
+          f"{st.mean(rc):.2f} (min {min(rc):.2f}); codes build "
+          f"{build_s:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -174,3 +174,24 @@ def test_bq_recall_and_shortlist_determinism(spark, sf_dir):
     ]
     recall = len(set(got) & set(brute)) / 10.0
     assert recall >= 0.5, recall  # 1-bit tier: coarse but useful
+
+
+def test_ivfpq_arrow_matches_expression_form(spark):
+    """The Arrow ADC kernel (large-k path) returns exactly what the
+    expression form returns — integer approx_dist is exact under any
+    association, so shortlist, rescore and final ranking coincide."""
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    qv = catalog.query_vector(spark, SF_SMOKE, registry.QUERY_VEC_ID)
+    cents = registry._centroids(spark, SF_SMOKE)
+    books = PQ.train_codebooks(embs, k=64, sample_n=512)
+    from neural_search_spark.operators import ann as ANN
+
+    codes = PQ.encode_pq(embs, books).join(
+        ANN.ivf_assign(embs, cents), "vec_id"
+    )
+    kw = dict(k=10, nprobe=registry.IVFPQ_NPROBE, shortlist=100)
+    expr = PQ.ivfpq_topk(codes, embs, books, cents, qv, **kw).collect()
+    arrow = PQ.ivfpq_topk_arrow(codes, embs, books, cents, qv, **kw).collect()
+    assert [(r["doc_id"], r["score"]) for r in expr] == [
+        (r["doc_id"], r["score"]) for r in arrow
+    ]
