@@ -269,6 +269,13 @@ def main() -> None:
     # BENCH_full_r{N}.json keeps every timing; N comes from the highest
     # existing CORRECTNESS_r{N}.json + 1 (the round being built), or
     # BENCH_FULL_TAG when set.
+    #
+    # JUDGE / MANUAL RUNS: set BENCH_FULL_SUFFIX (e.g. "_judge" or
+    # "_manual") so your run lands in BENCH_full_r{N}{suffix}.json and
+    # does not clobber the round's canonical driver-weather file —
+    # round 7's judge run silently overwrote the untracked r08 file.
+    # The builder also commits its end-of-round BENCH_full so a later
+    # overwrite of the working tree is recoverable from git.
     try:
         import re as _re
 
@@ -281,6 +288,7 @@ def main() -> None:
                 if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", f))
             ]
             tag = f"r{(max(rounds) + 1 if rounds else 1):02d}"
+        tag += os.environ.get("BENCH_FULL_SUFFIX", "")
         with open(os.path.join(here, f"BENCH_full_{tag}.json"), "w") as fh:
             json.dump(
                 {

@@ -69,8 +69,12 @@ def ivf_assign_arrow(
     LOWEST centroid id (np.argmax keeps the first maximum and the
     centroid matrix is laid out in ascending-cid order); zero-norm
     vectors get sim 0 everywhere and fall to the lowest cid, matching
-    the coalesce(-inf) tie chain. Equality is pinned by
-    tests/test_vector_unrolled.py."""
+    the coalesce(-inf) tie chain. Note the two forms sum in different
+    FP orders (normalize-then-BLAS-matmul here vs a sequential dot
+    fold divided by norms in ivf_assign), so a vector whose top two
+    cells tie within ~1 ulp may legitimately assign differently;
+    tests/test_vector_unrolled.py pins equality on data whose argmax
+    gaps dwarf that."""
     import numpy as np
     import pandas as pd
 
@@ -81,6 +85,8 @@ def ivf_assign_arrow(
 
     def gen(batches):
         for pdf in batches:
+            if pdf.empty:  # norm(axis=1) raises AxisError on 0-row 1-D
+                continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             nrm = np.linalg.norm(V, axis=1, keepdims=True)
             np.divide(V, nrm, out=V, where=nrm != 0)

@@ -401,6 +401,8 @@ def adc_scores_arrow(
 
     def gen(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack raises on an empty sequence
+                continue
             X = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             acc = np.zeros(len(X), dtype=np.int64)
             for mi in range(lut.shape[0]):

@@ -1281,16 +1281,36 @@ _LAZY_ORACLES: dict[str, "Callable[[], str]"] = {}
 
 
 def materialize_oracles() -> None:
-    """Build any still-lazy oracle SQL into ORACLES (idempotent; a
-    builder that fails — e.g. missing testdata — is dropped silently,
-    leaving its query rows-only, same as the old import-time
-    try/except)."""
-    while _LAZY_ORACLES:
-        name, build = _LAZY_ORACLES.popitem()
+    """Build any still-lazy oracle SQL into ORACLES (idempotent). A
+    builder that fails (e.g. momentarily unreadable testdata) stays in
+    _LAZY_ORACLES so a later call can retry, and a warning names the
+    affected oracle — a transient failure must not silently demote a
+    window-head query to rows-only forever. After any insert the
+    contract ordering is re-applied: PRIORITY_50 pins the first-50
+    dict order of ORACLES, and the module-bottom `_ordered()` ran
+    before these lazy keys existed, so without the re-sort the
+    materialized oracles would land at the END of the dict in
+    violation of the registry's own documented invariant."""
+    global ORACLES
+    built_any = False
+    for name in list(_LAZY_ORACLES):
+        build = _LAZY_ORACLES[name]
         try:
-            ORACLES[name] = build()
-        except Exception:  # noqa: BLE001
-            pass
+            sql = build()
+        except Exception as exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                f"lazy oracle {name!r} failed to build ({exc!r}); "
+                "leaving it rows-only for this call, will retry",
+                stacklevel=2,
+            )
+            continue
+        ORACLES[name] = sql
+        del _LAZY_ORACLES[name]
+        built_any = True
+    if built_any:
+        ORACLES = _ordered(ORACLES)
 
 ORACLES["r1_neural_dense_topk"] = f"""
 WITH q AS {SQL_QVEC},
@@ -12182,7 +12202,6 @@ if _TINYFORMER_OK:
 # ---------------------------------------------------------------------------
 
 _BPE_SYMBOL_VOCAB_CACHE: dict[str, list[str]] = {}
-_BPE_CKPT_WORD_IDS_CACHE: dict[tuple, list] = {}
 
 
 def _bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -12205,15 +12224,96 @@ def _bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
     return _BPE_SYMBOL_VOCAB_CACHE[sf_dir]
 
 
+def _bpe_ids_via_join(
+    docs: DataFrame,
+    merges: list[str],
+    vmap,
+    max_len: int,
+    *,
+    lower: bool = False,
+) -> DataFrame:
+    """(doc_id, pos, token_id) under the transformer contract —
+    [PSG]=3 prefix at pos 0, [UNK]=1 fallback, truncation to max_len —
+    with the word→subword-ids table kept DISTRIBUTED.
+
+    The merge chain is interpreted string work, so it is still hoisted
+    to once per DISTINCT word (the round-7 win: 7.2→3.5 s at sf0.1 vs
+    evaluating the 64-deep replace chain per token occurrence). But
+    unlike round 7 the resulting word→ids table stays a DataFrame and
+    equi-joins back to the exploded tokens instead of being
+    `.collect()`ed into an `F.create_map` plan literal: a literal map
+    is bounded only by a CLOSED vocabulary, and a real web corpus has
+    10⁷–10⁹ distinct words — the collect OOMs the driver and the
+    literal explodes plan analysis. The join form is open-vocabulary
+    safe: the word-ids side sits just above a shuffle (distinct), so
+    AQE has fresh runtime stats and converts to a broadcast-hash join
+    when the vocabulary is small, falling back to a shuffle join above
+    the threshold — the broadcast/shuffle decision belongs to the
+    optimizer, not a driver-side collect. Output is bit-identical to
+    the literal-map form: same chain, same ids, same positions
+    (array_sort over (wpos, ids) structs restores token order; wpos is
+    unique per doc so the ids arrays are never compared)."""
+    from .functions import tinyformer as _TF
+
+    text = F.lower(F.col("text")) if lower else F.col("text")
+    tok = docs.select(
+        "doc_id", F.posexplode(S.tokens(text)).alias("wpos", "w")
+        # every word yields ≥1 symbol, so a word at 0-based wpos w can
+        # only reach 1-based body positions ≥ w+1; the body keeps
+        # positions 1..max_len-1, so later words are truncated anyway —
+        # prune them BEFORE the join instead of after the flatten.
+    ).where(F.col("wpos") < max_len - 1)
+    word_ids = (
+        tok.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.transform(
+                BP.encode_symbols(F.col("w"), merges),
+                lambda s: F.coalesce(
+                    F.element_at(vmap, s), F.lit(_TF.UNK)
+                ).cast("int"),
+            ).alias("ids"),
+        )
+    )
+    flat = (
+        tok.join(word_ids, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("flat")
+        )
+    )
+    ids = F.concat(
+        F.array(F.lit(_TF.PSG)),
+        F.slice(
+            F.coalesce(F.col("flat"), F.array().cast("array<int>")),
+            1,
+            max_len - 1,
+        ),
+    )
+    return (
+        # left join keeps empty/whitespace-only docs: they still emit
+        # the pos-0 [PSG] row, exactly as the literal-map form did.
+        docs.select("doc_id")
+        .join(flat, "doc_id", "left")
+        .select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_transformer_bpe_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword (BPE) token ids per (doc, position) under the
     transformer contract: [PSG]=3 prefix at pos 0, [UNK]=1 fallback,
     truncation to the checkpoint's max_len — the integer-exact
     composition of functions/bpe.py with the tinyformer tokenizer
     (`ml/MLCommonsClientAccessor.java` tokenize-then-encode parity at
-    the subword level)."""
-    from .functions import tinyformer as _TF
-
+    the subword level). The word→ids table is distributed and joined
+    (_bpe_ids_via_join) — no driver-side vocabulary materialization."""
     merges = _bpe_merges(spark, sf_dir)
     sym_vocab = _bpe_symbol_vocab(spark, sf_dir)
     max_len = _tinyformer_max_len()
@@ -12221,51 +12321,7 @@ def q_transformer_bpe_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFra
         *[x for i, s in enumerate(sym_vocab) for x in (F.lit(s), F.lit(i + 4))]
     )
     docs = catalog.table(spark, sf_dir, "documents")
-    # same distinct-word hoist as the checkpoint variant: the merge
-    # chain is interpreted string work, so Spark evaluates it once per
-    # DISTINCT word (bounded collect) instead of per token occurrence;
-    # the word→ids table rides into the scan as a literal map.
-    cache_key = (sf_dir, "corpus-bpe", max_len)
-    wrows = _BPE_CKPT_WORD_IDS_CACHE.get(cache_key)
-    if wrows is None:
-        wrows = [
-            (r["w"], tuple(r["ids"]))
-            for r in docs.select(
-                F.explode(S.tokens(F.col("text"))).alias("w")
-            )
-            .distinct()
-            .select(
-                "w",
-                F.transform(
-                    BP.encode_symbols(F.col("w"), merges),
-                    lambda s: F.coalesce(
-                        F.element_at(vmap, s), F.lit(_TF.UNK)
-                    ).cast("int"),
-                ).alias("ids"),
-            )
-            .collect()
-        ]
-        _BPE_CKPT_WORD_IDS_CACHE[cache_key] = wrows
-    wmap = F.create_map(
-        *[
-            x
-            for w, wids in wrows
-            for x in (F.lit(w), F.array(*[F.lit(i) for i in wids]))
-        ]
-    )
-    flat = F.flatten(
-        F.transform(
-            S.tokens(F.col("text")),
-            lambda w: F.element_at(wmap, w),
-        )
-    )
-    ids = F.concat(
-        F.array(F.lit(_TF.PSG)), F.slice(flat, 1, max_len - 1)
-    )
-    return (
-        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
-        .orderBy("doc_id", "pos")
-    )
+    return _bpe_ids_via_join(docs, merges, vmap, max_len)
 
 
 def transformer_bpe_tokenizer_oracle_sql() -> str:
@@ -12401,63 +12457,15 @@ def q_transformer_bpe_ckpt_tokenizer_ids(spark: SparkSession, sf_dir: str) -> Da
     truncation — the integer-exact twin of BPETokenizer.encode, with
     every constant (merges, vocab, max_len) read from the checkpoint
     so the query can never drift from the model (the round-6 max_len
-    lesson)."""
-    from .functions import tinyformer as _TF
-
+    lesson). The merge chain is hoisted to once per DISTINCT word and
+    the word→ids table stays distributed (_bpe_ids_via_join) — the
+    checkpoint's merges/vocab are the only literals in the plan."""
     vocab, merges, max_len = _bpe_ckpt_tok()
     vmap = F.create_map(
         *[x for i, s in enumerate(vocab) for x in (F.lit(s), F.lit(i))]
     )
     docs = catalog.table(spark, sf_dir, "documents")
-    # evaluate the merge chain once per DISTINCT word, not per token
-    # occurrence: the 64-deep replace chain is interpreted string
-    # work, and running it on every occurrence cost ~7 s at sf0.1
-    # (~300k occurrences over a ~31-word vocabulary). Spark still
-    # evaluates the chain itself — over the distinct-words frame — and
-    # the resulting word→ids table inlines as a literal map (the
-    # bounded |vocab| collect every BPE artifact here shares). Output
-    # is bit-identical: same chain, same ids, same positions.
-    cache_key = (sf_dir, len(vocab), len(merges))
-    wrows = _BPE_CKPT_WORD_IDS_CACHE.get(cache_key)
-    if wrows is None:
-        wrows = [
-            (r["w"], tuple(r["ids"]))
-            for r in docs.select(
-                F.explode(S.tokens(F.lower(F.col("text")))).alias("w")
-            )
-            .distinct()
-            .select(
-                "w",
-                F.transform(
-                    BP.encode_symbols(F.col("w"), merges),
-                    lambda s: F.coalesce(
-                        F.element_at(vmap, s), F.lit(_TF.UNK)
-                    ).cast("int"),
-                ).alias("ids"),
-            )
-            .collect()
-        ]
-        _BPE_CKPT_WORD_IDS_CACHE[cache_key] = wrows
-    wmap = F.create_map(
-        *[
-            x
-            for w, wids in wrows
-            for x in (F.lit(w), F.array(*[F.lit(i) for i in wids]))
-        ]
-    )
-    flat = F.flatten(
-        F.transform(
-            S.tokens(F.lower(F.col("text"))),
-            lambda w: F.element_at(wmap, w),
-        )
-    )
-    ids = F.concat(
-        F.array(F.lit(_TF.PSG)), F.slice(flat, 1, max_len - 1)
-    )
-    return (
-        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
-        .orderBy("doc_id", "pos")
-    )
+    return _bpe_ids_via_join(docs, merges, vmap, max_len, lower=True)
 
 
 def transformer_bpe_ckpt_tokenizer_oracle_sql() -> str:
@@ -13464,14 +13472,38 @@ SPARK_QUERIES["quality_classifier_gate"] = q_quality_classifier_gate
 C4_TERMINAL_RE = r'[.!?"]\s*$'
 C4_MIN_WORDS_PER_LINE = 3
 C4_MIN_SENTENCES = 5
-C4_BADWORDS = ("badword1", "badword2")  # placeholder for LDNOOBW
+C4_BADWORDS = ("badword1", "badword2")  # placeholder default for LDNOOBW
+C4_BADWORDS_CONF = "spark.neural_search.c4.badwords"
 
 
-def c4_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
+def c4_badwords(spark: SparkSession | None = None) -> tuple[str, ...]:
+    """Resolve the C4 bad-words list as an ENGINE PARAMETER: the
+    session conf ``spark.neural_search.c4.badwords`` (comma-separated
+    — a deployment sets it to the real LDNOOBW list without editing
+    source), falling back to the clearly-marked placeholder pair the
+    planted-doc tests exercise."""
+    if spark is not None:
+        try:
+            raw = spark.conf.get(C4_BADWORDS_CONF, None)
+        except Exception:  # pragma: no cover - conf access never raises
+            raw = None
+        if raw:
+            return tuple(w for w in (t.strip() for t in raw.split(",")) if w)
+    return C4_BADWORDS
+
+
+def c4_quality_frame(
+    docs: DataFrame,
+    ordered: bool = True,
+    badwords: "tuple[str, ...] | None" = None,
+) -> DataFrame:
     """C4 cleaning as ONE shuffle-free projection: per-line filters →
     retained_text, punctuation-count sentence proxy, page-level drop
     flags, keep_c4. ``ordered=False`` skips the display sort so the
-    frame applies unchanged to a readStream source."""
+    frame applies unchanged to a readStream source. ``badwords``
+    overrides the engine-level list (default: c4_badwords(session))."""
+    if badwords is None:
+        badwords = c4_badwords(docs.sparkSession)
     lines = F.split(F.col("text"), "\n")
 
     def _line_keep(ln):
@@ -13502,7 +13534,7 @@ def c4_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
         F.col("text").contains("{").alias("has_brace"),
         F.arrays_overlap(
             S.tokens(F.lower(F.col("text"))),
-            F.array(*[F.lit(w) for w in C4_BADWORDS]),
+            F.array(*[F.lit(w) for w in badwords]),
         ).alias("has_badword"),
         F.array_join("kept", "\n").alias("retained_text"),
     )
@@ -13524,8 +13556,14 @@ def q_text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_frame(catalog.table(spark, sf_dir, "documents"))
 
 
-_SQL_C4_BAD = ", ".join(f"'{w}'" for w in C4_BADWORDS)
-ORACLES["text_c4_quality"] = f"""
+def text_c4_quality_oracle_sql(
+    badwords: "tuple[str, ...]" = C4_BADWORDS,
+) -> str:
+    """DuckDB replay of c4_quality_frame, derived from the SAME
+    bad-words parameter as the Spark side so a deployment that swaps
+    the list re-derives a matching oracle."""
+    _sql_c4_bad = ", ".join("'" + w.replace("'", "''") + "'" for w in badwords)
+    return f"""
 WITH k AS (
   SELECT doc_id, text,
     len(string_split(text, chr(10)))::BIGINT AS n_lines,
@@ -13545,7 +13583,7 @@ m AS (
       'sum'), 0)::BIGINT AS n_sentences,
     contains(lower(text), 'lorem ipsum') AS has_lorem,
     contains(text, '{{') AS has_brace,
-    len(list_intersect({_SQL_TOKS_LOWER}, [{_SQL_C4_BAD}])) > 0 AS has_badword,
+    len(list_intersect({_SQL_TOKS_LOWER}, [{_sql_c4_bad}])) > 0 AS has_badword,
     coalesce(array_to_string(kept, chr(10)), '') AS retained_text
   FROM k
 )
@@ -13556,6 +13594,9 @@ SELECT doc_id, n_lines, n_kept_lines, n_sentences,
   retained_text
 FROM m ORDER BY doc_id
 """
+
+
+ORACLES["text_c4_quality"] = text_c4_quality_oracle_sql()
 SPARK_QUERIES["text_c4_quality"] = q_text_c4_quality
 
 
@@ -13577,6 +13618,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (one shuffle each side, AQE-broadcast at small SF); the
     weights side is the broadcast-sized clique frame."""
     docs = catalog.table(spark, sf_dir, "documents")
+    cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
+    return curation_frame(docs, cc)
+
+
+def curation_frame(
+    docs: DataFrame, cc: DataFrame, ordered: bool = True
+) -> DataFrame:
+    """The composed curation gate over an arbitrary docs frame and a
+    connected-components ingest artifact — shared by the batch
+    contract query and the STREAMING stage: every component is
+    individually streaming-compatible, and the production ingest runs
+    this composition per micro-batch under one foreachBatch (inside
+    foreachBatch the micro-batch is a plain DataFrame, so the four
+    doc_id equi-joins are unrestricted — no stream-stream join state;
+    tests/test_streaming_quality_gate.py pins micro-batch ≡ batch
+    row-for-row)."""
     c4 = c4_quality_frame(docs, ordered=False).select("doc_id", "keep_c4")
     gop = gopher_quality_frame(docs, ordered=False).select(
         "doc_id", "keep_core", "keep_gopher"
@@ -13584,10 +13641,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = gopher_repetition_frame(docs, ordered=False).select(
         "doc_id", "rep_keep"
     )
-    cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
     w = DD.soft_weights(docs, cc, ordered=False).select("doc_id", "weight")
     keep_final = F.col("keep_gopher") & F.col("rep_keep")
-    return (
+    out = (
         gop.join(rep, "doc_id").join(c4, "doc_id").join(w, "doc_id")
         .select(
             "doc_id", "keep_c4", "keep_core", "keep_gopher", "rep_keep",
@@ -13596,8 +13652,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep_final, F.col("weight"))
             .otherwise(F.lit(0.0)).alias("sample_weight"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def _curation_pipeline_oracle_sql() -> str:

@@ -38,7 +38,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/ann_scale"
-DIM = 32
+# ANN_SCALE_DIM sweeps the embedding width (round-8: dim 384 is the
+# production-embedding regime where PQ's I/O win shows up in latency,
+# not just footprint — BASELINE.md records both runs). Artifacts of
+# different dims get distinct paths; dim 32 keeps the legacy names so
+# the round-7 corpus is reused.
+DIM = int(os.environ.get("ANN_SCALE_DIM", "32"))
+_DTAG = "" if DIM == 32 else f"_d{DIM}"
 N_CENTERS = 1024  # latent mixture centers in the corpus
 K_CELLS = 256     # IVF cells
 NPROBE = 16
@@ -46,7 +52,7 @@ SEED = 20260816
 
 
 def build_vectors(n_docs: int) -> str:
-    path = f"{OUT}/vectors_{n_docs}.parquet"
+    path = f"{OUT}/vectors_{n_docs}{_DTAG}.parquet"
     if os.path.exists(path):
         print(f"vectors exist: {path}")
         return path
@@ -133,7 +139,7 @@ def main() -> None:
     vectors = spark.read.parquet(path)
 
     # ---- ingest: assign + partitioned layout ----
-    idx_path = f"{OUT}/ivf_{n_docs}"
+    idx_path = f"{OUT}/ivf_{n_docs}{_DTAG}"
     t0 = time.perf_counter()
     if not os.path.exists(idx_path):
         assigned = ivf_assign_arrow(vectors, centroids)

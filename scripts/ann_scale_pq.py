@@ -19,7 +19,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/ann_scale"
-DIM = 32
+# ANN_SCALE_DIM mirrors ann_scale_bench.py: dim 384 is the
+# production-embedding regime (1536 B/row float32) where scanning
+# 48 B PQ codes instead of the wide vectors wins LATENCY, not just
+# footprint — at dim 32 (128 B/row) the I/O delta is hidden by the
+# per-row CPU cost and plain IVF wins (BASELINE.md r7 note).
+DIM = int(os.environ.get("ANN_SCALE_DIM", "32"))
+_DTAG = "" if DIM == 32 else f"_d{DIM}"
 K_CELLS = 256
 SEED = 20260816
 
@@ -28,8 +34,8 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    vec_path = f"{OUT}/vectors_{n_docs}.parquet"
-    idx_path = f"{OUT}/ivf_{n_docs}"
+    vec_path = f"{OUT}/vectors_{n_docs}{_DTAG}.parquet"
+    idx_path = f"{OUT}/ivf_{n_docs}{_DTAG}"
     cen_path = vec_path.replace(".parquet", f"_centroids_{K_CELLS}.npy")
     for p in (vec_path, idx_path, cen_path):
         if not os.path.exists(p):
@@ -48,9 +54,13 @@ def main() -> None:
     index = spark.read.parquet(idx_path)  # vec_id, embedding, cluster_id
 
     # ---- ingest: train codebooks on a sample, encode codes table ----
-    codes_path = f"{OUT}/pq_{n_docs}"
+    # m scales with dim at dsub=8 floats/subspace (dim 32 keeps the
+    # legacy m=8/dsub=4 so the r7 codes table is reused): k=256 codes
+    # → 1 byte/subspace, so compression = 4*dim/m bytes-over-bytes.
+    m_sub = 8 if DIM == 32 else max(8, DIM // 8)
+    codes_path = f"{OUT}/pq_{n_docs}{_DTAG}"
     t0 = time.perf_counter()
-    books = PQ.train_codebooks(index, k=256, sample_n=8192)
+    books = PQ.train_codebooks(index, m=m_sub, k=256, sample_n=8192)
     if not os.path.exists(codes_path):
         (
             PQ.encode_pq(index, books)

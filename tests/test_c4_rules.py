@@ -156,3 +156,56 @@ def test_streaming_projection_matches_batch(spark, tmp_path):
         (r["doc_id"], r["n_kept_lines"], r["keep_c4"], r["retained_text"])
         for r in got
     ) == expected
+
+
+def test_badwords_engine_parameter(spark, tmp_path):
+    """round-8: C4_BADWORDS is an engine parameter, not a source
+    constant — (a) an explicit ``badwords=`` overrides the flags, (b)
+    the session conf ``spark.neural_search.c4.badwords`` plumbs a
+    deployment's real LDNOOBW list in without editing source, and (c)
+    the oracle derived from the SAME parameter hash-matches the Spark
+    frame under the custom list."""
+    from neural_search_spark import registry
+    from neural_search_spark.registry import (
+        C4_BADWORDS_CONF,
+        c4_badwords,
+        text_c4_quality_oracle_sql,
+    )
+    from tests.oracle_check import compare
+
+    rows = [(1, "An innocuous custom gate word. A. B. C. D. E."),
+            (2, "Totally clean document text. A. B. C. D. E.")]
+    df = _docs(spark, rows)
+    # (a) explicit parameter: "innocuous" is only bad under the custom list
+    out = {r["doc_id"]: r for r in
+           c4_quality_frame(df, badwords=("innocuous",)).collect()}
+    assert out[1]["has_badword"] and not out[1]["keep_c4"]
+    assert not out[2]["has_badword"] and out[2]["keep_c4"]
+    # default list: both clean
+    assert not any(r["has_badword"] for r in c4_quality_frame(df).collect())
+    # (b) session-conf route (comma-separated, whitespace-tolerant)
+    spark.conf.set(C4_BADWORDS_CONF, " innocuous , custom ")
+    try:
+        assert c4_badwords(spark) == ("innocuous", "custom")
+        out = {r["doc_id"]: r for r in c4_quality_frame(df).collect()}
+        assert out[1]["has_badword"] and not out[2]["has_badword"]
+    finally:
+        spark.conf.unset(C4_BADWORDS_CONF)
+    assert c4_badwords(spark) == registry.C4_BADWORDS
+    # (c) oracle derived from the same custom parameter hash-matches
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", f"{sf}/{t}.parquet")
+    docs = pd.read_parquet(f"{src}/documents.parquet")
+    custom = (str(docs["text"].iloc[0]).split() or ["zzz"])[0].lower()
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    from neural_search_spark import catalog
+    frame = c4_quality_frame(
+        catalog.table(spark, sf, "documents"), badwords=(custom, "it's")
+    )
+    ok, msg = compare(
+        frame, text_c4_quality_oracle_sql((custom, "it's")), sf
+    )
+    assert ok, msg

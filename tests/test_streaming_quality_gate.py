@@ -213,3 +213,81 @@ def test_soft_dedup_weights_stream_matches_batch(spark, tmp_path):
     w = {r["doc_id"]: (r["cluster_size"], r["weight"]) for r in got}
     assert w[1] == (3, 0.3333) and w[2] == (3, 0.3333) and w[3] == (3, 0.3333)
     assert w[7] == (2, 0.5) and w[4] == (1, 1.0) and w[5] == (1, 1.0)
+
+
+def test_curation_pipeline_stream_matches_batch(spark, tmp_path):
+    """Round-8: the COMPOSED curation pipeline (C4 → Gopher →
+    repetition → soft-dedup weights) as one streaming stage. Each
+    component already streams individually; production runs the whole
+    gate per micro-batch under ONE foreachBatch, where the micro-batch
+    is a plain DataFrame so the composition's doc_id equi-joins incur
+    no stream-stream join state. The CC clique frame stays the static
+    ingest artifact. Micro-batch union must equal the batch
+    curation_frame row-for-row."""
+    from neural_search_spark.operators import dedup as DD
+    from neural_search_spark.registry import curation_frame
+
+    vocab = [
+        "river", "stone", "cloud", "meadow", "tiger", "planet",
+        "bridge", "candle", "forest", "window", "garden", "mirror",
+        "spiral", "harbor", "lantern", "valley", "meteor", "canyon",
+        "marble", "falcon", "orchid", "thunder", "velvet", "crystal",
+        "harvest", "journey", "pattern", "quiver", "ribbon", "sunset",
+        "temple", "umbrella", "violet", "whisper", "yonder", "zephyr",
+    ]
+    good = " ".join(
+        f"the {w[0]} and {w[1]} went to {w[2]} with {w[3]} near that"
+        f" {w[4]} by {w[5]}."
+        for w in (vocab[i * 6:(i + 1) * 6] for i in range(6))
+    )  # 84 words, 6 sentences, diverse n-grams: passes every gate
+    rows = [
+        (1, good),                                   # passes everything
+        (2, good),                                   # clique with 1 and 3
+        (3, good),
+        (4, "too short"),                            # fails Gopher floor
+        (5, " ".join(["alpha beta gamma delta epsilon"] * 12) + "."),  # repetition
+        (6, "Lorem ipsum dolor sit amet. " + good),  # C4 page drop only
+    ]
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    cc = DD.connected_components(pairs)
+
+    src = str(tmp_path / "cur_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src + "/f1")
+    df.coalesce(1).write.parquet(src + "/f2")  # second micro-batch
+
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in curation_frame(df, cc, ordered=False).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: got.extend(
+                curation_frame(bdf, cc, ordered=False).collect()
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cur_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 2 * len(rows)
+    for r in got:
+        assert r.asDict() == batch[r["doc_id"]]
+    by = {r["doc_id"]: r for r in got}
+    # the composed gate discriminates per-component on this stream
+    assert by[1]["keep_final"] and by[1]["keep_web"]
+    assert by[1]["sample_weight"] == 0.3333  # clique of 3
+    assert not by[4]["keep_core"] and by[4]["sample_weight"] == 0.0
+    assert not by[5]["rep_keep"] and not by[5]["keep_final"]
+    assert by[6]["keep_final"] and not by[6]["keep_c4"] and not by[6]["keep_web"]
+    assert by[6]["sample_weight"] == 1.0  # singleton, structurally kept

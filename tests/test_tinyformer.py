@@ -309,6 +309,35 @@ def test_bpe_tokenizer_oracle_sf_independent(spark):
         )
         assert ok, f"{sf}: {msg}"
 
+def test_bpe_tokenizer_no_driver_word_collect(spark):
+    """100 TB guard (round-8): the BPE tokenizer queries must keep the
+    word→ids table DISTRIBUTED — joined back to the exploded tokens —
+    not `.collect()`ed into an F.create_map plan literal. A literal
+    map is bounded only by a closed vocabulary; a real web corpus has
+    10⁷–10⁹ distinct words. Prime the genuinely bounded artifacts
+    (merge table ≤ BPE_MERGES rows; symbol vocab ≤ charset+merges),
+    then assert BUILDING either query triggers zero DataFrame
+    collects, and that the optimized plan carries the word join."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from neural_search_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    registry._bpe_merges(spark, sf)
+    registry._bpe_symbol_vocab(spark, sf)
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect during BPE query build")
+
+    with mock.patch.object(DataFrame, "collect", _no_collect):
+        corpus = registry.SPARK_QUERIES["transformer_bpe_tokenizer_ids"](spark, sf)
+        ckpt = registry.SPARK_QUERIES["transformer_bpe_ckpt_tokenizer_ids"](spark, sf)
+    for df in (corpus, ckpt):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" in plan
+
+
 # ---------------------------------------------------------------------------
 # round-7: the BPE-subword checkpoint (tiny_transformer_bpe_32.npz) —
 # subword tokenization wired all the way through attention. Fidelity
