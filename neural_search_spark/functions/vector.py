@@ -58,6 +58,16 @@ def dot_lit(a: Column, vec: list[float]) -> Column:
     summation order is the fold's own ((0+x₁)+x₂)+…, every term kept
     (including zero weights), so the result is bit-identical to
     `dot(as_double(a), lit_vector(vec))` and oracles are unaffected.
+
+    DIMENSION CAP (measured round 8): the sequential chain is a
+    dim-deep expression tree, and Spark 4's recursive column-node
+    converter overflows the driver stack somewhere above ~300 terms
+    (dim 384 → StackOverflowError before the plan even analyzes).
+    The depth is the PRICE of bit-exact fold order — a balanced tree
+    would be shallow but sums in a different order. For wide
+    production embeddings use operators/ann.py::dense_scores_arrow
+    (one BLAS matvec per Arrow batch) and keep this form for the
+    oracle-matched dims.
     """
     s: Column = F.lit(0.0)
     for i, v in enumerate(vec):

@@ -50,6 +50,43 @@ def ivf_assign(
     return embs.select(F.col(id_col), (-best["ncid"]).cast("int").alias("cluster_id"))
 
 
+def dense_scores_arrow(
+    embs: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, score): dot(embedding, query) as one BLAS matvec per
+    Arrow batch — the WIDE-embedding scoring path.
+
+    functions/vector.py::dot_lit is the right form at the contract
+    dims (bit-exact fold order, whole-stage codegen), but its
+    sequential chain is a dim-deep expression tree and Spark's
+    recursive column converter overflows the driver stack above ~300
+    terms (measured at dim 384, round 8). Production embeddings are
+    384-1536 wide, so the scale scripts score through this kernel:
+    O(batch·dim) contiguous float64 work, no expression tree at all.
+    BLAS sums in a different order than the fold, so scores can
+    differ from dot_lit by ~1 ulp — use for measurements and
+    production top-k, not for oracle-hash-matched contract queries
+    at dim 32."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({id_col: pdf[id_col], "score": V @ q})
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, score double"
+    )
+
+
 def ivf_assign_arrow(
     embs: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -93,18 +93,17 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES, id_
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_frame(
     signatures: DataFrame,
     num_hashes: int = NUM_MINHASHES,
     band_size: int = BAND_SIZE,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_hash).
-
-    Returns distinct (a, b) with a < b. The join is an equi-join on the
-    band key — Spark hashes both sides to the same partitions, so only
-    genuinely colliding docs meet.
-    """
+    """(id, band_idx, band_hash) — the LSH bucket keys of a signature
+    frame. Shared by the batch self-join (lsh_candidate_pairs) and the
+    streaming incremental index, which PERSISTS this frame as the
+    corpus-side state and equi-joins each micro-batch's bands against
+    it (streaming/dedup_index.py)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -117,9 +116,77 @@ def lsh_candidate_pairs(
             for bi in range(n_bands)
         ]
     )
-    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col), F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def signature_jaccard(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """(a, b, sig_sim): the MinHash SIGNATURE-AGREEMENT Jaccard
+    estimator — the fraction of equal signature components. Unbiased
+    (P[h_i(A)=h_i(B)] = J(A,B)), σ ≈ √(J(1−J)/H). The incremental
+    streaming gate verifies with this instead of true Jaccard because
+    it needs only the H-component signature row per corpus doc, not
+    the full shingle sets of a 100 TB corpus (jaccard_verify stays the
+    batch-side exact verifier)."""
+    sa = signatures.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)],
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{i}").alias(f"_hb{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"_ha{i}") == F.col(f"_hb{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b",
+            F.round(agree.cast("double") / F.lit(num_hashes), 4).alias("sig_sim"),
+        )
+    )
+
+
+def minhash_lsh_dedup_sig(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash→LSH→SIGNATURE-verify pipeline: (a, b, sig_sim) pairs
+    with estimated Jaccard ≥ threshold. The batch twin of the
+    streaming incremental index — identical estimator, so micro-batch
+    union ≡ this frame exactly (tests/test_streaming_dedup_index.py)."""
+    sh = shingle_sets(docs, n, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col=id_col).persist()
+    cands = lsh_candidate_pairs(sigs, id_col=id_col)
+    return signature_jaccard(cands, sigs).where(
+        F.col("sig_sim") >= threshold
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+
+    Returns distinct (a, b) with a < b. The join is an equi-join on the
+    band key — Spark hashes both sides to the same partitions, so only
+    genuinely colliding docs meet.
+    """
+    banded = band_frame(signatures, num_hashes, band_size, id_col)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -177,11 +177,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, out
 
+    from neural_search_spark.operators.ann import dense_scores_arrow
+
+    def scored(frame, qv):
+        # dot_lit's bit-exact unrolled chain caps at ~dim 300 (the
+        # column converter recurses per term — StackOverflow at 384);
+        # wide production dims score through the Arrow matvec kernel.
+        if DIM <= 64:
+            return frame.select(
+                "vec_id", dot_lit(F.col("embedding"), qv).alias("score")
+            )
+        return dense_scores_arrow(frame, qv)
+
     rows = []
     for qi, qv in enumerate(queries):
-        score = dot_lit(F.col("embedding"), qv).alias("score")
         t_ex, ex = timed(
-            lambda: index.select("vec_id", score)
+            lambda: scored(index, qv)
             .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
         )
         ex_ids = [r["vec_id"] for r in ex]
@@ -189,8 +200,9 @@ def main() -> None:
         probes = np.argsort(-(C @ np.array(qv)))[:nprobe]
         probe_ids = [int(p) for p in probes]
         t_iv, iv = timed(
-            lambda: index.where(F.col("cluster_id").isin(probe_ids))
-            .select("vec_id", score)
+            lambda: scored(
+                index.where(F.col("cluster_id").isin(probe_ids)), qv
+            )
             .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
         )
         iv_ids = [r["vec_id"] for r in iv]

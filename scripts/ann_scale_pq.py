@@ -99,11 +99,21 @@ def main() -> None:
 
     import statistics as st
 
+    from neural_search_spark.operators.ann import dense_scores_arrow
+
+    def scored(frame, qv):
+        # same dim gate as ann_scale_bench: dot_lit's unrolled chain
+        # overflows the column converter above ~300 terms
+        if DIM <= 64:
+            return frame.select(
+                "vec_id", dot_lit(F.col("embedding"), qv).alias("score")
+            )
+        return dense_scores_arrow(frame, qv)
+
     sp, rc, ivf_sp = [], [], []
     for qi, qv in enumerate(queries):
-        score = dot_lit(F.col("embedding"), qv).alias("score")
         t_ex, ex = timed(
-            lambda: index.select("vec_id", score)
+            lambda: scored(index, qv)
             .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
         )
         ex_ids = [r["vec_id"] for r in ex]
@@ -111,8 +121,9 @@ def main() -> None:
         probes = np.argsort(-(C @ np.array(qv)))[:nprobe]
         probe_ids = [int(p) for p in probes]
         t_iv, _ = timed(
-            lambda: index.where(F.col("cluster_id").isin(probe_ids))
-            .select("vec_id", score)
+            lambda: scored(
+                index.where(F.col("cluster_id").isin(probe_ids)), qv
+            )
             .orderBy(F.col("score").desc(), "vec_id").limit(10).collect()
         )
         # rescore against the probe-pruned clustered frame, not the

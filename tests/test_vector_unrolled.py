@@ -106,3 +106,51 @@ def test_unrolled_norm_matches_python_fold():
     for v in vec:
         s += v * v
     assert math.sqrt(s) == math.sqrt(sum([v * v for v in vec]))
+
+
+def test_dense_scores_arrow_matches_dot(spark):
+    """The wide-embedding Arrow matvec scorer (round-8: dot_lit's
+    dim-deep chain overflows the column converter above ~300 terms)
+    agrees with the fold to BLAS-reassociation tolerance, and ranks
+    identically on separated data."""
+    from neural_search_spark.operators.ann import dense_scores_arrow
+
+    rows = _vecs(300, seed=13, zero_row=True)
+    q = [random.Random(17).uniform(-1, 1) for _ in range(DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id", dot(as_double(F.col("embedding")), lit_vector(q)).alias("s")
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["score"]
+        for r in dense_scores_arrow(df, q).collect()
+    }
+    assert set(arrow) == set(fold)
+    for k, v in arrow.items():
+        assert abs(v - fold[k]) <= 1e-9 * max(1.0, abs(fold[k]))
+    top_fold = sorted(fold, key=lambda k: (-fold[k], k))[:10]
+    top_arrow = sorted(arrow, key=lambda k: (-arrow[k], k))[:10]
+    assert top_fold == top_arrow
+
+
+def test_dense_scores_arrow_wide_dim(spark):
+    """dim 384 — the regime dot_lit cannot express — scores correctly
+    vs a driver-side numpy reference."""
+    import numpy as np
+
+    from neural_search_spark.operators.ann import dense_scores_arrow
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((50, 384))
+    q = rng.standard_normal(384)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["score"] for r in dense_scores_arrow(df, [float(x) for x in q]).collect()}
+    want = V @ q
+    for i in range(50):
+        assert abs(got[i] - want[i]) <= 1e-9 * max(1.0, abs(want[i]))
