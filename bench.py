@@ -185,6 +185,9 @@ HEADLINE = [
     "curation_pipeline",
     "transformer_bpe_ckpt_tokenizer_ids",
     "transformer_bpe_model_dense_topk_int",
+    # round-8 additions: signature-agreement LSH verify (the streaming
+    # incremental dedup index's estimator, batch twin)
+    "dedup_minhash_sig",
 ]
 
 

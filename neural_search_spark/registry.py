@@ -12427,11 +12427,12 @@ if _TINYFORMER_OK:
 # round-7: the SUBWORD transformer checkpoint — BPE tokenization wired
 # all the way through the encoder (VERDICT r6 item 5's full form).
 # resources/tiny_transformer_bpe_32.npz is trained by
-# scripts/train_transformer.py --bpe 64 --max-len 160 (64 merges
-# compress words to ~1.5 symbols so max_len 160 covers whole docs —
-# the 24-merge/101-cap first cut truncated long docs to ~35 words and
-# held teacher-recall to 0.46; the retrain reaches doc-cos 0.975 /
-# recall 0.58): the merge table is learned
+# scripts/train_transformer.py --bpe 128 --max-len 160 (the merge
+# loop exhausts mergeable pairs at 89 merges on this corpus, fully
+# compressing frequent words to single symbols — the 24-merge/101-cap
+# first cut held teacher-recall to 0.46, the 64-merge round-7 ckpt to
+# 0.535; the round-8 retrain reaches doc-cos 0.987 / teacher-recall
+# 0.748 on the sf0.01 train eval): the merge table is learned
 # from the corpus (same portable replace convention as
 # functions/bpe.py), stored IN the checkpoint alongside the symbol
 # vocab (a sentence-transformers-style self-contained bundle:

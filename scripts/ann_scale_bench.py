@@ -63,12 +63,21 @@ def build_vectors(n_docs: int) -> str:
     rng = np.random.default_rng(SEED)
     centers = rng.standard_normal((N_CENTERS, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # iid noise norm grows with √dim while the unit centers don't, so a
+    # fixed per-component σ makes high dims GEOMETRICALLY harder (at
+    # dim 384, σ=0.2 noise has norm ~3.9 vs the unit center — vectors
+    # are near-uniform on the sphere and any cell structure vanishes).
+    # Scale σ by √(32/dim) to keep the noise-to-center angle identical
+    # to the dim-32 corpus: the cross-dim comparison then isolates the
+    # per-row I/O+compute effect (the claim under test), not a change
+    # in clusterability.
+    sigma = 0.2 * (32.0 / DIM) ** 0.5
     writer = None
     chunk = 500_000
     for start in range(0, n_docs, chunk):
         n = min(chunk, n_docs - start)
         which = rng.integers(0, N_CENTERS, n)
-        v = centers[which] + 0.2 * rng.standard_normal((n, DIM))
+        v = centers[which] + sigma * rng.standard_normal((n, DIM))
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         tbl = pa.table({
             "vec_id": np.arange(start, start + n, dtype=np.int64),
@@ -164,7 +173,9 @@ def main() -> None:
     C = np.array([v for _, v in centroids])
     queries = []
     for qid in q_ids:
-        qv = base[int(qid)] + 0.05 * rng.standard_normal(DIM)
+        # query noise scales like the corpus noise (see build_vectors):
+        # constant σ would push the query ~45° off its base at dim 384
+        qv = base[int(qid)] + 0.05 * (32.0 / DIM) ** 0.5 * rng.standard_normal(DIM)
         qv /= np.linalg.norm(qv)
         queries.append([float(x) for x in qv])
 

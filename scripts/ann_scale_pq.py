@@ -84,7 +84,9 @@ def main() -> None:
     }
     queries = []
     for qid in q_ids:
-        qv = base[int(qid)] + 0.05 * rng.standard_normal(DIM)
+        # query noise scales like the corpus noise (see build_vectors):
+        # constant σ would push the query ~45° off its base at dim 384
+        qv = base[int(qid)] + 0.05 * (32.0 / DIM) ** 0.5 * rng.standard_normal(DIM)
         qv /= np.linalg.norm(qv)
         queries.append([float(x) for x in qv])
 

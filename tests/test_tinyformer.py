@@ -363,12 +363,20 @@ def _bpe_ckpt():
 
 
 def test_bpe_ckpt_is_subword_not_word():
-    """The checkpoint's tokenizer actually splits words into subword
-    symbols (merges active): non-pad length exceeds the word count."""
+    """The checkpoint's tokenizer is OPEN-VOCABULARY subword: an
+    unseen word decomposes into multiple known symbols instead of one
+    [UNK]. (The r8 retrain's merge loop runs until mergeable pairs are
+    exhausted — 89 merges fully compress the corpus's frequent words
+    to single symbols, so a frequent-word probe no longer splits; the
+    subword property shows on out-of-vocab words, which is exactly
+    what it exists for.)"""
     model = _bpe_ckpt()
-    text = "spark join window stream batch"
+    text = "sparkstream joinwindow"  # unseen compounds of seen chars
     ids, mask = model.tok.batch([text], "PASSAGE")
     assert int(mask[0].sum()) > len(text.split()) + 1  # +1 = [PSG]
+    from neural_search_spark.functions.tinyformer import UNK
+
+    assert UNK not in ids[0][: int(mask[0].sum())]
 
 
 def test_bpe_ckpt_udf_lifecycle_matches_direct_encode(spark):
@@ -424,8 +432,8 @@ def test_bpe_ckpt_distillation_fidelity():
     s_doc = student.encode(texts, "PASSAGE")
     t_doc = teacher.encode(texts, "PASSAGE")
     doc_cos = (s_doc * t_doc).sum(1)
-    assert doc_cos.mean() >= 0.94  # measured 0.9681 (64-merge ckpt)
-    assert doc_cos.min() >= 0.82   # measured 0.8673
+    assert doc_cos.mean() >= 0.97  # measured 0.9874 (89-merge ckpt, r8)
+    assert doc_cos.min() >= 0.92   # measured 0.9601
     q_texts = [" ".join(t.lower().split()[:4]) for t in texts[:20]]
     s_q = student.encode(q_texts, "QUERY")
     t_q = teacher.encode(q_texts, "QUERY")
@@ -434,7 +442,7 @@ def test_bpe_ckpt_distillation_fidelity():
         top_s = set(np.argsort(-(s_doc @ s_q[i]))[:10])
         top_t = set(np.argsort(-(t_doc @ t_q[i]))[:10])
         rec.append(len(top_s & top_t) / 10.0)
-    assert float(np.mean(rec)) >= 0.40  # measured 0.535
+    assert float(np.mean(rec)) >= 0.60  # measured 0.68 (r8 retrain; 0.748 on the sf0.01 train eval)
 
 
 def test_bpe_ckpt_tokenizer_contract_matches_python(spark):
