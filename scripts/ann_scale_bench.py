@@ -152,8 +152,15 @@ def main() -> None:
     t0 = time.perf_counter()
     if not os.path.exists(idx_path):
         assigned = ivf_assign_arrow(vectors, centroids)
+        # repartition ON the partition column before partitionBy: else
+        # every task holds open writers+buffers for up to |cells| files
+        # at once — 32 tasks × 256 cells of wide rows OOMed the 4M×384
+        # write (measured round 8); clustered, each task streams into
+        # its own cell's files. This is the production layout-write
+        # pattern at any scale.
         (
             vectors.join(assigned, "vec_id")
+            .repartition("cluster_id")
             .write.partitionBy("cluster_id")
             .parquet(idx_path)
         )
