@@ -82,8 +82,11 @@ def dense_scores_arrow(
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             yield pd.DataFrame({id_col: pdf[id_col], "score": V @ q})
 
+    # id dtype follows the input schema (int32 / string ids pass
+    # through untouched), not a hardcoded bigint
+    id_type = embs.schema[id_col].dataType.simpleString()
     return embs.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, score double"
+        gen, schema=f"{id_col} {id_type}, score double"
     )
 
 

@@ -165,9 +165,16 @@ def minhash_lsh_dedup_sig(
     """MinHash→LSH→SIGNATURE-verify pipeline: (a, b, sig_sim) pairs
     with estimated Jaccard ≥ threshold. The batch twin of the
     streaming incremental index — identical estimator, so micro-batch
-    union ≡ this frame exactly (tests/test_streaming_dedup_index.py)."""
+    union ≡ this frame exactly (tests/test_streaming_dedup_index.py).
+
+    No persist: the signature aggregation feeds three consumers (the
+    band frame and both sides of the verify join), but all three sit
+    in ONE plan, so Spark's ReuseExchange collapses the identical
+    aggregation subtrees — a cached frame here would outlive the query
+    in a long-lived session (it is a registered contract query) with
+    no one responsible for unpersisting it."""
     sh = shingle_sets(docs, n, id_col, text_col)
-    sigs = minhash_signatures(sh, id_col=id_col).persist()
+    sigs = minhash_signatures(sh, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, id_col=id_col)
     return signature_jaccard(cands, sigs).where(
         F.col("sig_sim") >= threshold

@@ -18,7 +18,31 @@ state:
   sets, so corpus state is O(docs), not O(tokens);
 - the batch's bands/signatures then append to the index as their own
   `batch=<id>` parquet segment (idempotent overwrite — a replayed
-  foreachBatch REPLACES its previous attempt).
+  foreachBatch REPLACES its previous attempt, and the old-state reads
+  EXCLUDE the replayed batch's own prior segment so a replay never
+  joins a document against its previous attempt's rows).
+
+All filesystem metadata operations (existence, segment listing,
+deletion) go through the Hadoop FileSystem API resolved from the
+configured base path, so the index state may live on any Spark-
+supported filesystem (file://, hdfs://, s3a://) — never through
+driver-local os.path calls.
+
+Exact-duplicate collapse (`collapse=True`): a viral template repeated
+m times within a batch would otherwise contribute m band rows per
+band and m·H signature components, and — worse — the emitted PAIR set
+itself is quadratic in m even though every join is bucketed. With
+collapse on, verbatim duplicates are collapsed to one representative
+per md5(text) BEFORE shingling (operators/dedup.py::exact_dedup's
+keeper rule: min id), a `members` segment records (doc_id → rep_id),
+and LSH state/pairs are maintained over representatives only — pair
+output is linear in DISTINCT documents. Cross-batch verbatim
+duplicates of an already-indexed representative are caught by content
+hash (an equi-join against the stored rep hashes) and recorded as
+members, not re-shingled. The survivor set is unchanged: identical
+texts have identical signatures, so the uncollapsed pipeline always
+links them at sig_sim 1.0 into the same component their representative
+occupies (tests/test_streaming_dedup_index.py pins both equivalences).
 
 Equivalence contract: after any prefix of batches, the union of
 emitted pairs equals operators/dedup.py::minhash_lsh_dedup_sig over
@@ -26,7 +50,16 @@ the union of documents — every pair (a, b) is either within one batch
 (caught by the self-join) or across batches (caught by the
 new-vs-index join when the later doc arrives). The estimator and the
 band scheme are shared code, so the equality is exact, not
-approximate (tests/test_streaming_dedup_index.py).
+approximate (tests/test_streaming_dedup_index.py). With collapse on,
+the same contract holds over DISTINCT texts' representatives, and
+(pairs ∪ member edges) spans the same connected components.
+
+Concurrency note: `compact()` is safe to run next to a live stream —
+it snapshots the segment list first, writes the compacted segment
+alongside, and deletes ONLY the snapshotted segments, so a batch
+segment that lands mid-compaction survives, and a crash at any point
+leaves at worst duplicate band rows (harmless: candidate generation
+is distinct-ed), never lost state.
 """
 
 from __future__ import annotations
@@ -38,13 +71,35 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators import dedup as DD
 
 
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for `path_str` — filesystem-agnostic
+    metadata ops (file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _segment_names(spark: SparkSession, dir_str: str) -> list[str]:
+    """Names of `batch=*` child directories, [] if the dir is absent."""
+    fs, path = _fs_and_path(spark, dir_str)
+    if not fs.exists(path):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+
+
 class IncrementalLSHDedupIndex:
     """Streaming MinHash-LSH dedup index.
 
     Layout on disk (append-only parquet segments):
-      base_dir/sigs/batch=<id>/   (doc_id, h0..h{H-1})
-      base_dir/bands/batch=<id>/  (doc_id, band_idx, band_hash)
-      base_dir/pairs/batch=<id>/  (a, b, sig_sim)  — the verdicts
+      base_dir/sigs/batch=<id>/    (doc_id, h0..h{H-1}, content_hash)
+      base_dir/bands/batch=<id>/   (doc_id, band_idx, band_hash)
+      base_dir/pairs/batch=<id>/   (a, b, sig_sim)  — the verdicts
+      base_dir/members/batch=<id>/ (doc_id, rep_id) — collapse=True only
 
     At cluster scale the bands segments are the hot join side: they
     are tiny rows (id + 2 small keys) hash-partitioned by the band
@@ -62,15 +117,38 @@ class IncrementalLSHDedupIndex:
         num_hashes: int = DD.NUM_MINHASHES,
         band_size: int = DD.BAND_SIZE,
         threshold: float = 0.5,
+        collapse: bool = False,
+        id_col: str = "doc_id",
+        text_col: str = "text",
     ):
         self.base = str(base_dir).rstrip("/")
         self.sigs_dir = self.base + "/sigs"
         self.bands_dir = self.base + "/bands"
         self.pairs_dir = self.base + "/pairs"
+        self.members_dir = self.base + "/members"
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
         self.band_size = band_size
         self.threshold = threshold
+        self.collapse = collapse
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- segment reads -------------------------------------------------------
+    def _read_old(self, spark: SparkSession, dir_str: str, batch_id: int) -> DataFrame | None:
+        """Read every segment EXCEPT the current batch's own (a replay
+        must not see its previous attempt). Returns None when no prior
+        state exists. The batch partition column is compared as a
+        string because compact() writes non-numeric segment names
+        (`batch=c0`), which flip Spark's inferred partition type to
+        string — an int comparison would null out and silently drop
+        the compacted segment."""
+        if not _segment_names(spark, dir_str):
+            return None
+        df = spark.read.parquet(dir_str)
+        return df.where(
+            F.col("batch").cast("string") != F.lit(str(batch_id))
+        ).drop("batch")
 
     # -- writer side --------------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -78,47 +156,88 @@ class IncrementalLSHDedupIndex:
         foreachBatch, where `batch` is a plain DataFrame — the
         new-vs-index join is an ordinary batch equi-join against the
         parquet state, no stream-stream join state."""
-        import os
-
         spark = batch.sparkSession
-        sh = DD.shingle_sets(batch, self.shingle_n)
-        sigs = DD.minhash_signatures(sh, self.num_hashes).persist()
-        bands = DD.band_frame(sigs, self.num_hashes, self.band_size)
+        id_col, text_col = self.id_col, self.text_col
+
+        hashed = batch.select(
+            F.col(id_col), F.col(text_col),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        members = None
+        if self.collapse:
+            # within-batch verbatim collapse: keeper = min id per hash
+            reps_in_batch = hashed.groupBy("content_hash").agg(
+                F.min(id_col).alias("__rep")
+            )
+            hashed = hashed.join(reps_in_batch, "content_hash")
+            old_sigs_all = self._read_old(spark, self.sigs_dir, batch_id)
+            if old_sigs_all is not None:
+                # cross-batch verbatim collapse: a doc whose hash is
+                # already represented in the index becomes a member of
+                # the EXISTING representative and is not re-shingled
+                idx_reps = old_sigs_all.groupBy("content_hash").agg(
+                    F.min(id_col).alias("__idx_rep")
+                )
+                hashed = hashed.join(idx_reps, "content_hash", "left").withColumn(
+                    "__rep", F.coalesce("__idx_rep", "__rep")
+                ).drop("__idx_rep")
+            members = hashed.where(F.col(id_col) != F.col("__rep")).select(
+                F.col(id_col), F.col("__rep").alias("rep_id")
+            )
+            new_docs = hashed.where(F.col(id_col) == F.col("__rep")).select(
+                id_col, text_col, "content_hash"
+            )
+        else:
+            new_docs = hashed
+
+        sh = DD.shingle_sets(new_docs, self.shingle_n, id_col, text_col)
+        sigs = (
+            DD.minhash_signatures(sh, self.num_hashes, id_col)
+            .join(new_docs.select(id_col, "content_hash"), id_col)
+            .persist()
+        )
+        bands = DD.band_frame(sigs, self.num_hashes, self.band_size, id_col)
 
         # new-vs-new (within the batch)
         self_pairs = DD.lsh_candidate_pairs(
-            sigs, self.num_hashes, self.band_size
+            sigs, self.num_hashes, self.band_size, id_col
         )
         # new-vs-index (across batches): any band collision, oriented
         # a < b so cross and self pairs share the dedup key
-        if os.path.exists(self.bands_dir):
-            old_bands = spark.read.parquet(self.bands_dir).drop("batch")
+        old_bands = self._read_old(spark, self.bands_dir, batch_id)
+        if old_bands is not None:
             cross = (
                 bands.alias("n")
                 .join(
                     old_bands.alias("o"),
                     (F.col("n.band_idx") == F.col("o.band_idx"))
                     & (F.col("n.band_hash") == F.col("o.band_hash"))
-                    & (F.col("n.doc_id") != F.col("o.doc_id")),
+                    & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
                 )
                 .select(
-                    F.least("n.doc_id", "o.doc_id").alias("a"),
-                    F.greatest("n.doc_id", "o.doc_id").alias("b"),
+                    F.least(f"n.{id_col}", f"o.{id_col}").alias("a"),
+                    F.greatest(f"n.{id_col}", f"o.{id_col}").alias("b"),
                 )
                 .distinct()
             )
-            all_sigs = spark.read.parquet(self.sigs_dir).drop("batch").unionByName(sigs)
+            old_sigs = self._read_old(spark, self.sigs_dir, batch_id)
+            all_sigs = old_sigs.unionByName(sigs)
             cands = self_pairs.unionByName(cross).distinct()
         else:
             all_sigs = sigs
             cands = self_pairs
 
-        pairs = DD.signature_jaccard(cands, all_sigs, self.num_hashes).where(
-            F.col("sig_sim") >= self.threshold
-        )
+        pairs = DD.signature_jaccard(
+            cands, all_sigs.drop("content_hash").withColumnRenamed(id_col, "doc_id"),
+            self.num_hashes,
+        ).where(F.col("sig_sim") >= self.threshold)
         pairs.write.mode("overwrite").parquet(f"{self.pairs_dir}/batch={batch_id}")
         sigs.write.mode("overwrite").parquet(f"{self.sigs_dir}/batch={batch_id}")
         bands.write.mode("overwrite").parquet(f"{self.bands_dir}/batch={batch_id}")
+        if members is not None:
+            members.write.mode("overwrite").parquet(
+                f"{self.members_dir}/batch={batch_id}"
+            )
         sigs.unpersist()
 
     def attach(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
@@ -137,21 +256,54 @@ class IncrementalLSHDedupIndex:
         disjoint by construction — the distinct is a safety net)."""
         return spark.read.parquet(self.pairs_dir).drop("batch").distinct()
 
+    def members(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, rep_id) verbatim-duplicate membership (collapse
+        mode): every non-representative doc and the representative
+        that carries its LSH state."""
+        if not _segment_names(spark, self.members_dir):
+            return spark.createDataFrame(
+                [], f"{self.id_col} long, rep_id long"
+            )
+        return spark.read.parquet(self.members_dir).drop("batch").distinct()
+
     def doc_ids_seen(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.sigs_dir).drop("batch").select("doc_id")
+        reps = spark.read.parquet(self.sigs_dir).drop("batch").select(self.id_col)
+        if not self.collapse:
+            return reps
+        return reps.unionByName(
+            self.members(spark).select(F.col(self.id_col))
+        ).distinct()
 
     # -- maintenance ----------------------------------------------------------
     def compact(self, spark: SparkSession) -> None:
         """Re-bucket the accumulated band segments by band_hash (the
         join key) so the per-batch probe join reads co-located
         buckets — the dedup-state analogue of the postings index's
-        segment merge."""
-        import os
-        import shutil
+        segment merge.
 
-        merged = spark.read.parquet(self.bands_dir).drop("batch")
-        tmp = self.base + "/bands_compacted"
-        merged.repartition("band_hash").write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.bands_dir)
-        os.makedirs(self.bands_dir)
-        shutil.move(tmp, self.bands_dir + "/batch=compacted")
+        Safe next to a live stream: the segment list is SNAPSHOTTED
+        first, the compacted segment is written ALONGSIDE under a
+        fresh `batch=c<n>` name, and only the snapshotted segments are
+        deleted — a segment written mid-compaction survives, and a
+        crash between the write and the deletes leaves duplicate band
+        rows, which candidate generation distinct-s away."""
+        snapshot = _segment_names(spark, self.bands_dir)
+        if not snapshot:
+            return
+        # fresh compacted-segment name: one past the highest existing c<n>
+        c_nums = [
+            int(s[len("batch=c"):])
+            for s in snapshot
+            if s.startswith("batch=c") and s[len("batch=c"):].isdigit()
+        ]
+        out_name = f"batch=c{max(c_nums) + 1 if c_nums else 0}"
+        merged = spark.read.parquet(
+            *[f"{self.bands_dir}/{s}" for s in snapshot]
+        )
+        merged.repartition("band_hash").write.mode("overwrite").parquet(
+            f"{self.bands_dir}/{out_name}"
+        )
+        fs, _ = _fs_and_path(spark, self.bands_dir)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for s in snapshot:
+            fs.delete(jvm_path(f"{self.bands_dir}/{s}"), True)
