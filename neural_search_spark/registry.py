@@ -13718,6 +13718,85 @@ ORACLES["curation_pipeline"] = _curation_pipeline_oracle_sql()
 SPARK_QUERIES["curation_pipeline"] = q_curation_pipeline
 
 
+# ---------------------------------------------------------------------------
+# Round 9: collapse-first dedup flagship (judge r8 next-round #2).
+# ---------------------------------------------------------------------------
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup verdict for EVERY document: (doc_id, survivor_id),
+    survivor = min id of the doc's near-dup cluster, singletons map to
+    themselves. Composition is collapse-FIRST: verbatim duplicates
+    collapse to one representative per content hash (one shuffle)
+    BEFORE shingling, so a viral template duplicated m times
+    contributes ONE row to the LSH band join instead of m — pair
+    output linear in distinct texts (operators/dedup.py::
+    near_dup_survivors; viral-template test in tests/test_dedup_clusters.py).
+    Survivor set proven identical to LSH-over-raw-corpus (identical
+    texts share signatures, so the raw pipeline links them at
+    sig_sim 1.0)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return DD.near_dup_survivors(docs, threshold=JACCARD_THRESHOLD).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_SHINGLES_REPS = SQL_SHINGLES.replace("FROM documents", "FROM reps")
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE raw AS (
+  SELECT doc_id, text, md5(text) AS content_hash FROM documents
+),
+keep AS (
+  SELECT content_hash, min(doc_id) AS rep FROM raw GROUP BY content_hash
+),
+reps AS (
+  SELECT r.doc_id, r.text FROM raw r
+  JOIN keep k ON r.content_hash = k.content_hash
+  WHERE r.doc_id = k.rep
+),
+sh AS ({_SQL_SHINGLES_REPS}),
+sigs AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, s.band_idx, s.band_hash
+  FROM (SELECT doc_id, unnest([{_BAND_STRUCTS}]) AS s FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+),
+prs AS (
+  SELECT c.a, c.b FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b
+  WHERE ({_SIG_AGREE})::DOUBLE / {DD.NUM_MINHASHES} >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+rep_surv AS (
+  SELECT p.doc_id, coalesce(c.component, p.doc_id) AS survivor_id
+  FROM reps p LEFT JOIN comp c ON c.node = p.doc_id
+),
+mem AS (
+  SELECT r.doc_id, k.rep AS rep_id FROM raw r
+  JOIN keep k ON r.content_hash = k.content_hash
+  WHERE r.doc_id != k.rep
+)
+SELECT doc_id, survivor_id FROM rep_surv
+UNION ALL
+SELECT m.doc_id, s.survivor_id FROM mem m JOIN rep_surv s ON s.doc_id = m.rep_id
+ORDER BY doc_id
+"""
+SPARK_QUERIES["dedup_survivors"] = q_dedup_survivors
+
+
 # apply the contract ordering ONCE, after every registration — the
 # driver's correctness gate samples the first 50 entries in dict
 # order, and PRIORITY_50 pins a full-family spread there
