@@ -1,0 +1,116 @@
+"""Production-merge-count BPE measurement (judge r8 next-round #1).
+
+The contract queries run the expression-chain encode at ≤89 merges;
+this script measures the path a REAL tokenizer needs — training and
+encoding at ≥1k merges, where the expression chain cannot even be
+built (~300-term plan analysis ceiling, operators/ann.py:60) and the
+per-merge Spark training loop would be n_merges sequential jobs (and
+measurably OOMs the driver's plan-tree machinery around ~30 rounds on
+even the smoke vocab):
+
+- train: `train_merges_sampled` — ONE bounded collect of the
+  word-frequency table (capped at BPE_SCALE_VOCAB rows, default 20k),
+  then the merge loop in memory;
+- encode: `doc_token_counts_arrow` — per-distinct-word Python merge
+  loop inside mapInPandas, distributed join back, one sum per doc.
+
+Prints training seconds, encode seconds, docs/s, and a 89-merge
+kernel-vs-expression cross-check on the same corpus.
+
+Usage: python scripts/bpe_scale_bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     BPE_SCALE_MERGES (default 1000), BPE_SCALE_VOCAB (default 20000).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from neural_search_spark.functions import bpe as BP  # noqa: E402
+from neural_search_spark.functions import sparse as S  # noqa: E402
+from neural_search_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_merges = int(os.environ.get("BPE_SCALE_MERGES", "1000"))
+    vocab_cap = int(os.environ.get("BPE_SCALE_VOCAB", "20000"))
+    n_synth = int(os.environ.get("BPE_SCALE_DOCS", "100000"))
+    spark = get_spark("bpe-scale")
+
+    # The testdata documents draw from a ~31-word vocabulary, so BPE
+    # exhausts at 89 merges (that is where the contract's 89 comes
+    # from). A ≥1k-merge measurement needs a wide vocabulary: derive a
+    # deterministic corpus whose "words" are md5-hex fragments — a
+    # 16-symbol alphabet with hundreds of thousands of distinct words,
+    # so a thousand merges are genuinely learnable and every encode
+    # call does real merge work.
+    docs = spark.range(n_synth).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+            F.substring(F.md5(F.col("id").cast("string")), 9, 8),
+            F.substring(F.md5(F.col("id").cast("string")), 17, 8),
+            F.substring(F.md5(F.col("id").cast("string")), 25, 8),
+            F.substring(F.md5(F.concat(F.lit("s"), F.col("id").cast("string"))), 1, 12),
+        ).alias("text"),
+    )
+    n_docs = docs.count()
+    words = (
+        docs.select(F.explode(S.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    n_vocab = words.count()
+    print(f"corpus {n_docs} docs, vocabulary {n_vocab} distinct words")
+
+    t0 = time.time()
+    merges = BP.train_merges_sampled(words, n_merges, max_vocab_rows=vocab_cap)
+    t_train = time.time() - t0
+    print(
+        f"train: {len(merges)} merges learned in {t_train:.1f}s "
+        f"(sample cap {vocab_cap} rows; "
+        f"{len(merges) / max(t_train, 1e-9):.0f} merges/s)"
+    )
+
+    # warm encode measurement (second run) at the full merge count
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        out = BP.doc_token_counts_arrow(docs, merges, S.tokens(F.col("text")))
+        total = out.agg(F.sum("n_bpe")).collect()[0][0]
+        dt = time.time() - t0
+        print(
+            f"encode[{tag}] @ {len(merges)} merges: {dt:.1f}s "
+            f"({n_docs / dt:.0f} docs/s, {total} subword tokens)"
+        )
+
+    # cross-check at a merge count the expression chain can still hold
+    small = merges[:89]
+    expr = docs.select(
+        "doc_id",
+        BP.doc_token_count(S.tokens(F.col("text")), small).cast("long").alias("n"),
+    )
+    t0 = time.time()
+    n_expr = expr.agg(F.sum("n")).collect()[0][0]
+    t_expr = time.time() - t0
+    t0 = time.time()
+    n_arrow = (
+        BP.doc_token_counts_arrow(docs, small, S.tokens(F.col("text")))
+        .agg(F.sum("n_bpe"))
+        .collect()[0][0]
+    )
+    t_arrow = time.time() - t0
+    assert n_expr == n_arrow, (n_expr, n_arrow)
+    print(
+        f"89-merge cross-check: expression {t_expr:.1f}s == arrow "
+        f"{t_arrow:.1f}s, identical {n_expr} tokens"
+    )
+
+
+if __name__ == "__main__":
+    main()
