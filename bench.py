@@ -188,6 +188,15 @@ HEADLINE = [
     # round-8 additions: signature-agreement LSH verify (the streaming
     # incremental dedup index's estimator, batch twin)
     "dedup_minhash_sig",
+    # round-9 additions: collapse-first survivors flagship, hot-band
+    # grid SimHash, the production-merge-count BPE kernel, and the
+    # forward-index IVF-PQ rescore (the streaming batch-face queries
+    # build scratch index state per run and are correctness-graded,
+    # not benchmarked)
+    "dedup_survivors",
+    "dedup_simhash_blocked",
+    "bpe_token_count_arrow",
+    "ann_ivfpq_forward",
 ]
 
 
