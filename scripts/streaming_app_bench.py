@@ -56,13 +56,20 @@ def main() -> None:
     print(f"corpus {n_docs} docs/batch x {n_batches} batches, "
           f"{frac_dup:.0%} verbatim repeats of batch 0")
     for b in range(n_batches):
+        # non-repeat docs interleave a per-batch token between every
+        # word, so their SHINGLE sets are disjoint from other batches
+        # (a tail salt leaves Jaccard ≈ 0.95 — the gate then correctly
+        # drops the entire batch as near-dups and the embed/index
+        # stages idle; measured before this change)
         batch = docs.select(
             (F.col("doc_id") + F.lit(b * n_docs)).alias("doc_id"),
             F.when(
                 (F.col("doc_id") % F.lit(int(1 / frac_dup))) == 0,
                 F.col("text"),
             )
-            .otherwise(F.concat(F.col("text"), F.lit(f" batchsalt{b}")))
+            .otherwise(
+                F.regexp_replace(F.col("text"), " ", f" batch{b}tok ")
+            )
             .alias("text"),
         )
         t0 = time.perf_counter()
