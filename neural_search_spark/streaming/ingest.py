@@ -205,7 +205,23 @@ class IncrementalPostingsIndex:
         a fresh dir then swapped in."""
         from pyspark.sql import Window
 
-        merged = self.postings(spark)
+        # SNAPSHOT-ALONGSIDE swap (same contract as the dedup index's
+        # compact, ADVICE r8): the segment list is SNAPSHOTTED first so
+        # a segment a concurrent batch writes mid-compaction is neither
+        # merged nor deleted; the compacted segment lands ALONGSIDE
+        # under a fresh `batch=c<n>` name and only the snapshotted
+        # segments are deleted (Hadoop FS API — hdfs://s3a:// safe).
+        # Crash-safe: no window loses state; a reader overlapping the
+        # swap may transiently see duplicate postings rows (identical
+        # values), so schedule compaction off query windows.
+        from .dedup_index import _fs_and_path, _segment_names
+
+        snapshot = _segment_names(spark, self.postings_dir)
+        if not snapshot:
+            return
+        merged = spark.read.parquet(
+            *[f"{self.postings_dir}/{s}" for s in snapshot]
+        )
         if n_postings is not None:
             w = Window.partitionBy("token").orderBy(
                 F.col("tf").desc(), F.col("doc_id")
@@ -215,13 +231,16 @@ class IncrementalPostingsIndex:
                 .where(F.col("_rn") <= n_postings)
                 .drop("_rn")
             )
-        tmp = self.base + "/postings_compacted"
-        merged.repartition("token").write.mode("overwrite").parquet(tmp)
-        import os
-        import shutil
-
-        shutil.rmtree(self.postings_dir)
-        # the compacted set becomes one merged segment; later streaming
-        # batches keep appending fresh `batch=<id>` segments beside it
-        os.makedirs(self.postings_dir)
-        shutil.move(tmp, self.postings_dir + "/batch=compacted")
+        c_nums = [
+            int(s[len("batch=c"):])
+            for s in snapshot
+            if s.startswith("batch=c") and s[len("batch=c"):].isdigit()
+        ]
+        out_name = f"batch=c{max(c_nums) + 1 if c_nums else 0}"
+        merged.repartition("token").write.mode("overwrite").parquet(
+            f"{self.postings_dir}/{out_name}"
+        )
+        fs, _ = _fs_and_path(spark, self.postings_dir)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for s in snapshot:
+            fs.delete(jvm_path(f"{self.postings_dir}/{s}"), True)

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,18 +60,34 @@ class IncrementalVectorIndex:
             f"{self.centroids_dir}/version={version}"
         )
 
-    def centroid_version(self) -> int:
+    def centroid_version(self, spark: SparkSession | None = None) -> int:
+        """Latest centroid version. With a SparkSession the listing
+        goes through the Hadoop FileSystem API (hdfs://s3a:// safe);
+        without one it falls back to the local filesystem (raising
+        FileNotFoundError when absent, which callers treat as
+        'unseeded')."""
+        if spark is not None:
+            from .dedup_index import _fs_and_path
+
+            fs, path = _fs_and_path(spark, self.centroids_dir)
+            if not fs.exists(path):
+                raise FileNotFoundError(self.centroids_dir)
+            names = [
+                st.getPath().getName()
+                for st in fs.listStatus(path)
+                if st.isDirectory()
+            ]
+        else:
+            names = os.listdir(self.centroids_dir)
         versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.centroids_dir)
-            if d.startswith("version=")
+            int(d.split("=", 1)[1]) for d in names if d.startswith("version=")
         ]
         if not versions:
             raise ValueError(f"no centroids under {self.centroids_dir}")
         return max(versions)
 
     def centroids(self, spark: SparkSession) -> list[tuple[int, list[float]]]:
-        v = self.centroid_version()
+        v = self.centroid_version(spark)
         rows = (
             spark.read.parquet(f"{self.centroids_dir}/version={v}")
             .orderBy("cid")
@@ -90,9 +105,16 @@ class IncrementalVectorIndex:
         exactly-once without a transactional table."""
         cents = self.centroids(batch.sparkSession)
         assigned = kmeans_assign(batch, cents).join(batch, "vec_id")
-        assigned.select("vec_id", "embedding", "cluster_id").write.partitionBy(
-            "cluster_id"
-        ).mode("overwrite").parquet(f"{self.vectors_dir}/batch={batch_id}")
+        # repartition on the partition column before partitionBy — the
+        # r8 scale lesson: without it every task holds an open writer
+        # per cell (32 tasks x 256 cells OOMed the 4M build)
+        (
+            assigned.select("vec_id", "embedding", "cluster_id")
+            .repartition("cluster_id")
+            .write.partitionBy("cluster_id")
+            .mode("overwrite")
+            .parquet(f"{self.vectors_dir}/batch={batch_id}")
+        )
 
     def attach(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
         return (
@@ -143,20 +165,52 @@ class IncrementalVectorIndex:
         """The periodic OPTIMIZE job: Lloyd's rounds over everything
         seen so far (seeded from the current centroids), then ONE
         compacted cluster-partitioned segment replaces the accumulated
-        batch segments. Centroids version-bump so readers/writers
-        mid-flight keep a consistent older version until the swap."""
-        all_vecs = self.vectors(spark).select("vec_id", "embedding")
-        assigned, cents = kmeans_lloyd(all_vecs, self.centroids(spark), rounds=rounds)
-        new_version = self.centroid_version() + 1
-        tmp = self.base + "/vectors_compacted"
+        batch segments.
+
+        SNAPSHOT-ALONGSIDE swap (ADVICE r8's compact contract): the
+        segment list is snapshotted first, Lloyd's trains over exactly
+        the snapshot, the compacted segment lands alongside under a
+        fresh `batch=c<n>` name, the centroids version-bump commits the
+        new geometry, and only the snapshotted segments are deleted —
+        a batch segment written mid-recluster survives (its rows keep
+        their old-version assignment until the next recluster), and a
+        crash at any point loses nothing. A reader overlapping the
+        swap may transiently see duplicate vec_ids (identical
+        embeddings; assignments may differ across versions) — schedule
+        recluster off query windows."""
+        from .dedup_index import _fs_and_path, _segment_names
+
+        snapshot = _segment_names(spark, self.vectors_dir)
+        if not snapshot:
+            return
+        # basePath keeps partition discovery rooted at the index dir
+        # (each snapshot segment nests cluster_id=* subdirs)
+        all_vecs = (
+            spark.read.option("basePath", self.vectors_dir)
+            .parquet(*[f"{self.vectors_dir}/{s}" for s in snapshot])
+            .select("vec_id", "embedding")
+        )
+        assigned, cents = kmeans_lloyd(
+            all_vecs, self.centroids(spark), rounds=rounds
+        )
+        c_nums = [
+            int(s[len("batch=c"):])
+            for s in snapshot
+            if s.startswith("batch=c") and s[len("batch=c"):].isdigit()
+        ]
+        out_name = f"batch=c{max(c_nums) + 1 if c_nums else 0}"
         (
             all_vecs.join(assigned, "vec_id")
             .select("vec_id", "embedding", "cluster_id")
+            .repartition("cluster_id")
             .write.partitionBy("cluster_id")
             .mode("overwrite")
-            .parquet(tmp)
+            .parquet(f"{self.vectors_dir}/{out_name}")
         )
-        self._write_centroids(spark, cents, version=new_version)
-        shutil.rmtree(self.vectors_dir)
-        os.makedirs(self.vectors_dir)
-        shutil.move(tmp, self.vectors_dir + "/batch=compacted")
+        self._write_centroids(
+            spark, cents, version=self.centroid_version(spark) + 1
+        )
+        fs, _ = _fs_and_path(spark, self.vectors_dir)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for s in snapshot:
+            fs.delete(jvm_path(f"{self.vectors_dir}/{s}"), True)

@@ -94,7 +94,13 @@ def test_recluster_compacts_and_preserves_answers(spark, tmp_path):
 
     segs = [d for d in os.listdir(str(tmp_path / "vidx" / "vectors"))
             if d.startswith("batch=")]
-    assert segs == ["batch=compacted"]
+    assert segs == ["batch=c0"]
+    # a second recluster picks a FRESH name (snapshot-alongside swap
+    # never reuses a live segment dir)
+    idx.recluster(spark, rounds=1)
+    segs = [d for d in os.listdir(str(tmp_path / "vidx" / "vectors"))
+            if d.startswith("batch=")]
+    assert segs == ["batch=c1"]
 
 
 def test_streaming_attach(spark, tmp_path):
