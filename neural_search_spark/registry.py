@@ -13932,7 +13932,7 @@ def q_vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_scratch("vecidx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1])
     )
     try:
-        idx.centroid_version()
+        idx.centroid_version(spark)
     except (ValueError, FileNotFoundError, OSError):
         idx.seed_centroids(spark, _centroids(spark, sf_dir))
     for i in range(3):

@@ -134,7 +134,7 @@ class StreamingIngestApp:
 
         embs = self.embed(kept)
         try:
-            self.vectors.centroid_version()
+            self.vectors.centroid_version(spark)  # Hadoop-FS resolution
             seeded = True
         except (ValueError, FileNotFoundError, OSError):
             seeded = False
