@@ -98,18 +98,22 @@ def test_app_equals_batch_pipeline(spark, tmp_path):
     # the gate dropped dups, not their originals
     assert set(_DUP_SOURCES) <= got_ids
 
-    # dedup pairs: union of segments ≡ the batch job over curated docs
-    want_pairs = {
-        (r["a"], r["b"], r["sig_sim"])
+    # dedup verdicts: with collapse on, pairs are over representatives
+    # and members carry the verbatim edges — (pairs ∪ member edges)
+    # must span exactly the same near-dup components as the batch job
+    # over the curated corpus
+    got_edges = [
+        (r["a"], r["b"]) for r in app.dedup.pairs(spark).collect()
+    ] + [
+        (r["rep_id"], r["doc_id"]) for r in app.dedup.members(spark).collect()
+    ]
+    want_edges = [
+        (r["a"], r["b"])
         for r in DD.minhash_lsh_dedup_sig(
             app.curate(docs), threshold=app.dedup.threshold
         ).collect()
-    }
-    got_pairs = {
-        (r["a"], r["b"], r["sig_sim"])
-        for r in app.dedup.pairs(spark).collect()
-    }
-    assert got_pairs == want_pairs
+    ]
+    assert _components(got_edges) == _components(want_edges)
 
     # postings index: row-for-row the batch postings over the kept twin
     want_postings = {
@@ -183,3 +187,49 @@ def test_app_attach_readstream(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _ids(app.kept(spark)) == _ids(_batch_twin_kept(app, docs))
+
+
+from .test_streaming_dedup_index import _components  # noqa: E402
+
+
+def test_app_collapse_off_matches_twin(spark, tmp_path):
+    """collapse=False keeps the original uncollapsed gate semantics —
+    same kept set, and the pairs face equals the batch job directly."""
+    docs = _corpus(spark)
+    app = StreamingIngestApp(str(tmp_path / "app"), collapse=False)
+    for i, b in enumerate(_split3(docs)):
+        app.apply_batch(b, i)
+    assert _ids(app.kept(spark)) == _ids(_batch_twin_kept(app, docs))
+    got_pairs = {
+        (r["a"], r["b"], r["sig_sim"])
+        for r in app.dedup.pairs(spark).collect()
+    }
+    want_pairs = {
+        (r["a"], r["b"], r["sig_sim"])
+        for r in DD.minhash_lsh_dedup_sig(
+            app.curate(docs), threshold=app.dedup.threshold
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+
+
+def test_app_viral_template_gate_linear(spark, tmp_path):
+    """The collapse-mode gate under a viral batch: m gate-passing
+    verbatim copies collapse to ONE representative — the pairs state
+    stays tiny (no m²/2 blowup), members carry the m−1 verbatim edges,
+    and exactly one copy survives."""
+    m = 2000
+    template = " ".join(f"viral{i}" for i in range(60))  # passes keep_core
+    viral = spark.range(m).select(
+        F.col("id").alias("doc_id"), F.lit(template).alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [(m + 1, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    app = StreamingIngestApp(str(tmp_path / "app"))
+    app.apply_batch(viral.unionByName(distinct), 0)
+    kept = _ids(app.kept(spark))
+    assert kept == {0, m + 1}          # one viral survivor + the distinct doc
+    assert app.dedup.pairs(spark).count() <= 2   # rep-level only, not m²/2
+    assert app.dedup.members(spark).count() == m - 1
