@@ -485,7 +485,18 @@ def simhash_neardup_pairs_blocked(
 
     Returns (a, b, hamming), a < b, distinct — the same rows as
     `simhash_neardup_pairs` (equivalence-tested at several block
-    sizes including B=1 and B≫bucket)."""
+    sizes including B=1 and B≫bucket).
+
+    HYBRID execution (measured, sf0.1): normal-size buckets stay on
+    the JVM expression path — the same band self-join + two-half
+    bit_count XOR as `simhash_neardup_pairs` — because routing EVERY
+    bucket through applyInPandas pays the Python group boundary per
+    (band, bucket) and ran 10× slower than the expression join when
+    buckets are small and numerous (12.7 s vs 1.2 s on 50k docs).
+    Only OVERSIZED buckets (> max_block_rows) detour through the
+    numpy block grid, where the expression join's m² candidate rows
+    are the thing being avoided. Hamming is an integer popcount on
+    both paths, so the hybrid is bit-identical by construction."""
     import numpy as np
     import pandas as pd
 
@@ -521,33 +532,40 @@ def simhash_neardup_pairs_blocked(
         }
     )
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return _empty
-        ids = pdf[id_col].to_numpy()
-        X = _fps(pdf["simhash"])
-        iu, ju = np.triu_indices(n, 1)
-        ham = _popcount_vec(X[iu] ^ X[ju])
-        mask = ham <= max_hamming
-        if not mask.any():
-            return _empty
-        ai, bi = ids[iu[mask]], ids[ju[mask]]
-        return pd.DataFrame(
-            {
-                "a": np.minimum(ai, bi),
-                "b": np.maximum(ai, bi),
-                "hamming": ham[mask].astype("int32"),
-            }
+    def _half(col: str, start: int) -> Column:
+        return F.conv(F.substring(F.col(col), start, 32), 2, 10).cast("long")
+
+    _hamming_expr = (
+        F.bit_count(_half("sh_a", 1).bitwiseXOR(_half("sh_b", 1)))
+        + F.bit_count(_half("sh_a", 33).bitwiseXOR(_half("sh_b", 33)))
+    ).cast("int")
+
+    def _join_pairs(banded: DataFrame) -> DataFrame:
+        """JVM band self-join + integer hamming (the expression path of
+        simhash_neardup_pairs, over an arbitrary banded frame)."""
+        left = banded.select(
+            "band_idx", "band",
+            F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"),
+        )
+        right = banded.select(
+            "band_idx", "band",
+            F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"),
+        )
+        cands = (
+            left.join(right, ["band_idx", "band"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b")
+            .distinct()
+        )
+        return (
+            cands.withColumn("hamming", _hamming_expr)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
         )
 
     out_schema = "a long, b long, hamming int"
     if max_block_rows is None:
-        return (
-            laid.groupBy("band_idx", "band")
-            .applyInPandas(score_bucket, out_schema)
-            .dropDuplicates(["a", "b"])
-        )
+        return _join_pairs(laid).dropDuplicates(["a", "b"])
 
     # hot-band grid path — same shape as ann.py: sizes via a map-side
     # combinable count shuffle-joined back (never a window over the hot
@@ -555,9 +573,7 @@ def simhash_neardup_pairs_blocked(
     sizes = laid.groupBy("band_idx", "band").agg(F.count(F.lit(1)).alias("__cnt"))
     tagged = laid.join(sizes, ["band_idx", "band"])
     small = tagged.where(F.col("__cnt") <= max_block_rows).drop("__cnt")
-    small_pairs = small.groupBy("band_idx", "band").applyInPandas(
-        score_bucket, out_schema
-    )
+    small_pairs = _join_pairs(small)
 
     nblocks = (
         ((F.col("__cnt") - F.lit(1)) / F.lit(max_block_rows)).cast("int") + F.lit(1)
@@ -589,9 +605,29 @@ def simhash_neardup_pairs_blocked(
         id_col, "simhash", F.col("c.side").alias("side"),
     )
 
+    def score_diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return _empty
+        ids = pdf[id_col].to_numpy()
+        X = _fps(pdf["simhash"])
+        iu, ju = np.triu_indices(n, 1)
+        ham = _popcount_vec(X[iu] ^ X[ju])
+        mask = ham <= max_hamming
+        if not mask.any():
+            return _empty
+        ai, bi = ids[iu[mask]], ids[ju[mask]]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ai, bi),
+                "b": np.maximum(ai, bi),
+                "hamming": ham[mask].astype("int32"),
+            }
+        )
+
     def score_grid(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["bn_a"].iat[0] == pdf["bn_b"].iat[0]:
-            return score_bucket(pdf[pdf["side"] == "A"])
+            return score_diag(pdf[pdf["side"] == "A"])
         A = pdf[pdf["side"] == "A"]
         B = pdf[pdf["side"] == "B"]
         if A.empty or B.empty:
