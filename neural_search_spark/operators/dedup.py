@@ -306,8 +306,9 @@ def near_dup_survivors(
     component their representative occupies, and every member id is ≥
     its rep id ≥ the component min — so the survivor set is IDENTICAL
     to running LSH over the raw corpus (pinned by
-    tests/test_dedup.py::test_survivors_collapse_equivalence) while
-    pair volume stays linear in distinct texts under a viral template.
+    tests/test_dedup_clusters.py::test_survivors_collapse_equivalence)
+    while pair volume stays linear in distinct texts under a viral
+    template.
     """
     reps, members = collapse_exact(docs, id_col, text_col)
     pairs = minhash_lsh_dedup_sig(reps, n, threshold, id_col, text_col)

@@ -115,8 +115,46 @@ class StreamingIngestApp:
         """Grow the LSH index with this batch's curated docs, then keep
         only docs that duplicate nothing earlier. Reads back the
         batch's own pairs segment (just written — tiny) rather than
-        recomputing the joins."""
+        recomputing the joins.
+
+        The gate's orientation contract — pairs are (least, greatest)
+        id and the gate drops `b`, so "larger id" must mean "arrived
+        later" — is CHECKED here, not assumed (ADVICE r9): the batch's
+        min id must exceed every id already in the index (sigs ∪
+        members, excluding this batch's own segment so a foreachBatch
+        replay passes). A violation raises instead of silently keeping
+        both sides of a cross-batch pair. Cost: one max() over the id
+        column of the sig/member segments (narrow columnar scan over
+        representatives); an installation with very long index history
+        would carry the running max in a segment manifest instead —
+        the check's shape, not its cost, is the contract."""
         spark = curated.sparkSession
+        prior = self.dedup._read_old_sigs(spark, batch_id)
+        if prior is not None:
+            prior_ids = prior.select(F.col(self.dedup.id_col).alias("_id"))
+            old_members = self.dedup._read_old(
+                spark, self.dedup.members_dir, batch_id
+            )
+            if old_members is not None:
+                prior_ids = prior_ids.unionByName(
+                    old_members.select(F.col(self.dedup.id_col).alias("_id"))
+                )
+            prior_max = prior_ids.agg(F.max("_id")).first()[0]
+            batch_min = curated.agg(F.min(self.dedup.id_col)).first()[0]
+            if (
+                prior_max is not None
+                and batch_min is not None
+                and batch_min <= prior_max
+            ):
+                raise ValueError(
+                    f"dedup_gate requires ingest-monotone doc ids: batch "
+                    f"{batch_id} min id {batch_min} <= max already-indexed "
+                    f"id {prior_max}; with non-monotone ids the oriented "
+                    f"(least, greatest) pair drop would keep both sides of "
+                    f"a cross-batch near-dup pair. Assign arrival-ordered "
+                    f"ids upstream (e.g. batch_id-prefixed) or rebuild the "
+                    f"index in arrival order."
+                )
         self.dedup.apply_batch(curated, batch_id)
         dropped = (
             spark.read.parquet(f"{self.dedup.pairs_dir}/batch={batch_id}")

@@ -92,6 +92,71 @@ def _segment_names(spark: SparkSession, dir_str: str) -> list[str]:
     )
 
 
+# -- merged-batch manifests --------------------------------------------------
+# Compaction breaks the `batch=<id>` overwrite idempotency key for
+# NON-distinct-able state (postings tf rows, vector segments): once
+# compact() has merged batch=5 into batch=c0 and deleted it, a
+# foreachBatch replay of batch 5 (crash before checkpoint commit)
+# re-appends the rows BESIDE their compacted copy — persistent
+# double-counted tf / duplicate vec_ids (ADVICE r9). The fix is a tiny
+# manifest inside each compacted segment recording every RAW batch id
+# it supersedes (cumulative across compaction generations); readers and
+# the next compaction exclude any raw `batch=<id>` segment whose id
+# appears in a live manifest, so a replayed leftover is inert garbage,
+# not state. The underscore-prefixed filename is invisible to Spark's
+# parquet reader (same class as _SUCCESS), and all I/O goes through the
+# Hadoop FS API (file:// hdfs:// s3a://).
+
+_MANIFEST_NAME = "_merged_batches.json"
+
+
+def _write_merged_manifest(
+    spark: SparkSession, seg_dir: str, batch_ids: list[int]
+) -> None:
+    import json
+
+    fs, path = _fs_and_path(spark, seg_dir.rstrip("/") + "/" + _MANIFEST_NAME)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(sorted(set(batch_ids))).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_merged_manifest(spark: SparkSession, seg_dir: str) -> list[int]:
+    import json
+
+    fs, path = _fs_and_path(spark, seg_dir.rstrip("/") + "/" + _MANIFEST_NAME)
+    if not fs.exists(path):
+        return []
+    stream = fs.open(path)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return [int(x) for x in json.loads(text)]
+
+
+def _live_segments(spark: SparkSession, dir_str: str) -> tuple[list[str], set[int]]:
+    """(live segment names, superseded raw batch ids): every `batch=*`
+    child minus raw segments whose numeric id appears in some compacted
+    segment's merged-batches manifest (replayed-after-compaction
+    leftovers — their rows already live in the compacted copy)."""
+    names = _segment_names(spark, dir_str)
+    merged: set[int] = set()
+    for s in names:
+        if s.startswith("batch=c"):
+            merged.update(_read_merged_manifest(spark, f"{dir_str}/{s}"))
+    live = [
+        s
+        for s in names
+        if not (
+            (sid := s[len("batch="):]).isdigit() and int(sid) in merged
+        )
+    ]
+    return live, merged
+
+
 class IncrementalLSHDedupIndex:
     """Streaming MinHash-LSH dedup index.
 
@@ -150,6 +215,23 @@ class IncrementalLSHDedupIndex:
             F.col("batch").cast("string") != F.lit(str(batch_id))
         ).drop("batch")
 
+    def _read_old_sigs(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+        """`_read_old` over the sigs dir, schema-normalized across index
+        format versions: sigs segments written before the collapse
+        feature carry no `content_hash` column, and Spark's parquet
+        schema merge surfaces them as nulls ONLY when some segment has
+        the column — an all-old index would omit it entirely and the
+        collapse-mode `unionByName`/rep-lookup would throw
+        AnalysisException (ADVICE r9). Normalize to a nullable string
+        column here; a null hash never equi-joins, so pre-existing rows
+        simply cannot host cross-batch verbatim collapse (their docs
+        were indexed before the feature existed — correct behavior, no
+        rebuild required)."""
+        df = self._read_old(spark, self.sigs_dir, batch_id)
+        if df is not None and "content_hash" not in df.columns:
+            df = df.withColumn("content_hash", F.lit(None).cast("string"))
+        return df
+
     # -- writer side --------------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Gate one micro-batch and grow the index. Runs inside
@@ -170,13 +252,16 @@ class IncrementalLSHDedupIndex:
                 F.min(id_col).alias("__rep")
             )
             hashed = hashed.join(reps_in_batch, "content_hash")
-            old_sigs_all = self._read_old(spark, self.sigs_dir, batch_id)
+            old_sigs_all = self._read_old_sigs(spark, batch_id)
             if old_sigs_all is not None:
                 # cross-batch verbatim collapse: a doc whose hash is
                 # already represented in the index becomes a member of
                 # the EXISTING representative and is not re-shingled
-                idx_reps = old_sigs_all.groupBy("content_hash").agg(
-                    F.min(id_col).alias("__idx_rep")
+                # (null hashes — pre-collapse-format rows — can't host)
+                idx_reps = (
+                    old_sigs_all.where(F.col("content_hash").isNotNull())
+                    .groupBy("content_hash")
+                    .agg(F.min(id_col).alias("__idx_rep"))
                 )
                 hashed = hashed.join(idx_reps, "content_hash", "left").withColumn(
                     "__rep", F.coalesce("__idx_rep", "__rep")
@@ -220,7 +305,7 @@ class IncrementalLSHDedupIndex:
                 )
                 .distinct()
             )
-            old_sigs = self._read_old(spark, self.sigs_dir, batch_id)
+            old_sigs = self._read_old_sigs(spark, batch_id)
             all_sigs = old_sigs.unionByName(sigs)
             cands = self_pairs.unionByName(cross).distinct()
         else:

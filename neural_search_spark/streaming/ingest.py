@@ -177,8 +177,22 @@ class IncrementalPostingsIndex:
     # -- reader side -------------------------------------------------------
     def postings(self, spark) -> DataFrame:
         # `batch` is a partition-discovery column (the segment id), not
-        # index data — readers see the union of segments without it
-        return spark.read.parquet(self.postings_dir).drop("batch")
+        # index data — readers see the union of LIVE segments without
+        # it. A raw segment superseded by a compacted segment's
+        # merged-batches manifest (a foreachBatch replay re-delivered a
+        # batch AFTER compact() absorbed and deleted it) is excluded:
+        # its tf rows already live in the compacted copy, and postings
+        # rows are sums, not distinct-able (ADVICE r9).
+        from .dedup_index import _live_segments
+
+        live, merged = _live_segments(spark, self.postings_dir)
+        if not merged:
+            return spark.read.parquet(self.postings_dir).drop("batch")
+        return (
+            spark.read.option("basePath", self.postings_dir)
+            .parquet(*[f"{self.postings_dir}/{s}" for s in live])
+            .drop("batch")
+        )
 
     def stats(self, spark) -> tuple[int, float]:
         n, total = (
@@ -214,9 +228,24 @@ class IncrementalPostingsIndex:
         # Crash-safe: no window loses state; a reader overlapping the
         # swap may transiently see duplicate postings rows (identical
         # values), so schedule compaction off query windows.
-        from .dedup_index import _fs_and_path, _segment_names
+        #
+        # REPLAY-AFTER-COMPACTION (ADVICE r9): the compacted segment
+        # carries a `_merged_batches.json` manifest listing every raw
+        # batch id it absorbed (cumulative across generations), so a
+        # foreachBatch replay that re-writes `batch=<id>` after this
+        # compaction deleted it is EXCLUDED by readers and by the next
+        # compaction's snapshot — postings rows are additive tf sums,
+        # so without the manifest the replayed copy would double-count
+        # beside its compacted twin. Leftover superseded segments are
+        # garbage-collected here too (they are inert either way).
+        from .dedup_index import (
+            _fs_and_path,
+            _live_segments,
+            _segment_names,
+            _write_merged_manifest,
+        )
 
-        snapshot = _segment_names(spark, self.postings_dir)
+        snapshot, prior_merged = _live_segments(spark, self.postings_dir)
         if not snapshot:
             return
         merged = spark.read.parquet(
@@ -240,7 +269,21 @@ class IncrementalPostingsIndex:
         merged.repartition("token").write.mode("overwrite").parquet(
             f"{self.postings_dir}/{out_name}"
         )
+        covered = prior_merged | {
+            int(sid)
+            for s in snapshot
+            if (sid := s[len("batch="):]).isdigit()
+        }
+        _write_merged_manifest(
+            spark, f"{self.postings_dir}/{out_name}", sorted(covered)
+        )
         fs, _ = _fs_and_path(spark, self.postings_dir)
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        for s in snapshot:
+        current = set(_segment_names(spark, self.postings_dir))
+        leftovers = {
+            s
+            for s in current - set(snapshot) - {out_name}
+            if (sid := s[len("batch="):]).isdigit() and int(sid) in covered
+        }
+        for s in set(snapshot) | leftovers:
             fs.delete(jvm_path(f"{self.postings_dir}/{s}"), True)

@@ -126,9 +126,22 @@ class IncrementalVectorIndex:
 
     # -- reader side -------------------------------------------------------
     def vectors(self, spark: SparkSession) -> DataFrame:
-        """(vec_id, embedding, cluster_id) across all segments; `batch`
-        is segment bookkeeping, not index data."""
-        return spark.read.parquet(self.vectors_dir).drop("batch")
+        """(vec_id, embedding, cluster_id) across all LIVE segments;
+        `batch` is segment bookkeeping, not index data. A raw segment
+        superseded by a compacted segment's merged-batches manifest (a
+        foreachBatch replay re-delivered a batch AFTER recluster()
+        absorbed and deleted it) is excluded — its vec_ids already live
+        in the compacted copy (ADVICE r9)."""
+        from .dedup_index import _live_segments
+
+        live, merged = _live_segments(spark, self.vectors_dir)
+        if not merged:
+            return spark.read.parquet(self.vectors_dir).drop("batch")
+        return (
+            spark.read.option("basePath", self.vectors_dir)
+            .parquet(*[f"{self.vectors_dir}/{s}" for s in live])
+            .drop("batch")
+        )
 
     def search(
         self, spark: SparkSession, query_vec: list[float], k: int = 10, nprobe: int = 4
@@ -178,9 +191,19 @@ class IncrementalVectorIndex:
         swap may transiently see duplicate vec_ids (identical
         embeddings; assignments may differ across versions) — schedule
         recluster off query windows."""
-        from .dedup_index import _fs_and_path, _segment_names
+        # REPLAY-AFTER-COMPACTION (ADVICE r9): the compacted segment's
+        # merged-batches manifest supersedes the raw batch ids it
+        # absorbed, so a replay that re-writes `batch=<id>` after this
+        # recluster deleted it is excluded by vectors() and by the next
+        # snapshot instead of contributing duplicate vec_ids.
+        from .dedup_index import (
+            _fs_and_path,
+            _live_segments,
+            _segment_names,
+            _write_merged_manifest,
+        )
 
-        snapshot = _segment_names(spark, self.vectors_dir)
+        snapshot, prior_merged = _live_segments(spark, self.vectors_dir)
         if not snapshot:
             return
         # basePath keeps partition discovery rooted at the index dir
@@ -207,10 +230,24 @@ class IncrementalVectorIndex:
             .mode("overwrite")
             .parquet(f"{self.vectors_dir}/{out_name}")
         )
+        covered = prior_merged | {
+            int(sid)
+            for s in snapshot
+            if (sid := s[len("batch="):]).isdigit()
+        }
+        _write_merged_manifest(
+            spark, f"{self.vectors_dir}/{out_name}", sorted(covered)
+        )
         self._write_centroids(
             spark, cents, version=self.centroid_version(spark) + 1
         )
         fs, _ = _fs_and_path(spark, self.vectors_dir)
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        for s in snapshot:
+        current = set(_segment_names(spark, self.vectors_dir))
+        leftovers = {
+            s
+            for s in current - set(snapshot) - {out_name}
+            if (sid := s[len("batch="):]).isdigit() and int(sid) in covered
+        }
+        for s in set(snapshot) | leftovers:
             fs.delete(jvm_path(f"{self.vectors_dir}/{s}"), True)

@@ -94,3 +94,43 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     )
     assert twice == once
     assert inc.stats(spark) == (n_once, avgdl_once)
+
+
+def test_replay_after_compaction_is_superseded(spark, tmp_path):
+    """ADVICE r9: a foreachBatch replay landing AFTER compact() merged
+    and deleted that batch's segment must not double-count tf — the
+    compacted segment's `_merged_batches.json` manifest supersedes the
+    replayed copy for readers and for the next compaction."""
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "beta beta beta epsilon"),
+            (4, "gamma delta"),
+            (5, "alpha beta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = IncrementalPostingsIndex(str(tmp_path / "idx"))
+    inc.apply_batch(docs.where("doc_id <= 3"), 0)
+    inc.apply_batch(docs.where("doc_id > 3"), 1)
+    inc.compact(spark)
+    inc.apply_batch(docs.where("doc_id > 3"), 1)  # replay after compaction
+
+    want_idx = build_bm25(docs)
+    assert _results(inc.bm25_index(spark)) == _results(want_idx)
+    # postings totals exact — the double-counted-tf failure mode
+    got_tf = inc.postings(spark).agg(F.sum("tf")).first()[0]
+    want_tf = want_idx.postings.agg(F.sum("tf")).first()[0]
+    assert got_tf == want_tf
+    # the next compaction absorbs cleanly and GCs the inert leftover
+    inc.compact(spark)
+    segs = [
+        s
+        for s in sorted(os.listdir(str(tmp_path / "idx/postings")))
+        if s.startswith("batch=")
+    ]
+    assert segs == ["batch=c1"]
+    assert _results(inc.bm25_index(spark)) == _results(want_idx)

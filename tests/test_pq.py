@@ -195,3 +195,38 @@ def test_ivfpq_arrow_matches_expression_form(spark):
     assert [(r["doc_id"], r["score"]) for r in expr] == [
         (r["doc_id"], r["score"]) for r in arrow
     ]
+
+
+def test_ivfpq_forward_matches_arrow_and_pushes_in_list(spark):
+    """ADVICE r9: the forward-index rescore must (a) return exactly
+    what ivfpq_topk_arrow returns, and (b) get its point-lookup plan on
+    a session that did NOT go through session.py — the In(id, …) list
+    must reach the parquet scan's PushedFilters because
+    ivfpq_topk_forward raises spark.sql.parquet.pushdown.inFilterThreshold
+    at the use-site, not via session construction."""
+    embs = catalog.table(spark, SF_SMOKE, "embeddings")
+    qv = catalog.query_vector(spark, SF_SMOKE, registry.QUERY_VEC_ID)
+    cents = registry._centroids(spark, SF_SMOKE)
+    books = PQ.train_codebooks(embs, k=64, sample_n=512)
+    from neural_search_spark.operators import ann as ANN
+
+    codes = PQ.encode_pq(embs, books).join(
+        ANN.ivf_assign(embs, cents), "vec_id"
+    )
+    kw = dict(k=10, nprobe=registry.IVFPQ_NPROBE, shortlist=50)
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10")  # a vanilla session's default
+        fwd = PQ.ivfpq_topk_forward(codes, embs, books, cents, qv, **kw)
+        rows = fwd.collect()
+        # the use-site override took effect for the rescore plan
+        assert int(spark.conf.get(key)) > 50
+        plan = fwd._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(vec_id" in plan, plan[:2000]
+    finally:
+        spark.conf.set(key, saved)
+    arrow = PQ.ivfpq_topk_arrow(codes, embs, books, cents, qv, **kw).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in arrow
+    ]

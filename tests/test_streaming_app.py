@@ -233,3 +233,22 @@ def test_app_viral_template_gate_linear(spark, tmp_path):
     assert kept == {0, m + 1}          # one viral survivor + the distinct doc
     assert app.dedup.pairs(spark).count() <= 2   # rep-level only, not m²/2
     assert app.dedup.members(spark).count() == m - 1
+
+
+def test_non_monotone_ids_raise(spark, tmp_path):
+    """ADVICE r9: the oriented dedup gate requires ingest-monotone doc
+    ids (larger id == later arrival); a violating batch must fail
+    loudly at the gate instead of silently keeping both sides of a
+    cross-batch near-dup pair. A foreachBatch REPLAY of the offending
+    batch id itself is NOT a violation (the check excludes the batch's
+    own prior segment)."""
+    import pytest
+
+    docs = _corpus(spark)
+    later = docs.where(F.col("doc_id").between(170, 340))
+    earlier = docs.where(F.col("doc_id") < 170)
+    app = StreamingIngestApp(str(tmp_path / "app"))
+    app.apply_batch(later, 0)
+    app.apply_batch(later, 0)  # replay of the same batch id passes
+    with pytest.raises(ValueError, match="monotone"):
+        app.apply_batch(earlier, 1)

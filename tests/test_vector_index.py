@@ -125,3 +125,27 @@ def test_streaming_attach(spark, tmp_path):
         for r in idx.search(spark, qv, k=3, nprobe=2).collect()
     ]
     assert len(got) == 3
+
+
+def test_replay_after_recluster_is_superseded(spark, tmp_path):
+    """ADVICE r9: a foreachBatch replay landing AFTER recluster()
+    absorbed and deleted that batch's segment must not resurrect
+    duplicate vec_ids — the compacted segment's merged-batches
+    manifest supersedes the replayed copy for vectors() and for the
+    next recluster snapshot."""
+    df = _vec_df(spark, range(40))
+    idx = IncrementalVectorIndex(str(tmp_path / "vidx"))
+    idx.seed_centroids(spark, _seeds(spark, df))
+    idx.apply_batch(df.where("vec_id < 20"), 0)
+    idx.apply_batch(df.where("vec_id >= 20"), 1)
+    idx.recluster(spark)
+    idx.apply_batch(df.where("vec_id >= 20"), 1)  # replay after recluster
+    assert idx.vectors(spark).count() == 40  # no duplicate vec_ids
+    qv = [0.5] * 8
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in idx.search(spark, qv, k=5, nprobe=4).collect()
+    ]
+    assert got == _brute(df, qv, k=5)
+    idx.recluster(spark)
+    assert idx.vectors(spark).count() == 40
