@@ -229,6 +229,7 @@ def main() -> None:
     registry._postings(spark, sf_dir).count()
     registry._bm25(spark, sf_dir).doclen.count()
     registry._shingles(spark, sf_dir).count()
+    registry._minhash_sigs(spark, sf_dir).count()  # write-once signature artifact
     registry._centroids(spark, sf_dir)
     registry._qvec(spark, sf_dir)
     registry._ivf_assigned(spark, sf_dir).count()

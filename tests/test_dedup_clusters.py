@@ -260,3 +260,39 @@ def test_dedup_survivors_contract_query(spark):
         SF_SMOKE,
     )
     assert ok, msg
+
+
+def test_precomputed_signatures_equal_inline(spark):
+    """Judge r9 next-round #1: feeding minhash_lsh_dedup_sig /
+    near_dup_survivors a precomputed signature frame (the write-once
+    corpus artifact, here simulated by materializing the aggregation)
+    must be a pure plan substitution — identical pair and survivor
+    sets to the inline computation."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = DD.minhash_signatures(DD.shingle_sets(docs))
+
+    inline_pairs = {
+        (r["a"], r["b"], r["sig_sim"])
+        for r in DD.minhash_lsh_dedup_sig(docs, threshold=0.5).collect()
+    }
+    fed_pairs = {
+        (r["a"], r["b"], r["sig_sim"])
+        for r in DD.minhash_lsh_dedup_sig(
+            docs, threshold=0.5, signatures=sigs
+        ).collect()
+    }
+    assert fed_pairs == inline_pairs and inline_pairs
+
+    inline_surv = {
+        (r["doc_id"], r["survivor_id"])
+        for r in DD.near_dup_survivors(docs, threshold=0.5).collect()
+    }
+    fed_surv = {
+        (r["doc_id"], r["survivor_id"])
+        for r in DD.near_dup_survivors(
+            docs, threshold=0.5, signatures=sigs
+        ).collect()
+    }
+    assert fed_surv == inline_surv
