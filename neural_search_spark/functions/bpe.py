@@ -257,13 +257,16 @@ def word_symbols_arrow(
       dominant cost).
     - indexed (large merge lists): `_encode_indexed` looks up only the
       word's current adjacent pairs, so cost is independent of the
-      merge count — the 32k-merge path (measured crossover vs the scan
-      near ~1k merges on the hex corpus; BASELINE.md round-10 row).
-    `indexed=None` picks by merge count at that threshold."""
+      merge count — the 32k-merge path. Measured on the 500k-word hex
+      corpus (warm, 100k docs): scan wins at 100 merges (6.2 s vs
+      7.5 s), indexed wins from 250 (5.2 s vs 7.5 s), 2.4× at 1k
+      (5.0 s vs 11.8 s), 33× at 32k (7.9 s vs 255 s) — BASELINE.md
+      round-10 row.
+    `indexed=None` picks by merge count at the measured crossover."""
     import pandas as pd
 
     if indexed is None:
-        indexed = len(merges) >= 1024
+        indexed = len(merges) >= 256
 
     if indexed:
         merge_index = _build_merge_index(merges)
