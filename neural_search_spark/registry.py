@@ -6295,6 +6295,26 @@ def _artifact_bundle(spark: SparkSession, sf_dir: str):
             except OSError:
                 import shutil as _shutil
 
+                # root already exists: either a concurrent winner's
+                # complete bundle (meta.json present → discard ours), or
+                # only SIBLING scratch artifacts (load_or_build_artifact
+                # shares the store root, e.g. minhash_sigs/ —
+                # whole-root rename then fails ENOTEMPTY and, before
+                # this branch existed, silently cost every engine the
+                # store). Merge the build per-entry, meta.json LAST so
+                # a concurrent loader only ever sees a complete bundle;
+                # entries are deterministic from the corpus, so on a
+                # per-entry race the first writer's copy is kept.
+                if not _os.path.exists(_os.path.join(root, "meta.json")):
+                    for entry in sorted(
+                        _os.listdir(tmp), key=lambda e: e == "meta.json"
+                    ):
+                        dst = _os.path.join(root, entry)
+                        if not _os.path.exists(dst):
+                            try:
+                                _os.rename(_os.path.join(tmp, entry), dst)
+                            except OSError:
+                                pass
                 _shutil.rmtree(tmp, ignore_errors=True)
             bundle = IS.load_index(spark, root)
     except Exception:

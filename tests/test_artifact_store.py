@@ -81,3 +81,34 @@ def test_staleness_guard_rebuilds(spark, tmp_path):
     b2 = R._artifact_bundle(spark, str(fake))
     assert b2 is not None and b2.stats[0] == docs2.count()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bundle_builds_beside_sibling_artifact(spark, tmp_path):
+    """A scratch artifact (load_or_build_artifact) written under the
+    store root BEFORE the bundle exists must not break the bundle
+    build: the whole-root rename fails ENOTEMPTY and the build must be
+    merged per-entry instead of discarded (the silent store loss this
+    pinned: every engine fell back to in-plan rebuilds)."""
+    sf_small = "/root/testdata/sf0.001"
+    fake = tmp_path / "sf0.001"
+    fake.mkdir()
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+    docs.write.mode("overwrite").parquet(str(fake / "documents.parquet"))
+    root = _store_root(str(fake))
+    shutil.rmtree(root, ignore_errors=True)
+    R._BUNDLE_CACHE.pop(str(fake), None)
+    # sibling artifact first → root exists, no meta.json
+    from neural_search_spark.sources.index_store import load_or_build_artifact
+
+    sib = load_or_build_artifact(
+        spark, str(fake), "minhash_sigs", {"probe": 1},
+        lambda: docs.select("doc_id"),
+    )
+    assert os.path.isdir(os.path.join(root, "minhash_sigs"))
+    assert not os.path.exists(os.path.join(root, "meta.json"))
+    bundle = R._artifact_bundle(spark, str(fake))
+    assert bundle is not None and bundle.stats[0] == docs.count()
+    # the sibling survives the merge and still loads
+    assert sib.count() == docs.count()
+    assert os.path.isdir(os.path.join(root, "minhash_sigs"))
+    shutil.rmtree(root, ignore_errors=True)
