@@ -493,6 +493,16 @@ def lsh_multitable_neardup_blocked(
             .dropDuplicates(["a", "b"])
         )
 
+    # Materialize the bucketed frame ONCE before the grid split
+    # (optimization r10): the size aggregation, the tagged join probe,
+    # the small-bucket branch and the grid cells otherwise each re-run
+    # the T×P hyperplane-sign pass over the corpus (8 parquet scans in
+    # the measured plan — the SRP fold is the expensive part). Guide
+    # §8's "compute the fingerprint once", in-process: checkpointed
+    # per query execution, never cached across runs; at 100 TB this
+    # frame is the bucketing job's scratch output.
+    laid = laid.localCheckpoint(eager=True)
+
     # --- hot-bucket grid path, gated on OBSERVED bucket size -------------
     # Bucket sizes come from a groupBy count (map-side partial agg —
     # even the hot bucket's count is computed DISTRIBUTED) shuffle-

@@ -325,13 +325,33 @@ def near_dup_survivors(
     semi-join-restricted to rep ids — one equi-join replaces the
     shingle explode + 16-way min aggregation over the reps
     (equality pinned by tests/test_dedup_clusters.py).
+
+    Optimization r10 (signatures path): the collapse assignment is
+    materialized ONCE as a narrow (doc_id, rep_id) localCheckpoint.
+    Without it every consumer — the rep semi-join, the CC edge build,
+    rep_surv, mem_surv — re-ran the content-hash shuffle over the raw
+    corpus (12 parquet scans in the measured plan). At 100 TB this
+    frame is the collapse job's scratch output (16 B/doc); here the
+    checkpoint is built per query execution, never cached across
+    runs. The no-signatures path still needs rep TEXT for shingling
+    and keeps the lazy collapse_exact shape.
     """
-    reps, members = collapse_exact(docs, id_col, text_col)
-    rep_sigs = (
-        signatures.join(reps.select(id_col), id_col, "left_semi")
-        if signatures is not None
-        else None
-    )
+    if signatures is not None:
+        hashed = docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias("__rep"))
+        assign = (
+            hashed.join(keep, "content_hash")
+            .select(F.col(id_col), F.col("__rep").alias("rep_id"))
+            .localCheckpoint(eager=True)
+        )
+        reps = assign.where(F.col(id_col) == F.col("rep_id")).select(id_col)
+        members = assign.where(F.col(id_col) != F.col("rep_id"))
+        rep_sigs = signatures.join(reps, id_col, "left_semi")
+    else:
+        reps, members = collapse_exact(docs, id_col, text_col)
+        rep_sigs = None
     pairs = minhash_lsh_dedup_sig(
         reps, n, threshold, id_col, text_col, signatures=rep_sigs
     )
@@ -540,6 +560,16 @@ def simhash_neardup_pairs_blocked(
         F.col(id_col), "simhash",
         F.col("b.band_idx").alias("band_idx"), F.col("b.band").alias("band"),
     )
+    # Materialize the banded fingerprints ONCE (optimization r10):
+    # the consumers below — the size aggregation, the tagged join
+    # probe, both sides of the small-bucket self-join, and the grid
+    # cells — otherwise each re-run the upstream fingerprint pass
+    # (12 corpus scans recomputing simhash64 in the measured plan).
+    # This is guide §8's "compute the fingerprint once" applied
+    # in-process: narrow rows (id + 64-char hash + 2 band keys),
+    # checkpointed per query execution, never cached across runs. At
+    # 100 TB the same frame is the fingerprint job's scratch output.
+    laid = laid.localCheckpoint(eager=True)
 
     def _fps(strs) -> "np.ndarray":
         return np.array([int(s, 2) for s in strs], dtype=np.uint64)
@@ -897,7 +927,10 @@ def connected_components(
 
 
 def soft_weights(
-    docs: DataFrame, cc: DataFrame, ordered: bool = True
+    docs: DataFrame,
+    cc: DataFrame,
+    ordered: bool = True,
+    extra: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """SoftDeDup weighting (He et al. 2024): (doc_id, cluster_size,
     weight = 1/clique_size) from a connected-components frame (node,
@@ -911,13 +944,19 @@ def soft_weights(
     applying a periodically-rebuilt dedup model to a live ingest
     stream. `ordered=False` skips the batch contract sort (streaming
     forbids it); tests/test_streaming_quality_gate.py pins micro-batch
-    ≡ batch row-for-row."""
+    ≡ batch row-for-row.
+
+    `extra` columns of `docs` are carried through unchanged (appended
+    after the weight columns) so a caller holding a wider per-doc
+    frame — the fused curation pipeline — can attach weights with
+    this ONE broadcast join instead of computing a separate
+    soft_weights(docs) frame and joining it back on doc_id."""
     sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
     weights = cc.join(sizes, "component").select(
         F.col("node").alias("doc_id"), "sz"
     )
     out = (
-        docs.select("doc_id")
+        docs.select("doc_id", *extra)
         .join(F.broadcast(weights), "doc_id", "left")
         .select(
             "doc_id",
@@ -925,6 +964,7 @@ def soft_weights(
             F.round(
                 F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)).cast("double"), 4
             ).alias("weight"),
+            *extra,
         )
     )
     return out.orderBy("doc_id") if ordered else out

@@ -12986,7 +12986,9 @@ GOPHER_TOP_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
+def gopher_quality_frame(
+    docs: DataFrame, ordered: bool = True, extra: "tuple[str, ...]" = ()
+) -> DataFrame:
     """Gopher structural quality rules as ONE codegen projection over
     the corpus scan (no shuffle at all): word-count bounds, mean word
     length bounds, symbol-to-word ratio (# and ellipsis), alphabetic-
@@ -13000,9 +13002,16 @@ def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     ``ordered=False`` skips the contract display sort, which also
     makes the frame STREAMING-COMPATIBLE — a stateless projection
     applies unchanged to a readStream source (the streaming quality
-    gate test runs exactly this)."""
+    gate test runs exactly this).
+
+    ``extra`` columns of `docs` (may include "text") are carried
+    through unchanged, appended after the rule columns — the fused
+    curation pipeline computes every stateless gate over ONE corpus
+    scan instead of joining per-gate frames back on doc_id."""
+    pass_thru = [c for c in extra if c != "doc_id"]
     base = docs.select(
-        "doc_id", "text", S.tokens(F.lower(F.col("text"))).alias("l")
+        "doc_id", "text", S.tokens(F.lower(F.col("text"))).alias("l"),
+        *[c for c in pass_thru if c != "text"],
     )
     l = F.col("l")
     nw = F.size(l).cast("long")
@@ -13032,6 +13041,7 @@ def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
         F.when(nw > 0, F.round(n_symbols.cast("double") / nw, 4))
         .otherwise(F.lit(0.0)).alias("symbol_ratio"),
         stop_hits.alias("stop_hits"),
+        *pass_thru,
     )
     rule_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
@@ -13056,6 +13066,7 @@ def gopher_quality_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
         (rule_words & rule_wlen & rule_symbol & rule_alpha & rule_stop).alias(
             "keep_gopher"
         ),
+        *pass_thru,
     )
     return out.orderBy("doc_id") if ordered else out
 
@@ -13131,9 +13142,13 @@ def _gopher_rep_batches(batches):
     ]
     for pdf in batches:
         ndocs = len(pdf)
+        # echo every non-text input column (doc_id, tc, passthrough
+        # gate columns) so the fused curation pipeline needs no
+        # join-back; "text" never crosses back out of the kernel
+        echo = {c: pdf[c] for c in pdf.columns if c != "text"}
         out = {c: np.zeros(ndocs, dtype=np.int64) for c in ncols}
         if ndocs == 0:
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+            yield pd.DataFrame({**echo, **out})
             continue
         docs_tokens = [
             [t for t in re.split(r"\s+", s.lower(), flags=re.ASCII) if t]
@@ -13143,7 +13158,7 @@ def _gopher_rep_batches(batches):
         all_toks = list(chain.from_iterable(docs_tokens))
         ntok = len(all_toks)
         if ntok == 0:
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+            yield pd.DataFrame({**echo, **out})
             continue
         codes = np.unique(np.array(all_toks, dtype=object), return_inverse=True)[1]
         tlen = np.fromiter((len(t) for t in all_toks), np.int64, ntok)
@@ -13183,10 +13198,12 @@ def _gopher_rep_batches(batches):
             else:
                 dupval = np.where(run_counts >= 2, run_counts * glen, 0)
                 out[col][docs_here] = np.add.reduceat(dupval, db)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "tc": pdf["tc"], **out})
+        yield pd.DataFrame({**echo, **out})
 
 
-def gopher_repetition_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
+def gopher_repetition_frame(
+    docs: DataFrame, ordered: bool = True, extra: "tuple[str, ...]" = ()
+) -> DataFrame:
     """Gopher repetition-fraction family: for n = 2..4 the fraction of
     document characters covered by the single most-frequent n-gram
     (occurrences x gram chars / doc chars), for n = 5..10 the fraction
@@ -13217,8 +13234,10 @@ def gopher_repetition_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     # warm at sf0.1). The sort exists only for contract display order
     # — a production 100 TB run drops it and the whole query is a
     # pure shuffle-free map over the scan.
+    pass_thru = [c for c in extra if c not in ("doc_id", "text")]
     base = docs.select(
-        "doc_id", F.length("text").cast("int").alias("tc"), "text"
+        "doc_id", F.length("text").cast("int").alias("tc"), "text",
+        *pass_thru,
     )
     # ordered=False also makes the frame STREAMING-COMPATIBLE: the
     # kernel is a stateless 1:1 map, so with the sorts skipped it
@@ -13226,9 +13245,20 @@ def gopher_repetition_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     # sorting; tests/test_streaming_quality_gate.py runs exactly this)
     if ordered:
         base = base.orderBy("doc_id")
+    # `extra` columns ride through the kernel (echoed per batch — the
+    # fused curation pipeline threads its gate verdicts through here
+    # instead of joining per-gate frames back on doc_id); their types
+    # come from the input schema so the declared kernel schema matches
+    extra_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name in pass_thru
+    )
     kern = base.mapInPandas(
         _gopher_rep_batches,
-        "doc_id long, tc int, "
+        "doc_id long, tc int"
+        + extra_ddl
+        + ", "
         + ", ".join(f"t{n} long" for n in GOPHER_TOP_FRAC_MAX)
         + ", "
         + ", ".join(f"d{n} long" for n in GOPHER_DUP_FRAC_MAX),
@@ -13254,7 +13284,7 @@ def gopher_repetition_frame(docs: DataFrame, ordered: bool = True) -> DataFrame:
     cols += [
         frac(F.col(f"d{n}")).alias(f"dup{n}_frac") for n in GOPHER_DUP_FRAC_MAX
     ]
-    out = kern.select("doc_id", *cols)
+    out = kern.select("doc_id", *cols, *pass_thru)
     # Gopher Table A1 removes docs whose fraction EXCEEDS the ceiling,
     # so keep is inclusive at the boundary (<=)
     keep = None
@@ -13614,14 +13644,20 @@ def c4_quality_frame(
     docs: DataFrame,
     ordered: bool = True,
     badwords: "tuple[str, ...] | None" = None,
+    extra: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """C4 cleaning as ONE shuffle-free projection: per-line filters →
     retained_text, punctuation-count sentence proxy, page-level drop
     flags, keep_c4. ``ordered=False`` skips the display sort so the
     frame applies unchanged to a readStream source. ``badwords``
-    overrides the engine-level list (default: c4_badwords(session))."""
+    overrides the engine-level list (default: c4_badwords(session)).
+    ``extra`` columns of `docs` (may include "text") are carried
+    through unchanged, appended after keep_c4/retained_text — the
+    fused curation pipeline chains the stateless gates over one scan
+    instead of joining per-gate frames back on doc_id."""
     if badwords is None:
         badwords = c4_badwords(docs.sparkSession)
+    pass_thru = [c for c in extra if c != "doc_id"]
     lines = F.split(F.col("text"), "\n")
 
     def _line_keep(ln):
@@ -13637,6 +13673,7 @@ def c4_quality_frame(
         "text",
         F.size(lines).cast("long").alias("n_lines"),
         F.filter(lines, _line_keep).alias("kept"),
+        *[c for c in pass_thru if c != "text"],
     )
     n_sent = F.aggregate(
         F.col("kept"),
@@ -13655,6 +13692,7 @@ def c4_quality_frame(
             F.array(*[F.lit(w) for w in badwords]),
         ).alias("has_badword"),
         F.array_join("kept", "\n").alias("retained_text"),
+        *pass_thru,
     )
     keep = (
         (F.col("n_sentences") >= C4_MIN_SENTENCES)
@@ -13666,6 +13704,7 @@ def c4_quality_frame(
         "doc_id", "n_lines", "n_kept_lines", "n_sentences",
         "has_lorem", "has_brace", "has_badword",
         keep.alias("keep_c4"), "retained_text",
+        *pass_thru,
     )
     return out.orderBy("doc_id") if ordered else out
 
@@ -13730,11 +13769,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero the frame — web corpora use keep_web). Every component is
     individually oracle-matched; this query pins the composition.
 
-    Plan shape: the C4 and Gopher frames are stateless projections
-    and the repetition frame is a 1:1 Arrow kernel, all over the same
-    scan — at scale the doc_id equi-joins co-partition on the join
-    key (one shuffle each side, AQE-broadcast at small SF); the
-    weights side is the broadcast-sized clique frame."""
+    Plan shape (optimization r10): ONE corpus scan — the stateless
+    gates chain through curation_frame's passthrough (no per-gate
+    join-backs) — plus one broadcast join for the clique weights;
+    see curation_frame for the measured plan story."""
     docs = catalog.table(spark, sf_dir, "documents")
     cc = DD.connected_components(_lsh_pairs(spark, sf_dir))
     return curation_frame(docs, cc)
@@ -13748,30 +13786,59 @@ def curation_frame(
     contract query and the STREAMING stage: every component is
     individually streaming-compatible, and the production ingest runs
     this composition per micro-batch under one foreachBatch (inside
-    foreachBatch the micro-batch is a plain DataFrame, so the four
-    doc_id equi-joins are unrestricted — no stream-stream join state;
+    foreachBatch the micro-batch is a plain DataFrame, so the
+    composition below is unrestricted — no stream-stream join state;
     tests/test_streaming_quality_gate.py pins micro-batch ≡ batch
-    row-for-row)."""
-    c4 = c4_quality_frame(docs, ordered=False).select("doc_id", "keep_c4")
-    gop = gopher_quality_frame(docs, ordered=False).select(
-        "doc_id", "keep_core", "keep_gopher"
+    row-for-row).
+
+    FUSED (optimization r10): every gate is a stateless per-doc
+    computation, so instead of building four separate frames over four
+    corpus scans and joining them back on doc_id (3 full-corpus
+    shuffles at scale; AQE-broadcast at small SF but still 4 scans +
+    3 joins), the gates CHAIN over one scan via each frame's `extra`
+    passthrough: gopher rules → C4 rules (both codegen projections)
+    → repetition kernel (verdicts ride through the Arrow batch) →
+    ONE broadcast join for the clique weights. Identical columns and
+    values — each gate's expressions are untouched, only the plan
+    shape changes (4 scans + 3 joins → 1 scan + 1 broadcast join;
+    oracle + streaming-equivalence tests pin it).
+
+    The contract sort uses gopher_repetition_frame's input-sort trick
+    extended to the whole chain: sort the SCAN (orderBy's range
+    sampling then re-executes only the parquet read) and pin the
+    output with a shuffle-free sortWithinPartitions. A top-level
+    orderBy instead re-executes its streamed child for sampling — and
+    here the streamed child is the Arrow kernel (measured: the kernel
+    ran twice per query, min 6.9 vs 4.3 s for the unfused shape at
+    sf0.1, where the kernel sat on a reused BROADCAST side; with the
+    input sort the fused chain wins). Every stage is 1:1 and
+    partition-preserving (projections, 1:1 kernel, broadcast left
+    join on unique keys), so ascending range partitions + the
+    within-partition sort = globally sorted output — the same
+    invariant gopher_repetition_frame's tests pin."""
+    src = docs.orderBy("doc_id") if ordered else docs
+    g = gopher_quality_frame(src, ordered=False, extra=("text",)).select(
+        "doc_id", "text", "keep_core", "keep_gopher"
     )
-    rep = gopher_repetition_frame(docs, ordered=False).select(
-        "doc_id", "rep_keep"
+    c = c4_quality_frame(
+        g, ordered=False, extra=("text", "keep_core", "keep_gopher")
+    ).select("doc_id", "text", "keep_core", "keep_gopher", "keep_c4")
+    r = gopher_repetition_frame(
+        c, ordered=False, extra=("keep_core", "keep_gopher", "keep_c4")
+    ).select("doc_id", "keep_c4", "keep_core", "keep_gopher", "rep_keep")
+    w = DD.soft_weights(
+        r, cc, ordered=False,
+        extra=("keep_c4", "keep_core", "keep_gopher", "rep_keep"),
     )
-    w = DD.soft_weights(docs, cc, ordered=False).select("doc_id", "weight")
     keep_final = F.col("keep_gopher") & F.col("rep_keep")
-    out = (
-        gop.join(rep, "doc_id").join(c4, "doc_id").join(w, "doc_id")
-        .select(
-            "doc_id", "keep_c4", "keep_core", "keep_gopher", "rep_keep",
-            keep_final.alias("keep_final"),
-            (keep_final & F.col("keep_c4")).alias("keep_web"),
-            F.when(keep_final, F.col("weight"))
-            .otherwise(F.lit(0.0)).alias("sample_weight"),
-        )
+    out = w.select(
+        "doc_id", "keep_c4", "keep_core", "keep_gopher", "rep_keep",
+        keep_final.alias("keep_final"),
+        (keep_final & F.col("keep_c4")).alias("keep_web"),
+        F.when(keep_final, F.col("weight"))
+        .otherwise(F.lit(0.0)).alias("sample_weight"),
     )
-    return out.orderBy("doc_id") if ordered else out
+    return out.sortWithinPartitions("doc_id") if ordered else out
 
 
 def _curation_pipeline_oracle_sql() -> str:

@@ -95,20 +95,29 @@ class StreamingIngestApp:
         property q_curation_pipeline documents for why keep_web is
         emitted as a verdict, not folded into keep_final); a web
         deployment tightens this predicate, the composition is
-        unchanged."""
+        unchanged.
+
+        FUSED (optimization r10): the structural rules ride the batch
+        scan via gopher_quality_frame's `extra` passthrough (no
+        join-back), and the repetition kernel runs over the keep_core
+        SURVIVORS only — a per-doc gate conjunction is
+        order-independent, so filtering before the expensive Arrow
+        kernel keeps the same rows while the kernel sees fewer docs.
+        One doc_id join remains (rep verdicts back onto the surviving
+        batch columns; the kernel never echoes text)."""
         from .. import registry as R
 
-        gop = R.gopher_quality_frame(batch, ordered=False).select(
-            "doc_id", "keep_core"
-        )
-        rep = R.gopher_repetition_frame(batch, ordered=False).select(
+        gk = R.gopher_quality_frame(
+            batch, ordered=False,
+            extra=tuple(c for c in batch.columns if c != "doc_id"),
+        ).where(F.col("keep_core"))
+        rep = R.gopher_repetition_frame(gk, ordered=False).select(
             "doc_id", "rep_keep"
         )
         return (
-            batch.join(gop, "doc_id")
-            .join(rep, "doc_id")
-            .where(F.col("keep_core") & F.col("rep_keep"))
-            .drop("keep_core", "rep_keep")
+            gk.join(rep, "doc_id")
+            .where(F.col("rep_keep"))
+            .select(*batch.columns)
         )
 
     def dedup_gate(self, curated: DataFrame, batch_id: int) -> DataFrame:
@@ -180,11 +189,24 @@ class StreamingIngestApp:
     # -- the one foreachBatch ------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        kept = self.dedup_gate(self.curate(batch), batch_id)
-        # materialize kept ONCE as its own idempotent segment; the
-        # downstream stages read the artifact back (cheap columnar
-        # re-read) instead of re-running curate+gate per consumer
-        kept.write.mode("overwrite").parquet(f"{self.kept_dir}/batch={batch_id}")
+        # materialize CURATED once per batch (optimization r10): the
+        # gate chain below it triggers ~4 separate actions (batch-min
+        # check, pairs/sigs segment writes, members write, kept write),
+        # and without a cache each one re-runs the curate stage —
+        # including the repetition Arrow kernel over the batch's text.
+        # The persist is batch-scoped and released in `finally`, so
+        # nothing outlives the foreachBatch call (no leaked cache).
+        curated = self.curate(batch).persist()
+        try:
+            kept = self.dedup_gate(curated, batch_id)
+            # materialize kept ONCE as its own idempotent segment; the
+            # downstream stages read the artifact back (cheap columnar
+            # re-read) instead of re-running curate+gate per consumer
+            kept.write.mode("overwrite").parquet(
+                f"{self.kept_dir}/batch={batch_id}"
+            )
+        finally:
+            curated.unpersist()
         kept = spark.read.parquet(f"{self.kept_dir}/batch={batch_id}")
 
         self.postings.apply_batch(kept, batch_id)
