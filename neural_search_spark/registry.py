@@ -6819,15 +6819,35 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus's word-frequency table (functions/bpe.py — the corpus
     is read once; each merge round aggregates the tiny vocab frame),
     then applied as a chain of literal `replace` ops — whole-stage
-    codegen end-to-end, no Python in the scan. The oracle unrolls the
-    identical train+encode algebra into CTEs (the MMR-oracle trick)."""
+    codegen end-to-end, no Python anywhere. The oracle unrolls the
+    identical train+encode algebra into CTEs (the MMR-oracle trick).
+
+    Optimization r10: the replace chain is evaluated once per DISTINCT
+    word and the counts join back distributively (explode → distinct →
+    equi-join → per-doc sum) instead of once per token occurrence —
+    the same hoist _bpe_ids_via_join and the Arrow kernel already use,
+    with the oracle's own shape (docwords JOIN vocab USING w). Zipf
+    makes |vocab| ≪ corpus tokens, so at scale the ~90-replace chain
+    runs orders of magnitude fewer times; measured 2.28 → 1.57 s min
+    at sf0.1 with bit-equal output (left join + coalesce keeps empty
+    docs at n_bpe = 0, as before)."""
     merges = _bpe_merges(spark, sf_dir)
     d = catalog.table(spark, sf_dir, "documents")
     toks = S.tokens(F.col("text"))
-    return d.select(
-        "doc_id",
-        BP.doc_token_count(toks, merges).cast("long").alias("n_bpe"),
-    ).orderBy("doc_id")
+    tok = d.select("doc_id", F.explode(toks).alias("w"))
+    wc = tok.select("w").distinct().select(
+        "w", BP.encode_token_count(F.col("w"), merges).cast("long").alias("c")
+    )
+    return (
+        d.select("doc_id")
+        .join(
+            tok.join(wc, "w").groupBy("doc_id").agg(F.sum("c").alias("n_bpe")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("n_bpe", F.lit(0)).alias("n_bpe"))
+        .orderBy("doc_id")
+    )
 
 
 def _bpe_train_ctes(n_merges: int) -> list[str]:
