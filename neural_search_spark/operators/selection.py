@@ -44,22 +44,24 @@ def _bucket(gram: Column, n_buckets: int) -> Column:
     )
 
 
-def hashed_ngram_counts(
+def _gram_frame(
     docs: DataFrame,
-    n_buckets: int = DSIR_BUCKETS,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
+    extra: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id, bucket, cnt): unigram + bigram features hashed into
-    ``n_buckets``. ONE explode + one combiner-bounded groupBy
-    (optimization r10: the unigram and bigram grams concatenate into
-    one per-doc array before the explode — the earlier uni ∪ bi union
-    scanned and re-tokenized the corpus twice per feature build; the
-    gram MULTISET per doc is unchanged, and groupBy counting is
-    order-insensitive, so counts are identical)."""
+    """(id, gram[, *extra]): the exploded unigram + bigram stream.
+    ONE explode (optimization r10: the unigram and bigram grams
+    concatenate into one per-doc array before the explode — the
+    earlier uni ∪ bi union scanned and re-tokenized the corpus twice
+    per feature build; the gram MULTISET per doc is unchanged).
+    ``extra`` columns (per-doc constants, e.g. a target flag) ride
+    through the explode."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    base = docs.select(F.col(id_col), toks.alias("__t"), n.alias("__n"))
+    base = docs.select(
+        F.col(id_col), toks.alias("__t"), n.alias("__n"), *extra
+    )
     bigrams = F.when(
         F.col("__n") >= 2,
         F.transform(
@@ -70,13 +72,51 @@ def hashed_ngram_counts(
             lambda s: F.concat_ws(" ", s["w1"], s["w2"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = base.select(
-        id_col, F.explode(F.concat(F.col("__t"), bigrams)).alias("gram")
+    return base.select(
+        id_col,
+        F.explode(F.concat(F.col("__t"), bigrams)).alias("gram"),
+        *extra,
     )
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt): unigram + bigram features hashed into
+    ``n_buckets`` — one explode + one combiner-bounded groupBy."""
+    grams = _gram_frame(docs, id_col, text_col)
     return (
         grams.select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _ratio_from_bucket_counts(bc: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, log_ratio) from a (bucket, rc, tc) frame: totals via a
+    whole-frame window over the ≤ ``n_buckets``-row aggregate, so the
+    frame is consumed ONCE (optimization r10 — the earlier
+    agg + crossJoin(broadcast(total)) shape consumed each bucket
+    aggregate twice, and with no exchange reuse each consumption
+    re-ran the corpus-wide gram pass underneath; the window's single-
+    partition exchange moves ≤ n_buckets rows). Identical math: the
+    totals are exact integer sums, then the same smoothed-log
+    expressions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    b = F.lit(float(n_buckets))
+    log_p_t = F.log(
+        (F.col("tc") + 1.0) / (F.sum("tc").over(w) + b)
+    )
+    log_p_r = F.log(
+        (F.col("rc") + 1.0) / (F.sum("rc").over(w) + b)
+    )
+    return bc.select(
+        "bucket", "rc", (log_p_t - log_p_r).alias("log_ratio")
     )
 
 
@@ -90,40 +130,75 @@ def dsir_log_ratio(
     aggregations, broadcastable by construction."""
     t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
     r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    tt = t.agg(F.sum("tc").alias("t_total"))
-    rt = r.agg(F.sum("rc").alias("r_total"))
-    joined = (
-        r.join(t, "bucket", "left")
-        .na.fill({"tc": 0})
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
+    # FULL outer join so the window totals see target-only buckets too
+    # (t_total is the whole target mass); output buckets stay exactly
+    # raw's — a real bucket always has rc >= 1, so rc > 0 after the
+    # zero-fill identifies them, and the filter sits ABOVE the window.
+    joined = r.join(t, "bucket", "outer").na.fill({"tc": 0, "rc": 0})
+    return (
+        _ratio_from_bucket_counts(joined, n_buckets)
+        .where(F.col("rc") > 0)
+        .drop("rc")
     )
-    b = F.lit(float(n_buckets))
-    log_p_t = F.log((F.col("tc") + 1.0) / (F.col("t_total") + b))
-    log_p_r = F.log((F.col("rc") + 1.0) / (F.col("r_total") + b))
-    return joined.select("bucket", (log_p_t - log_p_r).alias("log_ratio"))
 
 
 def dsir_logweights(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: "DataFrame | None",
     n_buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_flag: "Column | None" = None,
 ) -> DataFrame:
     """(id, log_weight): per-doc DSIR importance log-weight — feature
     counts joined to the broadcast log-ratio table, summed per doc.
 
-    raw_f feeds both the ratio's raw aggregation and the final per-doc
-    join (2 feature passes per execution). A localCheckpoint of the
-    feature frames was MEASURED and rejected at sf0.1 (optimization
-    r10: eager materialization cost ≈ the recompute it saves there;
-    interleaved A/B min 2.97 vs 2.73 s) — a 100 TB run would instead
-    write the feature frames as the extraction job's scratch output,
-    the pattern the index store already implements."""
+    When the target corpus is a FILTER of the raw corpus (the common
+    DSIR deployment: "docs that look like Wikipedia/en/..."), pass the
+    predicate as ``target_flag`` instead of a separate ``target_docs``
+    frame. The ratio then comes from ONE gram pass — bucket counts
+    aggregate count(*) and count-where-flag simultaneously, with a
+    64-key map-side combiner — instead of separate raw and target
+    feature builds (optimization r10, guide §2.3 aggregate-before-
+    shuffle: the measured before-plan re-ran the corpus gram explode
+    for every consumer of the two feature frames — 20 parquet scans /
+    32 exchanges at sf0.1 — because nothing reuses an exchange across
+    the ratio's sub-aggregations; the flagged path needs 2 gram passes
+    total: ratio + the per-doc join below). Identical weights: per-
+    bucket tc/rc are the same integers (target ⊆ raw), totals the same
+    sums, then the same smoothed-log doubles.
+
+    A localCheckpoint of the feature frames was MEASURED and rejected
+    at sf0.1 (eager materialization cost ≈ the recompute it saves
+    there; interleaved A/B min 2.97 vs 2.73 s) — a 100 TB run would
+    instead write the feature frames as the extraction job's scratch
+    output, the pattern the index store already implements."""
+    if target_flag is not None:
+        grams = _gram_frame(
+            raw_docs.withColumn("__tgt", target_flag), id_col, text_col,
+            extra=("__tgt",),
+        )
+        bc = (
+            grams.select(
+                _bucket(F.col("gram"), n_buckets).alias("bucket"), "__tgt"
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("rc"),
+                F.sum(
+                    F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("tc"),
+            )
+        )
+        ratio = _ratio_from_bucket_counts(bc, n_buckets).drop("rc")
+    else:
+        tgt_f = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
+        ratio = dsir_log_ratio(
+            hashed_ngram_counts(raw_docs, n_buckets, id_col, text_col),
+            tgt_f,
+            n_buckets,
+        )
     raw_f = hashed_ngram_counts(raw_docs, n_buckets, id_col, text_col)
-    tgt_f = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
-    ratio = dsir_log_ratio(raw_f, tgt_f, n_buckets)
     return (
         raw_f.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
@@ -137,19 +212,25 @@ def dsir_logweights(
 
 def dsir_resample(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: "DataFrame | None",
     k: int,
     n_buckets: int = DSIR_BUCKETS,
     salt: str = DSIR_SALT,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_flag: "Column | None" = None,
 ) -> DataFrame:
     """Gumbel-top-k resample: select ``k`` docs by
     ``log_weight + Gumbel(md5(salt‖id))`` — equivalent to sampling
     without replacement from softmax(log_weight) (the DSIR §2.3
     sampled-selection step), deterministic across engines/runs.
-    Returns (id, log_weight, gumbel_key) ordered by the key."""
-    lw = dsir_logweights(raw_docs, target_docs, n_buckets, id_col, text_col)
+    Returns (id, log_weight, gumbel_key) ordered by the key.
+    ``target_flag`` (a predicate over ``raw_docs``) takes the one-pass
+    ratio path of dsir_logweights when the target is a filter of raw."""
+    lw = dsir_logweights(
+        raw_docs, target_docs, n_buckets, id_col, text_col,
+        target_flag=target_flag,
+    )
     u = (
         F.conv(
             F.substring(

@@ -9374,8 +9374,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import selection as SEL
 
     docs = catalog.table(spark, sf_dir, "documents")
+    # target = a filter of raw ⇒ the one-gram-pass ratio path
     return SEL.dsir_resample(
-        docs, docs.where(F.col("lang") == "en"), k=DSIR_K
+        docs, None, k=DSIR_K, target_flag=F.col("lang") == "en"
     )
 
 
@@ -12146,8 +12147,14 @@ def q_transformer_tokenizer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
-        .orderBy("doc_id", "pos")
+        # doc-level contract sort before the explode (optimization
+        # r10): the range shuffle moves one skinny row per doc instead
+        # of one per (doc, pos) — see _bpe_ids_via_join for the
+        # order-invariant argument (narrow 1:N posexplode over range-
+        # sorted input + shuffle-free within-partition sort).
+        docs.orderBy("doc_id")
+        .select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
+        .sortWithinPartitions("doc_id", "pos")
     )
 
 
@@ -12436,10 +12443,22 @@ def _bpe_ids_via_join(
     return (
         # left join keeps empty/whitespace-only docs: they still emit
         # the pos-0 [PSG] row, exactly as the literal-map form did.
+        # Contract sort at the DOC level, BEFORE the explode
+        # (optimization r10, guide §2.3 shuffle fewer bytes): sorting
+        # after posexplode range-shuffles every (doc, pos) row —
+        # ~max_len× the rows of the doc-level frame — when doc_id
+        # alone already decides the range partition. Sort the one-row-
+        # per-doc frame, then explode: posexplode is a narrow 1:N op
+        # that emits rows in input order with pos ascending, so range
+        # partitions stay ascending (doc_id, pos) ranges; the
+        # shuffle-free sortWithinPartitions pins the within-partition
+        # order contractually (same invariant, and same test pattern,
+        # as gopher_repetition_frame's input-sort trick).
         docs.select("doc_id")
         .join(flat, "doc_id", "left")
+        .orderBy("doc_id")
         .select("doc_id", F.posexplode(ids).alias("pos", "token_id"))
-        .orderBy("doc_id", "pos")
+        .sortWithinPartitions("doc_id", "pos")
     )
 
 
@@ -13144,13 +13163,25 @@ def _gopher_rep_batches(batches):
     flags happen JVM-side with the same F.round the oracle replays, so
     no float ever crosses an engine boundary.
 
-    Fully vectorized across the batch: tokens of every doc concatenate
-    into one code array (np.unique factorization — exact string
-    identity, no hashing, no collisions); each family is one lexsort
-    of the in-doc windows by (doc, code_0..code_n-1), run boundaries
-    by vector compare, counts by diff-of-boundaries, per-doc max/sum
-    by ufunc.reduceat. re.ASCII keeps Python's \\s identical to the
-    Java regex the Spark tokenizer uses (both ASCII-only)."""
+    Fully vectorized across the batch via INCREMENTAL HASH
+    FACTORIZATION (optimization r10; guide §4.2 native-code batches).
+    The earlier shape ran one (n+1)-key np.lexsort per n — 54 stable
+    sort passes over every window for the 9 families. Now each family
+    is one O(ntok) pd.factorize (khash table — exact equality, no
+    collisions: collisions are resolved by the table, the dense ids
+    are injective on the raw keys): the (doc, n-gram) id of window i
+    is factorize(id_{n-1}[i] * n_tokens_codes + code[i+n-1]), so gram
+    identity chains level-to-level and never re-touches the strings.
+    Counts come from np.bincount over the dense ids of in-doc windows,
+    the representative window (for the gram's char length — identical
+    for every occurrence of a gram) from a reversed scatter, and the
+    per-doc max/sum folds sort only the UNIQUE (doc, gram) rows
+    (reduceat over doc boundaries). Token strings are factorized once
+    per batch (pd.factorize StringHashTable — exact identity).
+    re.ASCII keeps Python's \\s identical to the Java regex the Spark
+    tokenizer uses (both ASCII-only). Bit-identical outputs to the
+    lexsort form: tests/test_gopher_kernel_property.py pins the kernel
+    against a naive per-doc Counter on random corpora."""
     import re
     from itertools import chain
 
@@ -13180,44 +13211,60 @@ def _gopher_rep_batches(batches):
         if ntok == 0:
             yield pd.DataFrame({**echo, **out})
             continue
-        codes = np.unique(np.array(all_toks, dtype=object), return_inverse=True)[1]
+        codes, uniq = pd.factorize(np.array(all_toks, dtype=object))
+        codes = codes.astype(np.int64, copy=False)
+        ktok = np.int64(len(uniq))
         tlen = np.fromiter((len(t) for t in all_toks), np.int64, ntok)
         clen_cum = np.concatenate(([0], np.cumsum(tlen)))
         doc_of = np.repeat(np.arange(ndocs), doc_lens)
+        # level-1 ids are DOC-SCOPED (doc * ktok + token code) so every
+        # chained level distinguishes the same gram in different docs —
+        # counting per dense id is then already per-(doc, gram).
+        # Factorized dense ids are < the level's window count <= ntok,
+        # so each chained raw key is < ntok * ktok <= ntok^2 — int64-
+        # safe for any Arrow batch (2^31 rows) by construction.
+        lv = pd.factorize(doc_of * ktok + codes)[0].astype(np.int64, copy=False)
         for j, n in enumerate(range(2, 11)):
             col = ncols[j]
             if ntok < n:
-                continue
+                break
             w = ntok - n + 1
+            # chain: window i of length n = (window i of length n-1,
+            # token i+n-1). Junk ids from straddling sub-windows only
+            # ever chain into straddling windows (a straddling window
+            # contains a straddling sub-window), and those are masked
+            # out of the counts below.
+            lv, _ = pd.factorize(lv[:w] * ktok + codes[n - 1 :])
+            lv = lv.astype(np.int64, copy=False)
+            ku = len(_)
             # a window is valid iff it does not straddle two documents
-            valid = np.nonzero(doc_of[:w] == doc_of[n - 1 :])[0]
-            if valid.size == 0:
+            vidx = np.nonzero(doc_of[:w] == doc_of[n - 1 :])[0]
+            if vidx.size == 0:
                 continue
-            keys = tuple(
-                codes[valid + k] for k in range(n - 1, -1, -1)
-            ) + (doc_of[valid],)
-            order = np.lexsort(keys)  # primary doc, then code_0..code_n-1
-            sv = valid[order]
-            ds = doc_of[sv]
-            change = np.ones(len(sv), dtype=bool)
-            change[1:] = ds[1:] != ds[:-1]
-            for k in range(n):
-                ck = codes[sv + k]
-                change[1:] |= ck[1:] != ck[:-1]
-            run_starts = np.nonzero(change)[0]
-            run_counts = np.diff(np.append(run_starts, len(sv)))
-            ws = sv[run_starts]
+            vcodes = lv[vidx]
+            counts = np.bincount(vcodes, minlength=ku)
+            # representative (= first valid) window start per dense id:
+            # reversed assignment leaves the earliest write in place
+            first = np.empty(ku, dtype=np.int64)
+            first[vcodes[::-1]] = vidx[::-1]
+            u = np.nonzero(counts)[0]
+            cnt = counts[u]
+            ws = first[u]
             glen = clen_cum[ws + n] - clen_cum[ws] + (n - 1)
-            run_doc = ds[run_starts]
-            doc_change = np.ones(len(run_doc), dtype=bool)
-            doc_change[1:] = run_doc[1:] != run_doc[:-1]
-            db = np.nonzero(doc_change)[0]
-            docs_here = run_doc[db]
+            doc_u = doc_of[ws]
+            val = cnt * glen
+            # fold per doc over the UNIQUE (doc, gram) rows only
+            order = np.argsort(doc_u, kind="stable")
+            d_s = doc_u[order]
+            db = np.nonzero(
+                np.concatenate(([True], d_s[1:] != d_s[:-1]))
+            )[0]
+            docs_here = d_s[db]
             if n <= 4:
-                out[col][docs_here] = np.maximum.reduceat(run_counts * glen, db)
+                out[col][docs_here] = np.maximum.reduceat(val[order], db)
             else:
-                dupval = np.where(run_counts >= 2, run_counts * glen, 0)
-                out[col][docs_here] = np.add.reduceat(dupval, db)
+                dupval = np.where(cnt >= 2, val, 0)
+                out[col][docs_here] = np.add.reduceat(dupval[order], db)
         yield pd.DataFrame({**echo, **out})
 
 
