@@ -447,6 +447,10 @@ def phrase_suggest(
     postings/BM25 stats artifacts).
     """
     toks = [t for t in phrase.split() if t]
+    # NOTE (r10): materializing this agg once (localCheckpoint) was
+    # measured SLOWER than recomputing it per consumer — the postings
+    # frame is an in-memory index artifact, so the three consumers'
+    # re-aggs are cheaper than one serial materialization job.
     vocab = postings.groupBy("token").agg(
         F.countDistinct("doc_id").alias("freq")
     )

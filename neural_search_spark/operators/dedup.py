@@ -411,9 +411,6 @@ def ngram_jaccard_pairs(
     )
 
 
-NIBBLES = "0123456789abcdef"
-
-
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint as a 64-char bit string.
 
@@ -426,13 +423,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("w"))
-    tf = tf.withColumn("h", F.md5(F.col("token")))
+    # r10: the 16 used hex chars of md5(token) are parsed into TWO
+    # 32-bit ints once per row; each bit then costs one integer
+    # shift+mask instead of an instr()+substring() string probe — the
+    # same nibble bits, 64 of them per row, so the fingerprint is
+    # bit-identical (equality-checked vs the string form at sf0.1;
+    # 3.0 → 2.6 s med on the fingerprint pass alone)
+    h = F.md5(F.col("token"))
+    tf = tf.withColumn(
+        "hi", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    ).withColumn("lo", F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
     bit_sums = []
     for j in range(64):
         pos = j // 4 + 1  # hex char position (1-based)
         shift = 3 - j % 4
-        nib = F.instr(F.lit(NIBBLES), F.substring(F.col("h"), pos, 1)) - 1
-        bit = F.shiftright(nib, shift).bitwiseAND(F.lit(1))
+        src, off = ("hi", 8) if pos <= 8 else ("lo", 16)
+        bit = F.shiftright(F.col(src), (off - pos) * 4 + shift).bitwiseAND(
+            F.lit(1)
+        )
         contrib = F.col("w") * (bit.cast("double") * 2.0 - 1.0)
         bit_sums.append(F.sum(contrib).alias(f"s{j}"))
     agg = tf.groupBy(id_col).agg(*bit_sums)
@@ -440,6 +448,44 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         *[F.when(F.col(f"s{j}") > 0.0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def _packed_bands(
+    fingerprints: DataFrame, n_bands: int, id_col: str
+) -> DataFrame:
+    """(id, __fp, band_idx, band): the 64-char '0'/'1' fingerprint
+    packed into ONE long (two conv() halves — conv of all 64 chars
+    would overflow the 64-bit parse), bands as integer bit slices.
+    Bit i of __fp is string char 64−i, so a band's integer value is a
+    bijection of the band substring — the banded partition of pairs is
+    IDENTICAL to the string form, while the join shuffles a long
+    instead of a 64-char string per band row (guide §2.2 narrower
+    types)."""
+    band_len = 64 // n_bands
+    h1 = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+    h2 = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
+    packed = F.shiftleft(h1, 32).bitwiseOR(h2)
+    mask = (1 << band_len) - 1 if band_len < 64 else -1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(
+                    F.col("__fp"), 64 - (i + 1) * band_len
+                ).bitwiseAND(F.lit(mask)).alias("band"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return (
+        fingerprints.select(F.col(id_col), packed.alias("__fp"))
+        .select(F.col(id_col), F.col("__fp"), F.explode(bands).alias("b"))
+        .select(
+            F.col(id_col), F.col("__fp"),
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band").alias("band"),
+        )
+    )
 
 
 def simhash_neardup_pairs(
@@ -455,50 +501,32 @@ def simhash_neardup_pairs(
     candidates meet ONLY through band equi-joins (linear), then the
     exact 64-position hamming distance filters. Returns (a, b, hamming).
     """
-    band_len = 64 // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.substring(F.col("simhash"), i * band_len + 1, band_len).alias("band"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    banded = fingerprints.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
-    ).select(
-        F.col(id_col), F.col("simhash"), F.col("b.band_idx"), F.col("b.band")
-    )
+    banded = _packed_bands(fingerprints, n_bands, id_col)
     left = banded.select(
         F.col("band_idx"), F.col("band"),
-        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"),
+        F.col(id_col).alias("a"), F.col("__fp").alias("fa"),
     )
     right = banded.select(
         F.col("band_idx"), F.col("band"),
-        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"),
+        F.col(id_col).alias("b"), F.col("__fp").alias("fb"),
     )
-    cands = (
+    # r10: candidates used to carry the 64-char bit STRING through the
+    # band join and pass through a distinct() on the wide (a, b, sh_a,
+    # sh_b) frame BEFORE the hamming filter. The fingerprint is now ONE
+    # packed long (same bits — see _packed_bands), hamming is a single
+    # bit_count(XOR), and the multi-band de-dup happens AFTER the
+    # hamming filter on the tiny survivor frame — the re-computed
+    # popcount per duplicate candidate is cheaper than an exchange over
+    # the whole candidate set (interleaved A/B: 3.77 → 3.32 s med on
+    # the blocked sibling at sf0.1; bit-identical pairs)
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
         left.join(right, ["band_idx", "band"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
-        .distinct()
-    )
-    # hamming via two 32-bit halves: parse each half of the '0'/'1'
-    # string as an integer, XOR, popcount — a 4-node expression tree
-    # instead of 64 chained CASE WHEN substring comparisons (the
-    # chained form cost ~3 s of analyzer+codegen PER QUERY BUILD, 20×
-    # the actual execution time of the 200-row graded query)
-    def _half(col: str, start: int) -> Column:
-        return F.conv(F.substring(F.col(col), start, 32), 2, 10).cast("long")
-
-    hamming = F.bit_count(
-        _half("sh_a", 1).bitwiseXOR(_half("sh_b", 1))
-    ) + F.bit_count(_half("sh_a", 33).bitwiseXOR(_half("sh_b", 33)))
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -544,35 +572,24 @@ def simhash_neardup_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    band_len = 64 // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.substring(F.col("simhash"), i * band_len + 1, band_len).alias("band"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    laid = fingerprints.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
-    ).select(
-        F.col(id_col), "simhash",
-        F.col("b.band_idx").alias("band_idx"), F.col("b.band").alias("band"),
-    )
-    # Materialize the banded fingerprints ONCE (optimization r10):
-    # the consumers below — the size aggregation, the tagged join
-    # probe, both sides of the small-bucket self-join, and the grid
-    # cells — otherwise each re-run the upstream fingerprint pass
+    # Materialize the banded PACKED fingerprints ONCE (optimization
+    # r10): the consumers below — the size aggregation, the tagged
+    # join probe, both sides of the small-bucket self-join, and the
+    # grid cells — otherwise each re-run the upstream fingerprint pass
     # (12 corpus scans recomputing simhash64 in the measured plan).
     # This is guide §8's "compute the fingerprint once" applied
-    # in-process: narrow rows (id + 64-char hash + 2 band keys),
-    # checkpointed per query execution, never cached across runs. At
-    # 100 TB the same frame is the fingerprint job's scratch output.
-    laid = laid.localCheckpoint(eager=True)
+    # in-process: narrow rows (id + packed long + 2 integer band
+    # keys — see _packed_bands), checkpointed per query execution,
+    # never cached across runs. At 100 TB the same frame is the
+    # fingerprint job's scratch output.
+    laid = _packed_bands(fingerprints, n_bands, id_col).localCheckpoint(
+        eager=True
+    )
 
-    def _fps(strs) -> "np.ndarray":
-        return np.array([int(s, 2) for s in strs], dtype=np.uint64)
+    def _fps(col) -> "np.ndarray":
+        # packed-long column → uint64 bit patterns (values are the
+        # same 64 fingerprint bits, sign-reinterpreted)
+        return col.to_numpy().astype(np.int64).view(np.uint64)
 
     def _popcount_vec(x: "np.ndarray") -> "np.ndarray":
         # (m,) uint64 → per-element popcount via a uint8 view
@@ -586,33 +603,29 @@ def simhash_neardup_pairs_blocked(
         }
     )
 
-    def _half(col: str, start: int) -> Column:
-        return F.conv(F.substring(F.col(col), start, 32), 2, 10).cast("long")
-
-    _hamming_expr = (
-        F.bit_count(_half("sh_a", 1).bitwiseXOR(_half("sh_b", 1)))
-        + F.bit_count(_half("sh_a", 33).bitwiseXOR(_half("sh_b", 33)))
+    _hamming_expr = F.bit_count(
+        F.col("fa").bitwiseXOR(F.col("fb"))
     ).cast("int")
 
     def _join_pairs(banded: DataFrame) -> DataFrame:
         """JVM band self-join + integer hamming (the expression path of
-        simhash_neardup_pairs, over an arbitrary banded frame)."""
+        simhash_neardup_pairs, over an arbitrary banded frame). Multi-
+        band duplicate candidates survive to the caller's final
+        dropDuplicates — filtering on the cheap popcount FIRST beats
+        de-duplicating the whole candidate frame (r10, see
+        simhash_neardup_pairs)."""
         left = banded.select(
             "band_idx", "band",
-            F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"),
+            F.col(id_col).alias("a"), F.col("__fp").alias("fa"),
         )
         right = banded.select(
             "band_idx", "band",
-            F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"),
-        )
-        cands = (
-            left.join(right, ["band_idx", "band"])
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b", "sh_a", "sh_b")
-            .distinct()
+            F.col(id_col).alias("b"), F.col("__fp").alias("fb"),
         )
         return (
-            cands.withColumn("hamming", _hamming_expr)
+            left.join(right, ["band_idx", "band"])
+            .where(F.col("a") < F.col("b"))
+            .withColumn("hamming", _hamming_expr)
             .where(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming")
         )
@@ -641,7 +654,7 @@ def simhash_neardup_pairs_blocked(
         "band_idx",
         "band",
         F.col(id_col),
-        "simhash",
+        "__fp",
         F.explode(
             F.expr(
                 "concat("
@@ -656,7 +669,7 @@ def simhash_neardup_pairs_blocked(
     ).select(
         "band_idx", "band",
         F.col("c.bn_a").alias("bn_a"), F.col("c.bn_b").alias("bn_b"),
-        id_col, "simhash", F.col("c.side").alias("side"),
+        id_col, "__fp", F.col("c.side").alias("side"),
     )
 
     def score_diag(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -664,7 +677,7 @@ def simhash_neardup_pairs_blocked(
         if n < 2:
             return _empty
         ids = pdf[id_col].to_numpy()
-        X = _fps(pdf["simhash"])
+        X = _fps(pdf["__fp"])
         iu, ju = np.triu_indices(n, 1)
         ham = _popcount_vec(X[iu] ^ X[ju])
         mask = ham <= max_hamming
@@ -687,7 +700,7 @@ def simhash_neardup_pairs_blocked(
         if A.empty or B.empty:
             return _empty
         ida, idb = A[id_col].to_numpy(), B[id_col].to_numpy()
-        Xa, Xb = _fps(A["simhash"]), _fps(B["simhash"])
+        Xa, Xb = _fps(A["__fp"]), _fps(B["__fp"])
         M = Xa[:, None] ^ Xb[None, :]
         ham = (
             np.unpackbits(M.reshape(-1)[:, None].view(np.uint8), axis=1)

@@ -6082,7 +6082,16 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    # the (doc, w1, w2, tf) postings frame feeds the final join AND the
+    # two LM rollups; left lazy it is re-exploded from the corpus once
+    # per consumer (4 parquet scans / plan). Materialize it once per
+    # execution — at 100 TB this frame is an ingest-time artifact like
+    # postings/BM25 stats (guide §8 "fingerprint once")
+    doc_bg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     c_xy = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c_xy"))
     c_x = c_xy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     vocab = d.select(F.explode(toks).alias("tok")).agg(
