@@ -254,6 +254,8 @@ def main() -> None:
     registry._bm25(spark, sf_dir).doclen.count()
     registry._shingles(spark, sf_dir).count()
     registry._minhash_sigs(spark, sf_dir).count()  # write-once signature artifact
+    registry._token_dfs(spark, sf_dir).count()  # term dictionary (docFreq)
+    registry._bigram_counts(spark, sf_dir).count()  # phrase-suggester LM table
     registry._centroids(spark, sf_dir)
     registry._qvec(spark, sf_dir)
     registry._ivf_assigned(spark, sf_dir).count()

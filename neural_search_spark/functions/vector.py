@@ -25,8 +25,16 @@ def lit_vector(vec: list[float]) -> Column:
     This is the Spark realization of inference hoisting
     (`query/NeuralQueryBuilder.java:887-932`): one vector per query,
     shipped in the plan, no join and no broadcast needed.
+
+    r10: built as ONE array literal (2 py4j calls) instead of
+    F.array(*[F.lit(v).cast(...)]) — which cost 2·dim driver round
+    trips per vector and dominated plan-construction time for
+    plane/centroid-heavy operators (SRP: 8 planes × 64 dims ≈ 0.8 s
+    of driver time per query). Catalyst constant-folds the old
+    CreateArray-of-literals to this same Literal, so plans and values
+    are identical.
     """
-    return F.array(*[F.lit(float(v)).cast("double") for v in vec])
+    return F.lit([float(v) for v in vec]).cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -242,6 +242,17 @@ def knn_join(
     )
 
 
+def _srp_dot_sql(col_name: str, plane: list[float]) -> str:
+    """dot(col, plane) as one SQL string — the exact fold of
+    functions.vector.dot (zip_with + sequential aggregate), parsed
+    server-side in one call instead of per-element py4j Column calls."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({col_name}, {arr}, (x, y) -> x * y),"
+        " 0.0D, (a, b) -> a + b)"
+    )
+
+
 def _srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — components in
     [-0.5, 0.5), reproducible across runs and languages."""
@@ -268,11 +279,13 @@ def srp_bucket(
     in the same bucket with probability (1 − θ/π)^n_planes.
     """
     v = as_double(F.col(vec_col))
-    bits = [
-        F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+    bits = ", ".join(
+        f"CASE WHEN {_srp_dot_sql('__v', plane)} >= 0.0D THEN '1' ELSE '0' END"
         for plane in _srp_planes(dim, n_planes)
-    ]
-    return embs.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    )
+    return embs.select(F.col(id_col), v.alias("__v")).select(
+        F.col(id_col), F.expr(f"concat({bits})").alias("bucket")
+    )
 
 
 def lsh_bucketed_neardup(
@@ -291,18 +304,29 @@ def lsh_bucketed_neardup(
 
     bucket + unit vector are computed in ONE projection over the scan
     (no id-join between derived frames): the only shuffle in the plan
-    is the bucket hash for the self-join."""
+    is the bucket hash for the self-join.
+
+    The plane-sign bits are assembled as ONE SQL expression string
+    (r10 batch 3 — the same single-parse pattern as
+    lsh_multitable_neardup_blocked): the Column-per-plane loop cost
+    ~0.8 s of driver py4j time per query at 8 planes × 64 dims.
+    Identical fold, identical bits."""
     from ..functions.common import let
 
     v = as_double(F.col(vec_col))
-    bits = [
-        F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+    bits = ", ".join(
+        f"CASE WHEN {_srp_dot_sql('__v', plane)} >= 0.0D THEN '1' ELSE '0' END"
         for plane in _srp_planes(dim, n_planes)
-    ]
+    )
     with_vec = embs.select(
+        F.col(id_col), v.alias("__v")
+    ).select(
         F.col(id_col),
-        F.concat(*bits).alias("bucket"),
-        let(l2_norm(v), lambda nrm: F.transform(v, lambda x: x / nrm)).alias("unit"),
+        F.expr(f"concat({bits})").alias("bucket"),
+        let(
+            l2_norm(F.col("__v")),
+            lambda nrm: F.transform(F.col("__v"), lambda x: x / nrm),
+        ).alias("unit"),
     )
     a = with_vec.select(
         F.col("bucket"), F.col(id_col).alias("a"), F.col("unit").alias("ua")
@@ -341,17 +365,20 @@ def lsh_multitable_neardup(
     from ..functions.common import let
 
     v = as_double(F.col(vec_col))
-    buckets = []
+    tables_sql = []
     for t in range(n_tables):
-        bits = [
-            F.when(dot(v, lit_vector(plane)) >= 0.0, F.lit("1")).otherwise(F.lit("0"))
+        bits = ", ".join(
+            f"CASE WHEN {_srp_dot_sql('__v', plane)} >= 0.0D THEN '1' ELSE '0' END"
             for plane in _srp_planes(dim, n_planes, seed=f"srp{t}")
-        ]
-        buckets.append(F.concat(*bits))
-    with_vec = embs.select(
+        )
+        tables_sql.append(f"concat({bits})")
+    with_vec = embs.select(F.col(id_col), v.alias("__v")).select(
         F.col(id_col),
-        F.array(*buckets).alias("_buckets"),
-        let(l2_norm(v), lambda nrm: F.transform(v, lambda x: x / nrm)).alias("unit"),
+        F.expr("array(" + ", ".join(tables_sql) + ")").alias("_buckets"),
+        let(
+            l2_norm(F.col("__v")),
+            lambda nrm: F.transform(F.col("__v"), lambda x: x / nrm),
+        ).alias("unit"),
     )
     laid_out = with_vec.select(
         F.col(id_col),

@@ -34,6 +34,12 @@ class BM25Index:
     doclen: DataFrame  # (doc_id, dl double)
     stats: tuple[int, float]  # (N, avgdl)
     analyzer: str | None = None  # analyzers.py name; None = whitespace default
+    # term dictionary (token, df long) — Lucene stores docFreq in the
+    # term dictionary; when present, bm25_scores broadcast-joins this
+    # table instead of re-aggregating df from the postings per query
+    # (guide §2.4 remove shuffles: one fewer postings scan + exchange
+    # per match query). None → the inline per-query aggregation.
+    dfs: DataFrame | None = None
 
 
 def build_bm25(
@@ -95,11 +101,20 @@ def bm25_scores(
     postings = index.postings
     if candidate_ids is not None:
         postings = postings.join(F.broadcast(candidate_ids.select(id_col)), id_col, "semi")
-    df_tbl = (
-        index.postings.join(F.broadcast(q), "token")
-        .groupBy("token")
-        .agg(F.count("*").cast("double").alias("df"))
-    )
+    if index.dfs is not None:
+        # term dictionary artifact: df comes from a broadcast join of
+        # the query's tokens against the (token, df) table — no
+        # per-query postings scan. count(*) over the (doc, token)-unique
+        # postings == docFreq, so values are identical to the inline agg.
+        df_tbl = index.dfs.join(F.broadcast(q), "token").select(
+            "token", F.col("df").cast("double").alias("df")
+        )
+    else:
+        df_tbl = (
+            index.postings.join(F.broadcast(q), "token")
+            .groupBy("token")
+            .agg(F.count("*").cast("double").alias("df"))
+        )
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
         postings.join(F.broadcast(q), "token")
@@ -338,6 +353,7 @@ def fuzzy_topk(
     k: int = 10,
     id_col: str = "doc_id",
     candidate_ids: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """OpenSearch `fuzzy` query: expand the term to every vocabulary
     token within Levenshtein distance ≤ `max_dist`, score docs by
@@ -347,13 +363,19 @@ def fuzzy_topk(
 
     Plan shape: the expansion runs over the DISTINCT token dictionary
     (orders of magnitude smaller than postings; at scale a persisted
-    layout table), the surviving ≤dozens of (token, dist) rows
-    broadcast-join the postings — the same inverted-index access
-    discipline as `sparse_topk_postings`. Levenshtein stays JVM-side
-    (`F.levenshtein` is a codegen'd built-in)."""
+    layout table — pass it as `vocab` (token, df) to skip the
+    per-query distinct over postings), the surviving ≤dozens of
+    (token, dist) rows broadcast-join the postings — the same
+    inverted-index access discipline as `sparse_topk_postings`.
+    Levenshtein stays JVM-side (`F.levenshtein` is a codegen'd
+    built-in)."""
     lev = F.levenshtein(F.col("token"), F.lit(term))
+    dictionary = (
+        vocab.select("token") if vocab is not None
+        else postings.select("token").distinct()
+    )
     expansions = (
-        postings.select("token").distinct()
+        dictionary
         # cheap length pre-filter before the O(len²) edit distance
         .where(F.abs(F.length("token") - F.lit(len(term))) <= max_dist)
         .select("token", lev.alias("dist"))
@@ -382,11 +404,21 @@ def prefix_suggest(
     prefix: str,
     k: int = 10,
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Autocomplete suggester: the top-k vocabulary completions of
-    `prefix` ranked by document frequency (then term). One pass over
-    postings with a startswith filter (at scale: a range scan over a
-    token-sorted dictionary layout), count-distinct docs per token."""
+    `prefix` ranked by document frequency (then term). With a `vocab`
+    (token, df) dictionary artifact: a range scan over it; else one
+    pass over postings with a startswith filter, count-distinct docs
+    per token (countDistinct == df on the (doc, token)-unique
+    postings, so both paths return identical rows)."""
+    if vocab is not None:
+        return (
+            vocab.where(F.col("token").startswith(prefix))
+            .select("token", F.col("df").alias("doc_freq"))
+            .orderBy(F.col("doc_freq").desc(), "token")
+            .limit(k)
+        )
     return (
         postings.where(F.col("token").startswith(prefix))
         .groupBy("token")
@@ -401,17 +433,23 @@ def term_suggest(
     term: str,
     max_dist: int = 2,
     k: int = 10,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Did-you-mean (OpenSearch term suggester): vocabulary terms
     within `max_dist` edits of `term`, ranked (distance ASC, doc-freq
     DESC, term ASC). The candidate scan is the VOCABULARY (one
-    map-side-combined agg over postings, |V| ≪ corpus — an ingest
-    artifact at scale, like the BM25 stats tables); `levenshtein` is a
-    JVM builtin, so the whole plan is one small agg + filter, no
-    Python. The input term itself is excluded (suggest = corrections)."""
-    vocab = postings.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("freq")
-    )
+    map-side-combined agg over postings, |V| ≪ corpus — pass the
+    persisted (token, df) dictionary as `vocab` to skip the per-query
+    agg, the ingest-artifact discipline of the BM25 stats tables);
+    `levenshtein` is a JVM builtin, so the whole plan is one small agg
+    + filter, no Python. The input term itself is excluded (suggest =
+    corrections)."""
+    if vocab is not None:
+        vocab = vocab.select("token", F.col("df").alias("freq"))
+    else:
+        vocab = postings.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("freq")
+        )
     dist = F.levenshtein(F.col("token"), F.lit(term))
     return (
         vocab.where((dist <= max_dist) & (F.col("token") != term))
@@ -431,6 +469,7 @@ def phrase_suggest(
     phrase: str,
     max_dist: int = 1,
     k: int = 5,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Did-you-mean over WHOLE phrases (OpenSearch phrase suggester):
     per-token candidate generation — vocabulary terms within
@@ -450,10 +489,15 @@ def phrase_suggest(
     # NOTE (r10): materializing this agg once (localCheckpoint) was
     # measured SLOWER than recomputing it per consumer — the postings
     # frame is an in-memory index artifact, so the three consumers'
-    # re-aggs are cheaper than one serial materialization job.
-    vocab = postings.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("freq")
-    )
+    # re-aggs are cheaper than one serial materialization job. With a
+    # persisted (token, df) dictionary (`vocab`), the agg disappears
+    # from all three consumers outright.
+    if vocab is not None:
+        vocab = vocab.select("token", F.col("df").alias("freq"))
+    else:
+        vocab = postings.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("freq")
+        )
     totals = vocab.agg(
         F.sum("freq").cast("double").alias("v_total"),
         F.count("*").cast("double").alias("v_size"),

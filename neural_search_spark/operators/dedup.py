@@ -422,30 +422,42 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("w"))
     # r10: the 16 used hex chars of md5(token) are parsed into TWO
     # 32-bit ints once per row; each bit then costs one integer
     # shift+mask instead of an instr()+substring() string probe — the
     # same nibble bits, 64 of them per row, so the fingerprint is
     # bit-identical (equality-checked vs the string form at sf0.1;
-    # 3.0 → 2.6 s med on the fingerprint pass alone)
-    h = F.md5(F.col("token"))
-    tf = tf.withColumn(
-        "hi", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    ).withColumn("lo", F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+    # 3.0 → 2.6 s med on the fingerprint pass alone).
+    # r10 batch 3: the (doc, token) tf pre-aggregation is GONE — each
+    # occurrence contributes ±1 directly, so Σ_tokens tf·(±1) becomes
+    # Σ_occurrences (±1): the identical integer (every contribution is
+    # exact in 64-bit, so addition order cannot change the value, only
+    # the sign of which is consumed). One exchange instead of two, and
+    # the one that remains moves 64 LONG partials per (doc × map
+    # partition) — never the token strings (guide §2.3/§2.4).
+    # Expressions are built as SQL STRINGS parsed server-side (r10
+    # batch 3, the lsh_topk lesson): the per-term Column loop cost
+    # ~400 py4j round trips ≈ 1.0 s of DRIVER time per invocation —
+    # plan construction, not execution. Identical operators, one parse.
+    occ = toks.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT) AS hi",
+        "CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT) AS lo",
+    )
     bit_sums = []
     for j in range(64):
         pos = j // 4 + 1  # hex char position (1-based)
         shift = 3 - j % 4
         src, off = ("hi", 8) if pos <= 8 else ("lo", 16)
-        bit = F.shiftright(F.col(src), (off - pos) * 4 + shift).bitwiseAND(
-            F.lit(1)
+        n = (off - pos) * 4 + shift
+        bit_sums.append(
+            F.expr(f"sum((shiftright({src}, {n}) & 1) * 2 - 1)").alias(f"s{j}")
         )
-        contrib = F.col("w") * (bit.cast("double") * 2.0 - 1.0)
-        bit_sums.append(F.sum(contrib).alias(f"s{j}"))
-    agg = tf.groupBy(id_col).agg(*bit_sums)
-    fp = F.concat(
-        *[F.when(F.col(f"s{j}") > 0.0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
+    agg = occ.groupBy(id_col).agg(*bit_sums)
+    fp = F.expr(
+        "concat("
+        + ", ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(64))
+        + ")"
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
 

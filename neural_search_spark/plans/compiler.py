@@ -85,6 +85,10 @@ DEFAULT_K = R.DEFAULT_K
 # FULL corpus (an index describes the whole table); per-query filters
 # prune the candidate scan, not the artifact.
 _IVF_CENTROID_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+# index statistics (rowcount, stored dim) per corpus dir — engines are
+# constructed per query, so these must outlive the instance (r10)
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+_CORPUS_DIM_CACHE: dict[str, int] = {}
 
 # auto_date_histogram interval ladder (seconds) — the fixed menu the
 # agg picks from, smallest interval that keeps bucket count ≤ target
@@ -334,6 +338,7 @@ class Engine:
             doclen=bundle.doclen,
             stats=bundle.stats,
             analyzer=bundle.analyzer,
+            dfs=getattr(bundle, "dfs", None),
         )
         if bundle.centroids:
             _IVF_CENTROID_CACHE[(self.sf_dir, len(bundle.centroids))] = (
@@ -357,6 +362,7 @@ class Engine:
                 doclen=bundle.chunk_doclen,
                 stats=bundle.chunk_stats,
                 analyzer=None,
+                dfs=getattr(bundle, "chunk_dfs", None),
             )
 
     # -- model resolution (Q9 enricher) -----------------------------------
@@ -364,18 +370,23 @@ class Engine:
         return spec.get("model_id") or self.default_model_id
 
     def _corpus_count(self) -> int:
-        """Corpus row count — an index statistic, cached like
-        `_corpus_dim` (at scale this is table metadata, not a scan)."""
-        if getattr(self, "_n_corpus", None) is None:
-            self._n_corpus = int(self.corpus().count())
-        return self._n_corpus
+        """Corpus row count — an index statistic, cached PER CORPUS DIR
+        (at scale this is table metadata, not a scan; engines are
+        per-query objects, so an instance-level cache re-ran the count
+        job on every query — r10)."""
+        if self.sf_dir not in _CORPUS_COUNT_CACHE:
+            _CORPUS_COUNT_CACHE[self.sf_dir] = int(self.corpus().count())
+        return _CORPUS_COUNT_CACHE[self.sf_dir]
 
     def _corpus_dim(self) -> int:
         """Dimensionality of the stored embedding column (the index's
-        ingest model's dim) — one 1-row action, cached."""
+        ingest model's dim) — one 1-row action, cached per corpus dir
+        (same rationale as `_corpus_count`)."""
         if self._stored_dim is None:
-            row = self.corpus().select(F.size("embedding").alias("d")).first()
-            self._stored_dim = int(row["d"])
+            if self.sf_dir not in _CORPUS_DIM_CACHE:
+                row = self.corpus().select(F.size("embedding").alias("d")).first()
+                _CORPUS_DIM_CACHE[self.sf_dir] = int(row["d"])
+            self._stored_dim = _CORPUS_DIM_CACHE[self.sf_dir]
         return self._stored_dim
 
     def model_corpus(self, model_id: str) -> DataFrame:
@@ -704,10 +715,11 @@ class Engine:
                 candidate_ids=candidate_ids,
             )
         if qtype == "fuzzy":
-            post = self.bm25_index().postings.withColumnRenamed("tf", "weight")
+            idx = self.bm25_index()
+            post = idx.postings.withColumnRenamed("tf", "weight")
             return B.fuzzy_topk(
                 post, body["value"], max_dist=int(body.get("fuzziness", 2)), k=k,
-                candidate_ids=candidate_ids,
+                candidate_ids=candidate_ids, vocab=idx.dfs,
             )
         if qtype == "more_like_this":
             post = self.bm25_index().postings.withColumnRenamed("tf", "weight")

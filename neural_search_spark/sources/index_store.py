@@ -62,6 +62,11 @@ class IndexBundle:
     chunk_postings: DataFrame | None = None  # (child_id, token, tf)
     chunk_doclen: DataFrame | None = None  # (child_id, dl)
     chunk_stats: "tuple[int, float] | None" = None  # (N_children, avgdl)
+    # term dictionaries (token, df long) — Lucene's docFreq lives in
+    # the term dictionary; persisting it saves every match query one
+    # postings scan + aggregation (guide §2.4)
+    dfs: DataFrame | None = None
+    chunk_dfs: DataFrame | None = None
 
 
 def save_index(
@@ -91,6 +96,16 @@ def save_index(
         .parquet(os.path.join(path, "postings"))
     )
     idx.doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    # term dictionary: docFreq per token (count(*) == countDistinct(doc)
+    # on the (doc, token)-unique postings). |V| rows — KBs next to the
+    # postings; read once per query instead of re-aggregated.
+    (
+        idx.postings.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "dfs"))
+    )
     if with_positional:
         # positional postings (phrase/span/intervals family) —
         # token-partitioned like the BM25 postings so a phrase query
@@ -140,6 +155,13 @@ def save_index(
         )
         cidx.doclen.write.mode("overwrite").parquet(
             os.path.join(path, "chunk_doclen")
+        )
+        (
+            cidx.postings.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "chunk_dfs"))
         )
         chunk_stats = cidx.stats
 
@@ -218,6 +240,8 @@ def load_index(spark: SparkSession, path: str) -> IndexBundle:
         ),
         postings=spark.read.parquet(os.path.join(path, "postings")),
         doclen=spark.read.parquet(os.path.join(path, "doclen")),
+        dfs=_maybe("dfs"),
+        chunk_dfs=_maybe("chunk_dfs"),
         stats=(int(meta["n_docs"]), float(meta["avgdl"])),
         analyzer=meta.get("analyzer"),
         centroids=[(int(c), [float(x) for x in v]) for c, v in meta["centroids"]],
