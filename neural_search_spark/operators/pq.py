@@ -395,21 +395,30 @@ def adc_scores_arrow(
     numpy take() per subspace per batch produces the identical
     integer sums (integer addition is exact under any association)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    from .cluster import _list_col_matrix
 
     lut = np.asarray(adc_lut(codebooks, query_vec), dtype=np.int64)
 
     def gen(batches):
-        for pdf in batches:
-            if pdf.empty:  # np.stack raises on an empty sequence
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # r10 (guide §4.2): reslice the codes list column's values
+            # buffer into the (n, m) matrix — no per-row conversion
+            X = _list_col_matrix(np, b.column(1), dtype=np.int64)
             acc = np.zeros(len(X), dtype=np.int64)
             for mi in range(lut.shape[0]):
                 acc += lut[mi].take(X[:, mi])
-            yield pd.DataFrame({id_col: pdf[id_col], "approx_dist": acc})
+            yield pa.record_batch(
+                {
+                    id_col: b.column(0).cast(pa.int64()),
+                    "approx_dist": pa.array(acc, type=pa.int64()),
+                }
+            )
 
-    return codes.select(id_col, "codes").mapInPandas(
+    return codes.select(id_col, "codes").mapInArrow(
         gen, schema=f"{id_col} long, approx_dist long"
     )
 

@@ -10634,7 +10634,7 @@ def q_script_score_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`cosineSimilarity(params.query_vector, 'embedding') + 1.0`): the
     query vector enters the plan as a literal; cosine evaluates ONLY
     over the window's candidates (broadcast window onto the corpus)."""
-    qv = catalog.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    qv = _qvec(spark, sf_dir, QUERY_VEC_ID)
     out = _agg_engine(spark, sf_dir).search(
         {"script_score": {
             "query": {"match": {"field": "text", "query": BM25_QUERY}},
