@@ -37,10 +37,12 @@ def _list_col_matrix(np, col, dtype=None):
     """Arrow list column → (n, dim) matrix (default float64) by
     reslicing the contiguous values buffer (one cast, no per-row
     conversion — guide §4.2). Requires fixed-length lists (embedding
-    and code columns are); falls back to the per-row path for ragged
-    input. The elementwise cast (e.g. float32→float64, exact) is the
-    same conversion as the per-row np.asarray loop it replaces, so the
-    matrix is bit-identical."""
+    and code columns are); nulls or non-uniform widths fall back to
+    the original per-row np.stack conversion (which, as before, itself
+    requires uniform widths — vector columns are fixed-dim by
+    contract). The elementwise cast (e.g. float32→float64, exact) is
+    the same conversion as the per-row np.asarray loop it replaces, so
+    the matrix is bit-identical."""
     dtype = np.float64 if dtype is None else dtype
     offs = col.offsets.to_numpy(zero_copy_only=False)
     widths = offs[1:] - offs[:-1]
