@@ -33,11 +33,14 @@ def _scores_nodfs(index, *a, **kw):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        del argv[i:i + 2]  # drop the flag AND its value by position
+    args = [a for a in argv if not a.startswith("--")]
     reps = 6
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-        args.remove(str(reps))
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ab-dfs")
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,11 +19,14 @@ from neural_search_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        del argv[i:i + 2]  # drop the flag AND its value by position
+    args = [a for a in argv if not a.startswith("--")]
     reps = 5
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-        args.remove(str(reps))
     use_collect = "--collect" in sys.argv
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("measure")

@@ -83,6 +83,32 @@ def test_staleness_guard_rebuilds(spark, tmp_path):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_pre_r10_store_without_dfs_is_reingested(spark, tmp_path):
+    """A store written before the term-dictionary entry existed
+    (dfs/chunk_dfs missing) is a FORMAT mismatch: _artifact_bundle must
+    re-ingest through the normal build path — never a bespoke write
+    inside a query path — and the reloaded bundle must carry dfs."""
+    sf_small = "/root/testdata/sf0.001"
+    fake = tmp_path / "sf0.001"
+    fake.mkdir()
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+    docs.write.mode("overwrite").parquet(str(fake / "documents.parquet"))
+    root = _store_root(str(fake))
+    shutil.rmtree(root, ignore_errors=True)
+    R._BUNDLE_CACHE.pop(str(fake), None)
+    b1 = R._artifact_bundle(spark, str(fake))
+    assert b1 is not None and b1.dfs is not None
+    # simulate the pre-r10 format: drop the dfs entries from the store
+    shutil.rmtree(os.path.join(root, "dfs"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "chunk_dfs"), ignore_errors=True)
+    R._BUNDLE_CACHE.pop(str(fake), None)
+    b2 = R._artifact_bundle(spark, str(fake))
+    assert b2 is not None and b2.stats[0] == docs.count()
+    assert b2.dfs is not None and b2.dfs.count() > 0
+    assert os.path.isdir(os.path.join(root, "dfs"))
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_bundle_builds_beside_sibling_artifact(spark, tmp_path):
     """A scratch artifact (load_or_build_artifact) written under the
     store root BEFORE the bundle exists must not break the bundle

@@ -1,5 +1,12 @@
 """Every registry query must hash-match its DuckDB oracle at sf0.01 —
-the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+the same gate the driver applies (CORRECTNESS_r{N}.json).
+
+Split for the grading-box time budget (r10 judge next-round #1): the
+default run grades the driver's own grading window (the first 50
+entries of PRIORITY_50 — exactly the set CORRECTNESS_r{N}.json is
+built from), and the FULL ~300-query sweep runs under the
+``full_parity`` marker (``pytest -m full_parity``), which the builder
+executes in its own end-of-round sweeps."""
 
 from __future__ import annotations
 
@@ -11,8 +18,7 @@ from .conftest import SF_CORRECT
 from .oracle_check import compare
 
 
-@pytest.mark.parametrize("name", sorted(registry.SPARK_QUERIES.keys()))
-def test_query_matches_oracle(spark, name):
+def _check(spark, name: str) -> None:
     fn = registry.SPARK_QUERIES[name]
     sql = registry.ORACLES.get(name)
     if sql is None:
@@ -21,3 +27,20 @@ def test_query_matches_oracle(spark, name):
         return
     ok, msg = compare(fn(spark, SF_CORRECT), sql, SF_CORRECT)
     assert ok, f"{name}: {msg}"
+
+
+_WINDOW = [n for n in registry.PRIORITY_50 if n in registry.SPARK_QUERIES][:50]
+
+
+@pytest.mark.parametrize("name", _WINDOW)
+def test_grading_window_matches_oracle(spark, name):
+    _check(spark, name)
+
+
+@pytest.mark.full_parity
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(registry.SPARK_QUERIES.keys()) if n not in set(_WINDOW)],
+)
+def test_query_matches_oracle(spark, name):
+    _check(spark, name)
