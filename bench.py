@@ -286,6 +286,9 @@ def main() -> None:
     _codes.count()
     registry._ivfpq_codes(spark, sf_dir).count()
     registry._bpe_merges(spark, sf_dir)
+    registry._bpe_word_ids(spark, sf_dir).count()  # BPE encode dictionary
+    if "transformer_bpe_ckpt_tokenizer_ids" in registry.SPARK_QUERIES:
+        registry._bpe_ckpt_word_ids(spark, sf_dir).count()
     registry._nb_model(spark, sf_dir)
     registry._sq8_index(spark, sf_dir)
     registry._positional(spark, sf_dir).count()
