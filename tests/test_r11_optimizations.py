@@ -179,3 +179,48 @@ def test_mlt_stats_matches_on_fixture_corpus(spark):
     )
     got = sorted(tuple(r) for r in R._mlt_stats(spark, sf).collect())
     assert got == expected
+
+
+def test_bigram_lm_artifact_equals_inplan_rollup(spark):
+    """text_bigram_nll (r11: LM from the _bigram_counts/_token_dfs
+    artifacts) relies on two identities that must hold exactly:
+    (a) _bigram_counts.cnt == Σ_docs tf of the per-doc bigram postings
+        for every (w1, w2) — the corpus LM the query previously rolled
+        up from a checkpointed doc_bg;
+    (b) _token_dfs row count == countDistinct(token) over the exploded
+        corpus — the vocab size V in the add-k denominator."""
+    from neural_search_spark.functions import sparse as S
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    toks = S.tokens(F.col("text"))
+    n = F.size(toks)
+    bg = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("w1"),
+                    F.slice(toks, 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    rollup = sorted(
+        tuple(r)
+        for r in bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("cnt"))
+        .collect()
+    )
+    artifact = sorted(
+        tuple(r) for r in R._bigram_counts(spark, sf).collect()
+    )
+    assert artifact == rollup
+    v_explode = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok")
+    ).collect()[0][0]
+    assert R._token_dfs(spark, sf).count() == v_explode
