@@ -880,6 +880,50 @@ def span_dedup(
     )
 
 
+def _cc_local(pairs: DataFrame, rows, a_col: str = "a") -> DataFrame:
+    """Exact in-driver connected components over collected edge rows:
+    union-find with path compression, then component label = min member
+    id — the same (node, component) relation the distributed
+    min-propagation loop converges to. Output schema matches the loop's
+    (node, component) with the node dtype of the input's pair columns."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    data = [(node, comp_min[find(node)]) for node in sorted(parent)]
+    from pyspark.sql import types as T
+
+    node_type = pairs.schema[a_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -906,7 +950,38 @@ def connected_components(
     `v`; for adversarially deep graphs swap in the large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce"),
     which converges in O(log n) rounds with the same per-round shape.
+
+    SMALL-GRAPH FALLBACK (optimization r11, guide §1.2/§7.3): when the
+    pair set fits a bounded driver budget (≤ CC_LOCAL_MAX_EDGES rows,
+    probed with one short-circuiting limit+collect job), the component
+    labels come from an exact in-driver union-find over the collected
+    edges instead of the distributed loop. The pair pipeline then
+    executes exactly ONCE (the probe job) versus persist + seed + one
+    tiny convergence job per round — 4-6 scheduler round-trips of pure
+    driver latency on a near-dup graph whose edge set is orders of
+    magnitude smaller than the corpus (LSH pair output is linear in
+    near-duplicate content, not in corpus size). Past the budget the
+    probe is abandoned and the distributed loop runs unchanged — the
+    100 TB path. Same result by construction: union-find labels every
+    node with the min id reachable in its component, the fixpoint the
+    propagation loop converges to (equality pinned in
+    tests/test_r11_optimizations.py on chains, stars, random graphs and
+    the corpus fixture). The threshold is bytes-bounded driver work
+    (~16 B/edge; 1M edges ≈ 16 MB) and env-tunable
+    (SPARK_GRAFT_CC_LOCAL_MAX_EDGES), NOT tuned to local[32] — it is
+    the broadcast-join-style small-side cutoff.
     """
+    import os as _os
+
+    max_local = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "1000000"))
+    if max_local > 0:
+        probe = (
+            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .limit(max_local + 1)
+            .collect()
+        )
+        if len(probe) <= max_local:
+            return _cc_local(pairs, probe, a_col)
     # symmetrize in ONE pass over pairs (a union of two selects would
     # run the upstream pair pipeline twice)
     edges = (

@@ -174,23 +174,47 @@ def dsir_logweights(
     instead write the feature frames as the extraction job's scratch
     output, the pattern the index store already implements."""
     if target_flag is not None:
+        # ONE gram pass total (optimization r11, guide §2.4): both the
+        # ratio build and the per-doc weight sum consume the SAME
+        # per-(doc, bucket) feature aggregate — identical subtrees, so
+        # physical planning dedupes the underlying shuffle
+        # (ReusedExchange; verified in plans/r11/dsir_select_after.txt)
+        # and the corpus gram explode runs once per execution instead
+        # of twice (the r10 flagged path aggregated the ratio directly
+        # off a second gram stream). Identical weights: per-bucket
+        # rc = Σ cnt and tc = Σ cnt·[tgt] are the same integers the
+        # per-gram count(*)/count-if produced (__tgt is a per-doc
+        # constant, so grouping on it splits no (doc, bucket) cell),
+        # then the same smoothed-log doubles and the same per-doc
+        # products.
         grams = _gram_frame(
             raw_docs.withColumn("__tgt", target_flag), id_col, text_col,
             extra=("__tgt",),
         )
-        bc = (
+        feats = (
             grams.select(
-                _bucket(F.col("gram"), n_buckets).alias("bucket"), "__tgt"
+                id_col,
+                _bucket(F.col("gram"), n_buckets).alias("bucket"),
+                "__tgt",
             )
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("rc"),
-                F.sum(
-                    F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
-                ).alias("tc"),
-            )
+            # vacuously-true null guard (md5 of a non-null gram is never
+            # null): the bucket equi-join below pushes isnotnull(bucket)
+            # under the probe-side aggregate; stating it HERE keeps the
+            # ratio branch's subtree byte-identical so the planner's
+            # exchange-reuse dedupes the shared gram pass instead of
+            # running it per branch
+            .where(F.col("bucket").isNotNull())
+            .groupBy(id_col, "bucket", "__tgt")
+            .agg(F.count("*").alias("cnt"))
+        )
+        bc = feats.groupBy("bucket").agg(
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("tc"),
         )
         ratio = _ratio_from_bucket_counts(bc, n_buckets).drop("rc")
+        raw_f = feats
     else:
         tgt_f = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
         ratio = dsir_log_ratio(
@@ -198,7 +222,7 @@ def dsir_logweights(
             tgt_f,
             n_buckets,
         )
-    raw_f = hashed_ngram_counts(raw_docs, n_buckets, id_col, text_col)
+        raw_f = hashed_ngram_counts(raw_docs, n_buckets, id_col, text_col)
     return (
         raw_f.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)

@@ -224,3 +224,119 @@ def test_bigram_lm_artifact_equals_inplan_rollup(spark):
         F.countDistinct("tok")
     ).collect()[0][0]
     assert R._token_dfs(spark, sf).count() == v_explode
+
+
+def _cc_iterative(pairs):
+    """The distributed min-propagation loop, forced (fallback disabled)
+    — the reference implementation the union-find path must match."""
+    from neural_search_spark.operators import dedup as DD
+
+    old = os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES")
+    os.environ["SPARK_GRAFT_CC_LOCAL_MAX_EDGES"] = "0"
+    try:
+        return sorted(
+            tuple(r) for r in DD.connected_components(pairs).collect()
+        )
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_CC_LOCAL_MAX_EDGES"]
+        else:
+            os.environ["SPARK_GRAFT_CC_LOCAL_MAX_EDGES"] = old
+
+
+def test_cc_local_fallback_equals_iterative_loop(spark):
+    """r11: the small-graph union-find fallback must emit exactly the
+    (node, component=min reachable id) relation the distributed loop
+    converges to — chains (deep diameter), stars, disjoint cliques,
+    a random graph, and the sf0.001 LSH pair fixture."""
+    import random
+
+    from neural_search_spark.operators import dedup as DD
+
+    graphs = {
+        "chain": [(i, i + 1) for i in range(1, 30)],
+        "star": [(5, b) for b in range(6, 30)],
+        "cliques": [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        "reversed_chain": [(i + 1, i) for i in range(40, 60)],
+    }
+    rng = random.Random(11)
+    graphs["random"] = [
+        (rng.randrange(100), rng.randrange(100)) for _ in range(150)
+    ]
+    for name, edges in graphs.items():
+        prs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "a long, b long"
+        )
+        fallback = sorted(
+            tuple(r) for r in DD.connected_components(prs).collect()
+        )
+        assert fallback == _cc_iterative(prs), name
+    # the corpus fixture (the shape every dedup consumer feeds in)
+    fixture_pairs = R._lsh_pairs(spark, "/root/testdata/sf0.001")
+    assert sorted(
+        tuple(r)[:2]
+        for r in DD.connected_components(fixture_pairs).collect()
+    ) == [t[:2] for t in _cc_iterative(fixture_pairs)]
+
+
+def test_cc_local_fallback_schema_and_dtype(spark):
+    """Fallback output must keep the loop's (node, component) schema
+    with the input pair dtype (consumers join on node)."""
+    from neural_search_spark.operators import dedup as DD
+
+    prs = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = DD.connected_components(prs)
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+    assert out.schema["node"].dataType.simpleString() == "int"
+    empty = DD.connected_components(prs.where(F.lit(False)))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["node", "component"]
+
+
+def test_dsir_single_pass_values_and_reused_exchange(spark):
+    """r11: the flagged DSIR path derives the bucket ratio from the
+    SAME per-(doc, bucket) feature aggregate the per-doc weight sum
+    consumes. Pin (a) value equality against the r10 two-pass shape
+    (ratio aggregated directly off a second gram stream) and (b) that
+    physical planning actually dedupes the shared subtree
+    (ReusedExchange in the executed plan) — the claim that the corpus
+    gram explode runs once."""
+    from neural_search_spark.operators import selection as SEL
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    flag = F.col("lang") == "en"
+
+    # r10 two-pass reference, inlined
+    grams = SEL._gram_frame(
+        docs.withColumn("__tgt", flag), "doc_id", "text", extra=("__tgt",)
+    )
+    bc = (
+        grams.select(
+            SEL._bucket(F.col("gram"), SEL.DSIR_BUCKETS).alias("bucket"),
+            "__tgt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("rc"),
+            F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "tc"
+            ),
+        )
+    )
+    ratio = SEL._ratio_from_bucket_counts(bc, SEL.DSIR_BUCKETS).drop("rc")
+    raw_f = SEL.hashed_ngram_counts(docs, SEL.DSIR_BUCKETS)
+    ref = sorted(
+        tuple(r)
+        for r in raw_f.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("lw"))
+        .collect()
+    )
+
+    now_df = SEL.dsir_logweights(docs, None, target_flag=flag)
+    assert sorted(tuple(r) for r in now_df.collect()) == ref
+
+    now_df.collect()
+    plan = now_df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
